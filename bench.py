@@ -1,0 +1,81 @@
+"""Benchmark harness: run headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect). The headline
+metric is the sum over the headline set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cloud2sql_spark.registry import queries
+from cloud2sql_spark.session import get_spark
+
+# Headline set: one representative per operator family; extended as
+# families land. Keys absent from the registry are skipped (forward-compat).
+HEADLINE = [
+    "agg_groupby",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_stats",
+    "join_multiway_star",
+    "join_asof",
+    "win_row_number",
+    "win_running_sum",
+    "sort_multikey",
+    "set_union_distinct",
+    "fn_string",
+    "fn_json",
+    "stream_tumbling",
+    "stream_session",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "sim_search_topk",
+    "text_tokenize_tfidf",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("cloud2sql_spark-bench")
+    registry = queries()
+
+    per_query: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = registry.get(key)
+        if fn is None:
+            continue
+        # warm the JVM/code paths once at tiny scale to exclude first-call
+        # compilation noise from the measurement
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count() if hasattr(df, "count") else 0
+        per_query[key] = round(time.time() - t0, 3)
+        _ = n
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
