@@ -1,1 +1,175 @@
-"""Placeholder — filled in by later milestones."""
+"""B-1 scans / sources / sinks (SURVEY.md §2).
+
+Mirrors the reference's source/sink surface: Parquet and CSV files are its
+Arrow sink formats (cloud2sql/collect.py:98-106, README.md:180-198), JDBC
+destinations via SQLAlchemy (cloud2sql/util.py:22-87), JSON-typed complex
+columns in the exported schema, and temp-table staging with an atomic
+snapshot swap (cloud2sql/collect.py:198-203).
+
+Scale notes: parquet scans get predicate pushdown + column pruning from
+Catalyst for free; CSV/JDBC round-trips write through DataFrameWriter
+(partition-parallel tasks, `batchsize` for JDBC — reference default 100k,
+collect.py:103).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloud2sql_spark.catalog import SCHEMAS, load_table
+from cloud2sql_spark.etl.sinks import write_parquet_snapshot
+from cloud2sql_spark.registry import register
+
+_TMP_ROOT = os.path.join(tempfile.gettempdir(), "cloud2sql_spark")
+
+
+def _tmp(name: str) -> str:
+    path = os.path.join(_TMP_ROOT, name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+@register("scan_parquet", oracle="SELECT * FROM customer")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain parquet scan with explicit schema (no inference)."""
+    return load_table(spark, sf_dir, "customer")
+
+
+@register("scan_parquet_pruned", oracle="""
+    SELECT l_orderkey, l_extendedprice FROM lineitem WHERE l_quantity < 5
+""")
+def scan_parquet_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan that must prune columns + push the predicate into the reader.
+
+    .explain() shows ReadSchema with only 3 columns and
+    PushedFilters: [LessThan(l_quantity,5.0)] — this is the 100 TB posture:
+    the scan reads 3 of 11 columns and skips row groups by min/max stats.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") < 5).select("l_orderkey", "l_extendedprice")
+
+
+@register("scan_csv_roundtrip", oracle="SELECT * FROM supplier")
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write+read CSV with header — the reference's CSV sink contract
+    (tests/collect_test.py:48-63: write CSVs, read back, same rows)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    path = _tmp("scan_csv_roundtrip/supplier_csv")
+    shutil.rmtree(path, ignore_errors=True)
+    sup.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.option("header", True).schema(SCHEMAS["supplier"]).csv(path)
+
+
+@register(
+    "scan_json_props",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(props->>'$.k' AS BIGINT) AS k
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def scan_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-string column access — the reference stores complex/array
+    properties as JSON text in SQL destinations (SURVEY §1.2 [dep])."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    ).orderBy("event_id")
+
+
+@register(
+    "sink_parquet_snapshot",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def sink_parquet_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged write + atomic swap, then read back — the reference's
+    temp-table snapshot semantics (cloud2sql/collect.py:198-203) on files:
+    readers see either the previous snapshot or the new one, never a mix."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = (
+        orders.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )
+    target = _tmp("sink_parquet_snapshot/orders_summary")
+    write_parquet_snapshot(agg, target)
+    return spark.read.parquet(target).orderBy("o_orderstatus")
+
+
+def _derby_url(name: str) -> str:
+    db_dir = _tmp(f"derby/{name}")
+    return f"jdbc:derby:{db_dir};create=true"
+
+
+@register(
+    "sink_jdbc",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+    """,
+)
+def sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC write + read-back round trip (reference: SQLAlchemy destinations,
+    cloud2sql/util.py:22-67; batched inserts collect.py:103). Embedded Derby
+    stands in for a server DB; `batchsize` mirrors the reference's 100k
+    default. On a cluster each partition opens its own connection — writes
+    scale with executors."""
+    nation = load_table(spark, sf_dir, "nation")
+    url = _derby_url("sink_jdbc")
+    shutil.rmtree(os.path.join(_TMP_ROOT, "derby/sink_jdbc"), ignore_errors=True)
+    (
+        nation.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation")
+        .option("batchsize", 100000)
+        .mode("overwrite")
+        .save()
+    )
+    df = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation")
+        .load()
+    )
+    return df.select(
+        F.col("n_nationkey").cast("int"),
+        "n_name",
+        F.col("n_regionkey").cast("int"),
+    ).orderBy("n_nationkey")
+
+
+@register(
+    "scan_jdbc",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey
+    """,
+)
+def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back from a JDBC destination (round trip of reference output)."""
+    region = load_table(spark, sf_dir, "region")
+    url = _derby_url("scan_jdbc")
+    shutil.rmtree(os.path.join(_TMP_ROOT, "derby/scan_jdbc"), ignore_errors=True)
+    (
+        region.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "region")
+        .mode("overwrite")
+        .save()
+    )
+    df = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "region")
+        .load()
+    )
+    return df.select(F.col("r_regionkey").cast("int"), "r_name").orderBy("r_regionkey")
