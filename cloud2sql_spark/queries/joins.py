@@ -1,1 +1,351 @@
-"""Placeholder — filled in by later milestones."""
+"""B-3 joins (SURVEY.md §2).
+
+The reference's exported schema *forces* joins as the canonical read pattern:
+facts↔dims via keys and resource↔resource traversal via ``link_<from>_<to>``
+tables (reference tests/collect_test.py:33-39 — even the minimal example
+graph has 7 link tables). The reference delegates execution to the
+destination SQL engine (README.md:221-224); here Catalyst executes them.
+
+Scale notes (100 TB posture):
+
+- Bounded dims (region 5 rows, nation 25) are explicitly ``F.broadcast`` —
+  no shuffle of the fact side, at any scale.
+- Fact↔fact equi-joins (lineitem⋈orders) shuffle on the join key; AQE
+  handles skew splitting and converts to broadcast when a filtered side
+  turns out small at runtime.
+- The as-of join is the single-shuffle window formulation (sort within
+  user partitions + running last-value), NOT a per-row range join —
+  O(n log n) per partition and no candidate explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloud2sql_spark.catalog import load_table
+from cloud2sql_spark.registry import register
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'O'
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash equi-join orders⋈customer. Catalyst picks broadcast-hash or
+    sort-merge from sizes; AQE may switch at runtime."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "inner"
+    ).select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT r.r_name, n.n_name, count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast the bounded dims — the fact side never shuffles for the
+    join; only the tiny group-by keys shuffle after partial aggregation."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_multiway_star",
+    oracle="""
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join — the link-table traversal pattern
+    (reference tests/collect_test.py:33-39). The two fact tables join on
+    l_orderkey after the orders side is cut down by the pushed-down date
+    filter; dims broadcast so the only real shuffle is lineitem⋈orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer: every customer, with their very large orders or NULLs."""
+    customer = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return customer.join(big, customer.c_custkey == big.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_right",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_nationkey, n.n_name
+    FROM supplier s
+    RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer: all nations, with suppliers or NULLs (supplier covers
+    only a subset of nations in the fixtures)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return supplier.join(nation, supplier.s_nationkey == nation.n_nationkey, "right").select(
+        "s_suppkey", "s_name", "n_nationkey", "n_name"
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+    SELECT coalesce(cs.nk, ss.nk) AS nationkey, cs.n_customers, ss.n_suppliers
+    FROM (SELECT c_nationkey AS nk, count(*) AS n_customers
+          FROM customer GROUP BY c_nationkey) cs
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+          FROM supplier GROUP BY s_nationkey) ss
+      ON cs.nk = ss.nk
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer over two aggregates with partially-overlapping keys."""
+    cs = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    ss = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return cs.join(ss, cs.nk == ss.nk, "full").select(
+        F.coalesce(cs.nk, ss.nk).alias("nationkey"), "n_customers", "n_suppliers"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+                    AND o.o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS — left-semi join: customer rows pass through at most once,
+    no duplication from the probe side (unlike inner join + distinct)."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 300000)
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT p.p_partkey, p.p_name FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS — left-anti join: parts never ordered in bulk."""
+    part = load_table(spark, sf_dir, "part")
+    bulk = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return part.join(bulk, part.p_partkey == bulk.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, seg.c_mktsegment
+    FROM region r CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) seg
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two bounded inputs (5 regions × 5 segments).
+    Cross joins are only ever used dim×dim; fact-side cartesians are
+    structurally avoided (LSH for similarity, window for as-of)."""
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    segments = load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return region.crossJoin(segments)
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT s.s_nationkey, count(*) AS n_pairs,
+           round(avg(s.s_acctbal - c.c_acctbal), 2) AS avg_gap
+    FROM supplier s
+    JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+    GROUP BY s.s_nationkey
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi key (nation) + range predicate (acctbal). Catalyst
+    executes it as a hash join on the equi part with the range condition as
+    a post-join filter — no nested-loop explosion."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        supplier.join(
+            customer,
+            (supplier.s_nationkey == customer.c_nationkey)
+            & (supplier.s_acctbal > customer.c_acctbal),
+        )
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg(F.col("s_acctbal") - F.col("c_acctbal")), 2).alias("avg_gap"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           round(c.value, 2) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts > c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest strictly-prior
+    click (reference has no such operator; SURVEY §4.2(3) custom work).
+
+    Spark-first formulation: one shuffle by user_id, sort by ts within the
+    partition, and a running ``last(click, ignorenulls)`` over the preceding
+    frame — O(n log n), no range-join candidate explosion, works unchanged
+    at 100 TB because state per user is one struct. DuckDB verifies with its
+    native ASOF JOIN.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click = F.when(
+        F.col("event_type") == "click", F.struct("ts", "value")
+    )
+    return (
+        ev.withColumn("prev_click", F.last(click, ignorenulls=True).over(w))
+        .filter((F.col("event_type") == "purchase") & F.col("prev_click").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("prev_click.ts").alias("click_ts"),
+            F.round("prev_click.value", 2).alias("click_value"),
+        )
+    )
+
+
+@register(
+    "join_self_edges",
+    oracle="""
+    SELECT e1.from_id AS nationkey, count(*) AS n_orders_2hop
+    FROM (SELECT c_nationkey AS from_id, c_custkey AS to_id FROM customer) e1
+    JOIN (SELECT o_custkey AS from_id, o_orderkey AS to_id FROM orders) e2
+      ON e1.to_id = e2.from_id
+    GROUP BY e1.from_id
+    """,
+)
+def join_self_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop edge traversal — the reference's core read pattern over
+    ``link_<from>_<to>`` tables (tests/collect_test.py:33-39): build edge
+    sets (nation→customer, customer→order) and chain them e1.to==e2.from.
+    At scale both edge lists shuffle on the shared hop key only."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    e1 = customer.select(
+        F.col("c_nationkey").alias("from_id"), F.col("c_custkey").alias("to_id")
+    )
+    e2 = orders.select(
+        F.col("o_custkey").alias("from_id"), F.col("o_orderkey").alias("to_id")
+    )
+    return (
+        e1.join(e2, e1.to_id == e2.from_id)
+        .groupBy(e1.from_id.alias("nationkey"))
+        .agg(F.count("*").alias("n_orders_2hop"))
+    )

@@ -1,1 +1,89 @@
-"""Placeholder — filled in by later milestones."""
+"""B-6 sorts / limits / top-k (SURVEY.md §2).
+
+Scale notes: a global ORDER BY is a range-partitioned sort (Spark samples
+key ranges, then sorts each range partition — no single-node sort);
+``orderBy().limit(k)`` compiles to TakeOrderedAndProject, which keeps only
+k rows per partition and merges heaps on the driver — O(k) memory, no full
+sort, no full shuffle. Per-group top-k uses one windowed shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloud2sql_spark.catalog import load_table
+from cloud2sql_spark.registry import register
+
+
+@register(
+    "sort_multikey",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           nullif(o_orderpriority, '4-NOT SPECIFIED') AS priority
+    FROM orders
+    ORDER BY priority ASC NULLS FIRST, o_totalprice DESC, o_orderkey ASC
+    """,
+)
+def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column ORDER BY with explicit null placement ('4-NOT
+    SPECIFIED' mapped to NULL to exercise NULLS FIRST)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.nullif("o_orderpriority", F.lit("4-NOT SPECIFIED")).alias("priority"),
+    ).orderBy(
+        F.col("priority").asc_nulls_first(),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey").asc(),
+    )
+
+
+@register(
+    "limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with a total order (tie-broken on o_orderkey, so the
+    25-row set is unique). Physical plan: TakeOrderedAndProject."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT n_name, s_suppkey, s_acctbal FROM (
+      SELECT n.n_name, s.s_suppkey, s.s_acctbal,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rn
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey)
+    WHERE rn <= 2
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 suppliers by balance per nation: broadcast dim join + one
+    windowed shuffle on the group key."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return (
+        supplier.join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("n_name", "s_suppkey", "s_acctbal")
+    )

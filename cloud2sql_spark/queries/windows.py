@@ -1,1 +1,227 @@
-"""Placeholder — filled in by later milestones."""
+"""B-5 window functions (SURVEY.md §2).
+
+The reference delegates reporting queries to its SQL destinations
+(README.md:221-224); windows are the canonical reporting surface over the
+exported per-kind tables. Every window ORDER BY carries a unique tie-break
+key (SURVEY §5.2(5)) so rank/ntile/frame results are deterministic across
+engines.
+
+Scale notes: all windows here are PARTITIONED (by customer / user / nation)
+— state is bounded per key and Spark's WindowExec sorts within partitions
+after one hash shuffle. The only conceptually-global window (cumulative
+revenue by day) is computed scalably: aggregate to days first (tiny), then
+window over the aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloud2sql_spark.catalog import load_table
+from cloud2sql_spark.registry import register
+
+
+@register(
+    "win_row_number",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (tie-broken on o_orderkey)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "win_rank_dense",
+    oracle="""
+    SELECT s_nationkey, s_suppkey, s_acctbal,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           ntile(4)     OVER w AS quartile
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / ntile over suppliers by account
+    balance within nation."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return supplier.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(lag(ts)  OVER w AS TIMESTAMP) AS prev_ts,
+           CAST(lead(ts) OVER w AS TIMESTAMP) AS next_ts,
+           round(value - lag(value) OVER w, 2) AS value_delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prior/next event per user — the sessionization precursor."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("value_delta"),
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+    SELECT day, daily_revenue,
+           round(sum(daily_revenue) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS cumulative_revenue
+    FROM (SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS daily_revenue
+          FROM orders GROUP BY 1)
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue by day. Scalable global-cumulative pattern:
+    pre-aggregate to days (bounded: one row per day regardless of data
+    volume), THEN run the single-partition window over the tiny aggregate —
+    the unpartitioned sort never sees raw facts."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("daily_revenue"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "daily_revenue",
+        F.round(F.sum("daily_revenue").over(w), 2).alias("cumulative_revenue"),
+    )
+
+
+@register(
+    "win_moving_avg",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+           round(avg(l_quantity) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS movavg_7
+    FROM lineitem
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row sliding average of shipped quantity per supplier.
+
+    The measure is integer-valued: an average of ≤7 integers can never land
+    exactly on a 2-decimal half-way boundary (denominators 2..7 have no
+    thousandths ending in 5), so round(x, 2) agrees across engines — unlike
+    averaging 2-decimal money, where n=2 frames hit .xx5 exactly and
+    Spark/DuckDB round opposite ways (verify gotcha #2).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-6, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.avg("l_quantity").over(w), 2).alias("movavg_7"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_in_band
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) frame: per customer, how many of their orders
+    fall within 50k below this order's price. Count over a RANGE frame is
+    tie-safe: peers share the same frame in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-50000, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_in_band"),
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(first_value(o_orderdate) OVER w AS TIMESTAMP) AS first_order_date,
+           CAST(last_value(o_orderdate)  OVER w AS TIMESTAMP) AS last_order_date,
+           first_value(o_orderkey) OVER w AS first_order_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last value over an explicit unbounded frame (the default frame
+    for last_value — RANGE … CURRENT ROW — is a classic trap; both sides
+    pin the full-partition frame)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderdate").over(w).alias("first_order_date"),
+        F.last("o_orderdate").over(w).alias("last_order_date"),
+        F.first("o_orderkey").over(w).alias("first_order_key"),
+    )
