@@ -1,1 +1,261 @@
-"""Placeholder — filled in by later milestones."""
+"""B-8 scalar function families (SURVEY.md §2).
+
+Reference analogues: regex URI parsing (cloud2sql/collect.py:110-119),
+string URL building (util.py:38-55), duration strings like '60d'/'1h'
+(config-template.yaml:40-44), JSON-typed complex columns in SQL sinks
+(SURVEY §1.2 [dep]).
+
+Everything here is a built-in ``pyspark.sql.functions`` expression — JVM
+whole-stage-codegen, no Python in the hot path. Cross-engine float policy:
+single IEEE ops on identical operands (add/sub/mul/div/sqrt) are bit-exact
+across engines and ship unrounded; libm-backed fns (ln/log10) are rounded
+to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloud2sql_spark.catalog import load_table
+from cloud2sql_spark.registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name)                                    AS lname,
+           upper(c_mktsegment)                              AS useg,
+           substr(c_name, 1, 8)                             AS prefix,
+           CAST(length(c_name) AS INT)                      AS name_len,
+           trim(concat('  ', c_name, '  '))                 AS trimmed,
+           concat_ws('|', c_name, c_mktsegment)             AS joined,
+           replace(c_name, 'Customer#', 'C-')               AS replaced,
+           string_split(c_name, '#')[2]                     AS num_part,
+           CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS cust_num,
+           regexp_replace(c_name, '0+', '0', 'g')           AS squeezed
+    FROM customer
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family over customer names ('Customer#000000042' shape —
+    the reference's Id-string parsing analogue, collect.py:110-119)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("lname"),
+        F.upper("c_mktsegment").alias("useg"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C-")).alias("replaced"),
+        F.split("c_name", "#").getItem(1).alias("num_part"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).cast("bigint").alias("cust_num"),
+        F.regexp_replace("c_name", "0+", "0").alias("squeezed"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)                    AS yr,
+           CAST(month(o_orderdate) AS INT)                   AS mo,
+           CAST(day(o_orderdate) AS INT)                     AS dom,
+           CAST(quarter(o_orderdate) AS INT)                 AS qtr,
+           CAST(date_trunc('week', o_orderdate) AS DATE)     AS week_start,
+           CAST(date_diff('day', o_orderdate,
+                          TIMESTAMP '2000-01-01 00:00:00') AS INT) AS days_to_y2k,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)      AS plus_3mo,
+           CAST(o_orderdate AS DATE)                         AS odate,
+           strftime(o_orderdate, '%Y-%m')                    AS ym
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family (reference analogue: '60d'/'1h' duration handling,
+    config-template.yaml:40-44). date_trunc('week') is Monday-start in both
+    engines; datediff arg order is flipped between them (handled here)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_y2k"
+        ),
+        F.add_months("o_orderdate", 3).alias("plus_3mo"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice, 0)                   AS rounded,
+           abs(o_totalprice - 200000)               AS abs_dev,
+           CAST(ceil(o_totalprice / 1000) AS BIGINT)  AS ceil_k,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS floor_k,
+           CAST(o_orderkey % 7 AS BIGINT)           AS mod7,
+           o_totalprice * o_totalprice              AS squared,
+           round(ln(o_totalprice), 6)               AS ln_price,
+           round(log10(o_totalprice), 6)            AS log10_price,
+           sqrt(o_totalprice)                       AS sqrt_price,
+           CAST(sign(o_totalprice - 200000) AS INT)   AS sign_dev
+    FROM orders
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. sqrt/abs/mul are IEEE-exact (shipped raw); ln/log10 are
+    libm-backed and rounded to 6 on both sides. round(x, 0) of positive
+    doubles: both engines round half away from zero."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 0).alias("rounded"),
+        F.abs(F.col("o_totalprice") - 200000).alias("abs_dev"),
+        F.ceil(F.col("o_totalprice") / 1000).alias("ceil_k"),
+        F.floor(F.col("o_totalprice") / 1000).alias("floor_k"),
+        (F.col("o_orderkey") % 7).alias("mod7"),
+        (F.col("o_totalprice") * F.col("o_totalprice")).alias("squared"),
+        F.round(F.log(F.col("o_totalprice")), 6).alias("ln_price"),
+        F.round(F.log10(F.col("o_totalprice")), 6).alias("log10_price"),
+        F.sqrt("o_totalprice").alias("sqrt_price"),
+        F.signum(F.col("o_totalprice") - 200000).cast("int").alias("sign_dev"),
+    )
+
+
+@register(
+    "fn_cond",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'large'
+                WHEN o_totalprice >= 150000 THEN 'medium'
+                ELSE 'small' END                         AS size_band,
+           coalesce(nullif(o_orderpriority, '4-NOT SPECIFIED'), 'UNKNOWN')
+                                                         AS priority,
+           least(o_totalprice, 250000.0)                 AS capped,
+           greatest(o_totalprice, 50000.0)               AS floored,
+           CASE WHEN o_orderstatus = 'O' THEN NULL
+                ELSE o_orderstatus END                   AS closed_status
+    FROM orders
+    """,
+)
+def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif / least / greatest."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "large")
+        .when(F.col("o_totalprice") >= 150000, "medium")
+        .otherwise("small")
+        .alias("size_band"),
+        F.coalesce(
+            F.nullif("o_orderpriority", F.lit("4-NOT SPECIFIED")), F.lit("UNKNOWN")
+        ).alias("priority"),
+        F.least("o_totalprice", F.lit(250000.0)).alias("capped"),
+        F.greatest("o_totalprice", F.lit(50000.0)).alias("floored"),
+        F.when(F.col("o_orderstatus") == "O", F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("closed_status"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT)           AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+           string_split(text, ' ')[1]                          AS first_word,
+           list_sort(string_split(text, ' '))[1]               AS first_sorted,
+           list_contains(string_split(text, ' '), 'spark')     AS has_spark,
+           CAST(list_aggregate(list_transform(string_split(text, ' '),
+                        w -> length(w)), 'sum') AS BIGINT)       AS total_chars
+    FROM documents
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family incl. higher-order transform/aggregate over tokenized
+    document text (integer outputs — exact across engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        words.getItem(0).alias("first_word"),
+        F.sort_array(words).getItem(0).alias("first_sorted"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           'type,user'                        AS keys_joined,
+           event_type                         AS type_val,
+           CAST(user_id AS VARCHAR)           AS user_val,
+           2                                  AS n_keys
+    FROM events
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family (reference analogue: tags MAP<STRING,STRING> on every
+    resource [dep]): build a map, then read it back via map_keys /
+    element_at. The oracle verifies the round trip against the plain
+    scalars the map was built from."""
+    ev = load_table(spark, sf_dir, "events")
+    tags = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.array_join(F.sort_array(F.map_keys(tags)), ",").alias("keys_joined"),
+        F.element_at(tags, "type").alias("type_val"),
+        F.element_at(tags, "user").alias("user_val"),
+        F.size(tags).alias("n_keys"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT)      AS k_ext,
+           CAST(props->>'$.k' AS BIGINT)      AS k_tuple,
+           CAST(props->>'$.k' AS BIGINT)      AS k_typed,
+           CAST(props->>'$.missing' AS BIGINT) AS missing
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family over the events.props JSON-string column — the shape the
+    reference uses for complex properties in SQL sinks (SURVEY §1.2 [dep]):
+    get_json_object, json_tuple, and typed from_json extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k BIGINT")
+    out = ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_ext"),
+        F.json_tuple(F.col("props"), "k").alias("k_tuple_s"),
+        parsed.getField("k").alias("k_typed"),
+        F.get_json_object("props", "$.missing").cast("bigint").alias("missing"),
+    )
+    return out.withColumn("k_tuple", F.col("k_tuple_s").cast("bigint")).drop(
+        "k_tuple_s"
+    )

@@ -1,1 +1,173 @@
-"""Placeholder — filled in by later milestones."""
+"""B-10 UDF / UDAF / UDTF surface (SURVEY.md §2).
+
+The canonical row UDF re-implements the reference's S3-URI bucket
+normalization semantics (cloud2sql/collect.py:110-119: four accepted URL
+shapes — s3://bucket, s3://bucket/path, virtual-hosted HTTPS, path-style
+HTTPS) from scratch as a plain Python function.
+
+Performance ladder (SURVEY §2 B-10): row-at-a-time Python UDFs serialize
+per row (slow path, demonstrated once); Pandas UDFs move Arrow batches
+(10-100× faster); built-in expressions stay JVM-side (everything else in
+this engine). None of these UDFs are used by other operator families.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cloud2sql_spark.catalog import load_table
+from cloud2sql_spark.registry import register
+
+_S3_VHOST = re.compile(r"^https?://([^./]+)\.s3[.-][^/]*\.amazonaws\.com(?:/|$)")
+_S3_PATH = re.compile(r"^https?://s3[.-][^/]*\.amazonaws\.com/([^/?]+)")
+_S3_URI = re.compile(r"^s3://([^/]+)")
+
+
+def normalize_bucket(url: str | None) -> str | None:
+    """Extract the bucket name from any of the S3 URL shapes the reference
+    accepts (semantics of cloud2sql/collect.py:110-124, re-derived from the
+    public S3 addressing rules, not copied)."""
+    if url is None:
+        return None
+    for pat in (_S3_URI, _S3_VHOST, _S3_PATH):
+        m = pat.match(url)
+        if m:
+            return m.group(1)
+    return url
+
+
+@register(
+    "udf_python",
+    oracle="""
+    SELECT c_custkey,
+           'bucket-' || CAST(c_custkey % 10 AS VARCHAR) AS bucket
+    FROM customer
+    """,
+)
+def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-scalar Python UDF: normalize synthetic S3 URIs built from fixture
+    keys. The oracle recomputes the expected bucket directly."""
+    c = load_table(spark, sf_dir, "customer")
+    norm = F.udf(normalize_bucket, T.StringType())
+    uri = F.concat(
+        F.lit("s3://bucket-"), (F.col("c_custkey") % 10).cast("string"), F.lit("/data")
+    )
+    return c.select("c_custkey", norm(uri).alias("bucket"))
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow-batched) scalar UDF. Pure float64 elementwise ops
+    are IEEE-deterministic, so the raw doubles hash-match the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    @F.pandas_udf("double")
+    def revenue(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1.0 - discount)
+
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        revenue("l_extendedprice", "l_discount").alias("revenue"),
+    )
+
+
+@register(
+    "udaf_pandas_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(l_quantity) AS DOUBLE) / count(*) AS mean_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate as a GROUPED_AGG pandas UDF. l_quantity is
+    integer-valued, so the float64 sum is exact and sum/len is a single
+    IEEE division — unrounded doubles match across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    @F.pandas_udf("double")
+    def mean_qty(qty: pd.Series) -> float:
+        return float(qty.sum() / len(qty))
+
+    @F.pandas_udf("long")
+    def n_rows(qty: pd.Series) -> int:
+        # GROUPED_AGG pandas UDFs cannot mix with built-in aggregates in
+        # one agg(), so the count is a pandas UDF too
+        return len(qty)
+
+    return li.groupBy("l_returnflag").agg(
+        mean_qty("l_quantity").alias("mean_qty"), n_rows("l_quantity").alias("n")
+    )
+
+
+@register(
+    "udf_grouped_map",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_quantity - avg(l_quantity) OVER (PARTITION BY l_returnflag)
+               AS demeaned
+    FROM lineitem
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group DataFrame transform via applyInPandas (the SNIPPETS.md
+    normalize-per-group pattern): demean quantity within each returnflag
+    group. Exact-integer sums keep the group mean IEEE-identical to the
+    oracle's window formulation.
+
+    Scale note: groups here are 3 huge partitions — fine at test scale; at
+    100 TB this exact op would instead broadcast-join the 3 group means
+    (see the oracle's window form, which Spark also executes shuffle-once).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("demeaned", T.DoubleType()),
+        ]
+    )
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf["l_quantity"]
+        mean = q.sum() / len(q)  # exact: integer-valued float64 sum
+        out = pdf[["l_orderkey", "l_linenumber", "l_quantity"]].copy()
+        out["demeaned"] = q - mean
+        return out
+
+    return li.groupBy("l_returnflag").applyInPandas(demean, schema)
+
+
+@register(
+    "udtf_python",
+    oracle="""
+    SELECT event_id, k AS prop_key,
+           json_extract_string(props, '$.' || k) AS prop_value
+    FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+    """,
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table function: explode the props JSON object into (key, value)
+    rows. Uses Spark's JSON map explode (JVM-side) — the UDTF shape without
+    a Python hot loop; DuckDB verifies via json_each."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = F.explode(F.from_json("props", "map<string,string>"))
+    return ev.select("event_id", kv.alias("prop_key", "prop_value"))
