@@ -1,1 +1,190 @@
-"""Placeholder — filled in by later milestones."""
+"""B-9 streaming operators, batch-verified (SURVEY.md §2).
+
+Each key applies the SAME transform used by the Structured Streaming layer
+(cloud2sql_spark/streaming/transforms.py) to the static events table; the
+DuckDB oracle verifies the batch semantics, and tests/test_streaming.py
+verifies stream-replay == batch for the same transforms (SURVEY §5.2(4)).
+
+stream_foreach_jdbc additionally drives the real incremental JDBC sink
+(foreachBatch) and returns the read-back rollup.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloud2sql_spark.catalog import load_table
+from cloud2sql_spark.registry import register
+from cloud2sql_spark.streaming import transforms
+
+_TMP_ROOT = os.path.join(tempfile.gettempdir(), "cloud2sql_spark")
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transforms.tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '15 minutes', ts)
+                - k * INTERVAL '15 minutes' AS TIMESTAMP)        AS window_start,
+           CAST(time_bucket(INTERVAL '15 minutes', ts)
+                - k * INTERVAL '15 minutes'
+                + INTERVAL '1 hour' AS TIMESTAMP)                AS window_end,
+           event_type,
+           count(*) AS n_events
+    FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) offsets
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h/15min sliding windows. Oracle: every event belongs to exactly the
+    4 windows starting at its 15-min bucket minus {0,1,2,3}x15min."""
+    return transforms.sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP)                          AS session_start,
+           CAST(max(ts) + INTERVAL '30 minutes' AS TIMESTAMP)  AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)   AS total_value
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap session windows; oracle reproduces Spark's semantics via
+    gaps-and-islands (new session when gap >= 30min; end = last + gap)."""
+    return transforms.session_stats(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_watermark_late",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS TIMESTAMP)
+               AS window_start,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling counts — watermark is a no-op on batch, so the
+    full result verifies against SQL; the streaming replay test asserts
+    in-order replay equals this batch result."""
+    return transforms.late_tolerant_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT DISTINCT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+           event_type, value, props
+    FROM (SELECT * FROM events
+          UNION ALL
+          SELECT * FROM events WHERE event_id % 10 = 0)
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup by event_id over an input with injected exact duplicates
+    (every 10th event doubled). Streaming variant:
+    replay.stream_dedup_within_watermark (bounded state)."""
+    ev = load_table(spark, sf_dir, "events")
+    with_dups = ev.unionByName(ev.filter(F.col("event_id") % 10 == 0))
+    return transforms.dedup_events(with_dups)
+
+
+@register(
+    "stream_stateful_custom",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(max(ts) AS TIMESTAMP) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running state. Batch: one hash aggregate. Streaming: the
+    same state maintained incrementally by applyInPandasWithState
+    (replay.run_stateful_user_totals), verified equal in
+    tests/test_streaming.py."""
+    return transforms.user_state(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_name,
+           c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich events with the customer dim (broadcast stream-static join)."""
+    return transforms.enrich_with_customer(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+
+
+@register(
+    "stream_foreach_jdbc",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_foreach_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JDBC load: replay events as a stream, foreachBatch
+    writes the per-type rollup into Derby (the cloud2sql load made
+    streaming, reference collect.py:103 batching + util.py JDBC), then
+    read the final table back."""
+    from cloud2sql_spark.streaming import replay
+
+    base = os.path.join(_TMP_ROOT, "stream_foreach_jdbc")
+    shutil.rmtree(base, ignore_errors=True)
+    replay_dir = replay.stage_replay_dir(spark, sf_dir, f"{base}/replay", n_files=4)
+    stream = replay.read_event_stream(spark, replay_dir, files_per_trigger=2)
+    url = f"jdbc:derby:{base}/db;create=true"
+    replay.run_foreach_jdbc(
+        transforms.counts_by_type(stream), url, "event_rollup", f"{base}/ckpt"
+    )
+    df = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "event_rollup")
+        .load()
+    )
+    return df.select("event_type", "n_events", "total_value")

@@ -1,0 +1,153 @@
+"""Replay the events fixture as a file stream + streaming-only operators.
+
+``stage_replay_dir`` splits events into N parquet files ordered by ts so
+``maxFilesPerTrigger=1`` replays time roughly in order — the shape a real
+ingest (Kafka/file drop) would have. All streaming queries use the
+``availableNow`` trigger for deterministic drain-and-stop in tests.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloud2sql_spark.catalog import load_table
+
+# schema of the staged (converted-ts) events files
+_STAGED_SCHEMA = "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+
+
+def stage_replay_dir(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 8
+) -> str:
+    """Write events (ts already converted to TIMESTAMP_NTZ) into ``n_files``
+    time-ordered parquet files under ``out_dir`` for file-stream replay."""
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events")
+    chunked = ev.withColumn(
+        "chunk", F.ntile(n_files).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, n_files + 1):
+        part = chunked.filter(F.col("chunk") == i).drop("chunk")
+        part.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/_stage")
+        src = next(
+            f for f in os.listdir(f"{out_dir}/_stage") if f.endswith(".parquet")
+        )
+        os.rename(f"{out_dir}/_stage/{src}", f"{out_dir}/chunk_{i:04d}.parquet")
+    shutil.rmtree(f"{out_dir}/_stage", ignore_errors=True)
+    return out_dir
+
+
+def read_event_stream(
+    spark: SparkSession, replay_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """File-replay stream of events. ``ts`` is cast NTZ -> TIMESTAMP because
+    streaming event-time (watermarks) requires TimestampType; with the
+    session timezone pinned to UTC the wall-clock values are unchanged, so
+    stream results compare equal to the NTZ batch results."""
+    df = (
+        spark.readStream.schema(_STAGED_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(replay_dir)
+    )
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a streaming DataFrame into an in-memory table (availableNow)
+    and return the final table as a batch DataFrame."""
+    session = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return session.table(name)
+
+
+def stream_dedup_within_watermark(stream_events: DataFrame) -> DataFrame:
+    """Stateful dedup by event_id with bounded state: duplicates arriving
+    within the 30-minute watermark horizon are dropped; state for older
+    keys is evicted (dropDuplicatesWithinWatermark — streaming-only)."""
+    return stream_events.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_stateful_user_totals(stream_events: DataFrame) -> DataFrame:
+    """Custom per-user running state via applyInPandasWithState: maintains
+    (n_events, total_cents, last_ts) per user across micro-batches and
+    emits the updated state each batch. Value is accumulated in integer
+    cents so the total is exact and order-independent — matching
+    transforms.user_state's DECIMAL sum in batch.
+    """
+    import pandas as pd  # local: executors import lazily
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id BIGINT, n_events BIGINT, total_value DOUBLE, last_ts TIMESTAMP_NTZ"
+    state_schema = "n BIGINT, cents BIGINT, last_us BIGINT"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, cents, last_us = state.get if state.exists else (0, 0, None)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            cents += int(pd.Series(pdf["value"] * 100).round().astype("int64").sum())
+            batch_max = pdf["ts"].max()
+            us = int(pd.Timestamp(batch_max).value // 1000)
+            last_us = us if last_us is None or us > last_us else last_us
+        state.update((n, cents, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+                "last_ts": [pd.Timestamp(last_us * 1000)],
+            }
+        )
+
+    return stream_events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_foreach_jdbc(
+    stream_df: DataFrame, url: str, table: str, checkpoint: str
+) -> None:
+    """Streaming JDBC sink via foreachBatch — the cloud2sql load made
+    incremental (reference batch load: cloud2sql/collect.py:103; JDBC
+    destinations util.py:22-67). Each micro-batch overwrites the rollup
+    table; idempotent by (batch results are complete-mode rollups)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option("batchsize", 100000)
+            .mode("overwrite")
+            .save()
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,126 @@
+"""Streaming transforms: pure df -> df, valid on both batch and streaming
+DataFrames.
+
+Determinism/scale notes:
+
+- Money/value sums run in DECIMAL then cast to double — exact regardless of
+  partial-aggregation order, so batch, streaming replay, and the DuckDB
+  oracle all agree bit-for-bit.
+- Tumbling/sliding windows are epoch-aligned (`F.window`), matching
+  DuckDB's `time_bucket` grid for sub-day widths.
+- All aggregations are keyed by (window, low-cardinality key) — streaming
+  state is bounded by #windows-in-watermark × #keys, independent of input
+  volume; watermarks evict closed windows at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sum_value() -> Column:
+    return F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """1-hour tumbling windows per event_type: count + exact value sum."""
+    w = F.window("ts", "1 hour")
+    return (
+        events.groupBy(w.alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), _sum_value().alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 15 minutes (each event lands in 4)."""
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (
+        events.groupBy(w.alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_stats(events: DataFrame) -> DataFrame:
+    """30-minute-gap session windows per user (F.session_window works on
+    batch and stream): session bounds, event count, exact value sum.
+    Session end = last event + gap (Spark semantics; the oracle's
+    gaps-and-islands SQL reproduces it with `diff >= gap` as the session
+    break, because Spark merges only strictly-overlapping gap windows)."""
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        events.groupBy(sw.alias("sess"), "user_id")
+        .agg(F.count("*").alias("n_events"), _sum_value().alias("total_value"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def late_tolerant_counts(events: DataFrame) -> DataFrame:
+    """10-minute tumbling counts behind a 10-minute watermark. On batch the
+    watermark is a no-op (full result); on a stream it bounds state and
+    drops data later than the watermark — the replay test feeds in-order
+    files so both paths agree."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "n_events")
+    )
+
+
+def dedup_events(events_with_dups: DataFrame) -> DataFrame:
+    """Dedup by event_id. Batch: dropDuplicates. Stream variant (see
+    replay.stream_dedup_within_watermark) uses
+    dropDuplicatesWithinWatermark so state is evicted after the horizon
+    instead of growing forever."""
+    return events_with_dups.dropDuplicates(["event_id"])
+
+
+def user_state(events: DataFrame) -> DataFrame:
+    """Per-user final state: event count, exact total value, last ts —
+    the semantics the custom stateful streaming operator maintains
+    incrementally (replay.run_stateful_user_totals)."""
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        _sum_value().alias("total_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with the customer dim
+    (broadcast — the static side is re-read per micro-batch and never
+    shuffles the stream)."""
+    dim = F.broadcast(
+        customer.select(
+            F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+        )
+    )
+    return events.join(dim, "user_id", "inner").select(
+        "event_id", "user_id", "event_type", "value", "c_name", "c_mktsegment"
+    )
+
+
+def counts_by_type(events: DataFrame) -> DataFrame:
+    """Incremental per-type rollup — the foreachBatch JDBC sink payload."""
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), _sum_value().alias("total_value")
+    )
