@@ -1,1 +1,439 @@
-"""Placeholder — filled in by later milestones."""
+"""B-11 extension operators: deduplication + similarity search (SURVEY.md
+§2; BASELINE.json north star — the training-data-pipeline surface).
+
+Shared building blocks:
+
+- **Shingles**: word 3-grams (sequence-sensitive; word-set Jaccard is
+  useless on this corpus — 59% of pairs share ≥60% vocabulary, while
+  shingle Jaccard is bimodal: planted near-dups at J≥0.9, background <0.2).
+- **Quantized embeddings**: round(x*1000) int64 — dot products/norms are
+  exact integer arithmetic, making cosine a fixed chain of IEEE ops that
+  hashes identically across Spark and DuckDB (float-sum accumulation order
+  never matters).
+
+Scale design (100 TB):
+
+- MinHash/SimHash banding: candidates come from equality joins on
+  (band, signature) — shuffle is keyed and linear in data, never O(n²).
+- Exact n-gram join is an inverted index on rare shingles (max df here 7;
+  at scale add a df-cap to drop stop-shingles before the self-join).
+- Brute-force cosine is the small-side baseline; the IVF variant probes
+  top-2 of 10 centroid partitions, cutting the scan ~5× and partitioning
+  cleanly by centroid id on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloud2sql_spark.catalog import load_table
+from cloud2sql_spark.registry import register
+
+# ---------------------------------------------------------------- helpers
+
+_SHINGLES_EXPR = """
+CASE WHEN size(split(text, ' ')) >= 3
+     THEN array_distinct(transform(
+            sequence(1, size(split(text, ' ')) - 2),
+            i -> concat_ws(' ', slice(split(text, ' '), i, 3))))
+     ELSE array() END
+"""
+
+# DuckDB twin of _SHINGLES_EXPR (list comprehension is empty for <3 words)
+_SHINGLES_SQL = """
+list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+               for i in range(1, len(ws) - 1)])
+"""
+
+_EXACT_JACCARD_PAIRS_SQL = f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sg FROM w)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.sg, b.sg)) * 1.0 /
+           len(list_distinct(list_concat(a.sg, b.sg))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sg, b.sg)) * 1.0 /
+          len(list_distinct(list_concat(a.sg, b.sg))) >= {{thr}}
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.expr(_SHINGLES_EXPR).alias("sg"))
+
+
+def _exact_jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
+    """Exact shingle-Jaccard over candidate pairs via inverted-index join:
+    explode shingles, self-join on the shingle, count shared, derive
+    |union| = |a| + |b| - shared. Never materializes the n² pair space."""
+    sized = shingled.withColumn("n", F.size("sg"))
+    tok = sized.select("doc_id", "n", F.explode("sg").alias("g"))
+    a, b = tok.alias("a"), tok.alias("b")
+    shared = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    j = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
+    return shared.filter(j >= threshold).select(
+        "doc_a", "doc_b", j.alias("jaccard")
+    )
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings quantized to integer milli-units (exact arithmetic)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000, 0).cast("long")
+    )
+    return emb.select("vec_id", "label", qv.alias("v"))
+
+
+def _int_dot(a: Column | str, b: Column | str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+_QUANT_SQL = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
+
+
+# ---------------------------------------------------------------- dedup
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT text, min(doc_id) AS rep_doc_id, count(*) AS n_copies
+    FROM (SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a column subset, deterministic representative
+    (min doc_id) — dropDuplicates keeps an arbitrary row, so a keyed
+    group-by is the reproducible form. Input has injected duplicates
+    (every 7th doc re-appended under a shifted id)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return (
+        docs.unionByName(dups)
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register("dedup_near_minhash", oracle=_EXACT_JACCARD_PAIRS_SQL.format(thr=0.8))
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection: 128 xxhash64 min-hashes over word
+    3-gram shingles, banded 32×4; band-equality join yields candidates,
+    exact Jaccard verifies (≥0.8).
+
+    Oracle is the EXACT Jaccard pair set: with 32 bands of 4 rows, a J=0.8
+    pair collides with p = 1-(1-0.8^4)^32 ≈ 0.9998 (J=0.9: 1-5e-8), and the
+    corpus is bimodal (J≥0.9 or <0.2), so LSH recall is exactly 1 here —
+    verified at sf0.01.  At 100 TB the banding join is the whole point:
+    no pairwise comparison ever happens outside shared buckets.
+    """
+    n_hashes, n_bands, rows_per_band = 128, 32, 4
+    shingled = _doc_shingles(spark, sf_dir).filter(F.size("sg") > 0)
+    tok = shingled.select("doc_id", F.explode("sg").alias("g"))
+    sig = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(bands).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sized = shingled.withColumn("n", F.size("sg"))
+    sa = sized.select(
+        F.col("doc_id").alias("doc_a"), F.col("sg").alias("sg_a"), F.col("n").alias("na")
+    )
+    sb = sized.select(
+        F.col("doc_id").alias("doc_b"), F.col("sg").alias("sg_b"), F.col("n").alias("nb")
+    )
+    verified = cand.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("sg_a", "sg_b"))
+    j = inter * 1.0 / (F.col("na") + F.col("nb") - inter)
+    return verified.select("doc_a", "doc_b", j.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.8
+    )
+
+
+@register("dedup_ngram_jaccard", oracle=_EXACT_JACCARD_PAIRS_SQL.format(thr=0.5))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-Jaccard pairs (threshold 0.5) via inverted-index
+    self-join — the deterministic ground truth the approximate dedup
+    variants are judged against. Pair volume is Σ df² over shingles (54k
+    here; at scale, cap df to drop stop-shingles — near-dup pairs always
+    share rare shingles)."""
+    return _exact_jaccard_pairs(_doc_shingles(spark, sf_dir), 0.5)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sg FROM w),
+    t AS (SELECT doc_id, unnest(sg) AS g FROM sh WHERE len(sg) > 0),
+    hx AS (SELECT doc_id, md5(g) AS m FROM t),
+    bits AS (SELECT doc_id, bit,
+                    CASE WHEN ((strpos('0123456789abcdef',
+                                       substr(m, bit // 4 + 1, 1)) - 1)
+                               >> (bit % 4)) & 1 = 1
+                         THEN 1 ELSE -1 END AS vote
+             FROM hx, generate_series(0, 63) gs(bit)),
+    votes AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY 1, 2),
+    sig AS (SELECT doc_id,
+                   -- CAST: DuckDB sum(BIGINT) is HUGEINT; xor/bit_count on
+                   -- int128 would count 64 extra sign bits for negatives
+                   CAST(sum(CASE WHEN v > 0 THEN
+                         CASE WHEN bit = 63 THEN -9223372036854775808
+                              ELSE (1::BIGINT << bit) END
+                       ELSE 0 END) AS BIGINT) AS s
+            FROM votes GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 10
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature from md5-derived shingle
+    bits (md5 is identical across engines, so the oracle replicates the
+    signature bit-for-bit in SQL), pairs at hamming distance <= 10.
+
+    Signature: for each shingle, md5 hex chars 1..16 give 64 bits; each
+    bit votes +1/-1; signature bit = sign of the vote sum. Pair scan is a
+    self-join on packed BIGINT signatures with bit_count(xor) — cheap int
+    ops per pair. Scale path: band the 64 bits into chunks as an equality
+    pre-join (guaranteed recall only up to chunks-1 hamming), or prefix
+    buckets; the signature build itself is one shuffle by doc_id."""
+    shingled = _doc_shingles(spark, sf_dir).filter(F.size("sg") > 0)
+    tok = shingled.select("doc_id", F.explode("sg").alias("g")).withColumn(
+        "m", F.md5("g")
+    )
+    bits = tok.select(
+        "doc_id", "m", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit")
+    )
+    # nibble of hex char at position bit//4 + 1, then extract bit%4
+    # (shift amounts are columns, so SQL expr — F.shiftright needs an int)
+    vote = F.expr(
+        "CASE WHEN (shiftright(instr('0123456789abcdef',"
+        " substring(m, CAST(bit / 4 AS INT) + 1, 1)) - 1,"
+        " CAST(bit % 4 AS INT)) & 1) = 1 THEN 1 ELSE -1 END"
+    )
+    votes = (
+        bits.withColumn("vote", vote)
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    weight = F.expr(
+        "CASE WHEN bit = 63 THEN CAST(-9223372036854775808 AS BIGINT)"
+        " ELSE shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) END"
+    )
+    sig = votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("v") > 0, weight).otherwise(0)).alias("s")
+    )
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 10)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@register(
+    "dedup_embed_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM q)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+    """,
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (quantized-int cosine ≥ 0.4 — this
+    synthetic space has no pairs above 0.52, so the 'near-dup' band is
+    0.4+). Exact integer dot products make the cosine value bit-identical
+    across engines. Scale path: bucket by IVF centroid (sim_search_ivf)
+    or random hyperplanes first; the verify step stays this computation."""
+    q = _quantized(spark, sf_dir)
+    n = q.select(
+        "vec_id", "v", F.sqrt(_int_dot("v", "v").cast("double")).alias("nrm")
+    )
+    a = n.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = n.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = _int_dot("va", "vb").cast("double") / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------- similarity
+
+@register(
+    "sim_search_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM q)
+    SELECT query_id, vec_id, round(cos, 6) AS cosine, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos,
+             row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
+                          b.vec_id) AS rank
+      FROM n a JOIN n b ON b.vec_id != a.vec_id
+      WHERE a.vec_id < 5)
+    WHERE rank <= 10
+    """,
+)
+def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 per query vector (queries: vec_id < 5) —
+    the exact baseline for ANN. Rank on the exact integer-derived cosine
+    with vec_id tie-break."""
+    q = _quantized(spark, sf_dir)
+    n = q.select("vec_id", "v", F.sqrt(_int_dot("v", "v").cast("double")).alias("nrm"))
+    queries = n.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cands = n.select("vec_id", F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+    cos = _int_dot("qv", "cv").cast("double") / (F.col("qn") * F.col("cn"))
+    scored = (
+        F.broadcast(queries)
+        .join(cands, F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"), "rank")
+    )
+
+
+@register(
+    "sim_search_ivf",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, label, {_QUANT_SQL} AS v FROM embeddings),
+    flat AS (SELECT vec_id, label, i, v[i] AS val
+             FROM q, generate_series(1, 64) g(i)),
+    cent AS (SELECT label, i, sum(val) AS s FROM flat GROUP BY label, i),
+    cnorm AS (SELECT label, sqrt(sum(s * s)) AS cn FROM cent GROUP BY label),
+    qrs AS (SELECT vec_id, v FROM q WHERE vec_id < 5),
+    qflat AS (SELECT vec_id, i, v[i] AS val
+              FROM qrs, generate_series(1, 64) g(i)),
+    qdot AS (SELECT f.vec_id, c.label, sum(f.val * c.s) AS dot
+             FROM qflat f JOIN cent c ON f.i = c.i GROUP BY 1, 2),
+    probes AS (SELECT vec_id, label FROM (
+        SELECT d.vec_id, d.label,
+               row_number() OVER (PARTITION BY d.vec_id
+                   ORDER BY d.dot / n.cn DESC, d.label) AS rn
+        FROM qdot d JOIN cnorm n ON d.label = n.label)
+      WHERE rn <= 2),
+    nq AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM q)
+    SELECT query_id, vec_id, round(cos, 6) AS cosine, rank FROM (
+      SELECT p.vec_id AS query_id, c.vec_id AS vec_id,
+             list_dot_product(a.v, c.v) / (a.nrm * c.nrm) AS cos,
+             row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY list_dot_product(a.v, c.v) / (a.nrm * c.nrm) DESC,
+                          c.vec_id) AS rank
+      FROM probes p
+      JOIN q e ON e.label = p.label AND e.vec_id != p.vec_id
+      JOIN nq c ON c.vec_id = e.vec_id
+      JOIN nq a ON a.vec_id = p.vec_id)
+    WHERE rank <= 10
+    """,
+)
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: 10 coarse partitions (label-keyed), centroids =
+    un-normalized integer sum vectors (exact), each query probes its top-2
+    centroids by cosine and searches only those partitions (~5× less scan).
+    The probe ordering uses only exact-integer-derived values, so the
+    result set is deterministic and fully SQL-verifiable. On a cluster the
+    candidate join is partitioned by centroid id — each probe touches 2
+    partitions, not the full index."""
+    q = _quantized(spark, sf_dir)
+    flat = q.select("vec_id", "label", F.posexplode("v").alias("i", "val"))
+    cent = flat.groupBy("label", "i").agg(F.sum("val").alias("s"))
+    cnorm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("s") * F.col("s")).cast("double")).alias("cn")
+    )
+    queries = q.filter(F.col("vec_id") < 5)
+    qflat = queries.select("vec_id", F.posexplode("v").alias("i", "val"))
+    qdot = (
+        qflat.join(cent, "i")
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("val") * F.col("s")).alias("dot"))
+    )
+    wp = Window.partitionBy("vec_id").orderBy(
+        (F.col("dot") / F.col("cn")).desc(), F.col("label")
+    )
+    probes = (
+        qdot.join(cnorm, "label")
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 2)
+        .select(F.col("vec_id").alias("query_id"), "label")
+    )
+    n = q.select("vec_id", "label", "v", F.sqrt(_int_dot("v", "v").cast("double")).alias("nrm"))
+    qn = n.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(n, "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qn), "query_id")
+    )
+    cos = _int_dot("qv", "v").cast("double") / (F.col("qn") * F.col("nrm"))
+    wr = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        cands.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"), "rank")
+    )

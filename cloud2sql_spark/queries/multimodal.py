@@ -1,0 +1,124 @@
+"""B-11 multimodal columns (SURVEY.md §2; training-data pipeline surface).
+
+Images/audio/video are opaque ``binary`` payload columns with a typed
+metadata struct, processed by Arrow-batched pandas functions over
+``mapInPandas``. The image/audio codec libraries are NOT in this container
+(mandate: stub the decode itself, keep the Spark plumbing real), so:
+
+- ``decode_image`` is the clearly-marked stub: raises NotImplementedError.
+- ``_fake_decode`` is the deterministic stand-in used by the pipeline: it
+  treats the payload bytes as the "pixel" stream, so schema, partitioning,
+  UDF signature, and batch shapes are all exercised for real.
+
+Payloads here are synthesized from document text (utf-8 bytes) since the
+fixtures carry no true binary media; on a real lake this is
+``spark.read.format("binaryFile")`` or a parquet binary column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloud2sql_spark.catalog import load_table
+from cloud2sql_spark.registry import register
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode (PIL/cv2) — STUB: codec libs are not available in
+    this environment. The Spark-side plumbing around it is real and tested
+    via the deterministic fake below."""
+    raise NotImplementedError(
+        "image codecs not available in this container; use _fake_decode"
+    )
+
+
+def _with_payload(docs: DataFrame) -> DataFrame:
+    """Attach a binary payload column + typed metadata struct — the
+    multimodal column shape (payload BINARY, meta STRUCT<format,width,
+    frames>)."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("utf8-text").alias("format"),
+            F.col("n_chars").cast("int").alias("width"),
+            F.size(F.split("text", " ")).alias("frames"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "multimodal_cols",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           'utf8-text' AS format,
+           CAST(n_chars AS INT) AS width,
+           CAST(len(string_split(text, ' ')) AS INT) AS frames
+    FROM documents
+    """,
+)
+def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column + typed metadata: the storage schema for
+    media at scale (payload stays opaque/columnar; metadata is queryable
+    without touching bytes — column pruning skips payloads entirely for
+    metadata-only queries)."""
+    mm = _with_payload(load_table(spark, sf_dir, "documents"))
+    return mm.select(
+        "doc_id",
+        F.length("payload").cast("int").alias("n_bytes"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.frames").alias("frames"),
+    )
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      list_transform(string_split(text, ''), c -> ascii(c))
+                          AS bytes_list
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(bytes_list) AS INT) AS n_bytes,
+           CAST(list_aggregate(bytes_list, 'sum') AS DOUBLE) / len(bytes_list)
+               AS mean_byte,
+           CAST(list_aggregate(bytes_list, 'max') AS INT) AS max_byte
+    FROM b
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Decode + feature-extract' over binary payloads via mapInPandas:
+    Arrow batches of (doc_id, payload) flow into pandas, the stubbed
+    decoder derives per-item features (here: byte statistics — exact
+    integer sums, one IEEE division). The batch shape, schema contract,
+    and partition parallelism are exactly what a PIL/ffmpeg decode would
+    use; only the codec call is faked (see decode_image)."""
+    mm = _with_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n = payloads.map(len)
+            sums = payloads.map(lambda b: int(sum(b)))
+            mx = payloads.map(lambda b: int(max(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int32"),
+                    "mean_byte": sums / n,
+                    "max_byte": mx.astype("int32"),
+                }
+            )
+
+    return mm.mapInPandas(
+        extract, "doc_id BIGINT, n_bytes INT, mean_byte DOUBLE, max_byte INT"
+    )

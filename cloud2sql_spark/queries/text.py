@@ -1,0 +1,293 @@
+"""B-11 text analysis over ``documents`` (SURVEY.md §2; training-data
+pipeline surface): TF-IDF, corpus stats, language ID, quality scoring,
+token counting, fingerprinting.
+
+Determinism policy: ranking keys are integers or exact-rational doubles;
+the only libm value (ln in IDF) is rounded to 6 decimals on both sides and
+used for ranking via its rounded form.
+
+Scale notes: every op is one or two keyed shuffles over exploded tokens;
+per-language profiles and corpus totals are tiny aggregates broadcast back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloud2sql_spark.catalog import load_table
+from cloud2sql_spark.registry import register
+
+_STOPWORDS = ["the", "a", "an", "of", "to", "in", "and", "or", "is", "on"]
+
+
+@register(
+    "text_tokenize_tfidf",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, w AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY doc_id, w
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1)), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def text_tokenize_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenize -> TF -> DF -> TF-IDF, top-3 terms per doc.
+    IDF = ln((N+1)/(df+1)); ranked by rounded score (term tie-break) so
+    cross-engine libm noise cannot flip ranks."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1)), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus stats — integer sums with one exact IEEE
+    division for the mean."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_words"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 5 != 0),
+    tri AS (SELECT lang, unnest([substr(text, i, 3)
+                   for i in range(1, length(text) - 1)]) AS g FROM train),
+    counts AS (SELECT lang, g, count(*) AS cnt FROM tri GROUP BY lang, g),
+    profile AS (SELECT lang, g FROM (
+        SELECT lang, g, row_number() OVER (PARTITION BY lang
+                         ORDER BY cnt DESC, g) AS rn FROM counts)
+      WHERE rn <= 30),
+    doc_tri AS (SELECT doc_id, unnest(list_distinct([substr(text, i, 3)
+                     for i in range(1, length(text) - 1)])) AS g
+                FROM documents),
+    overlap AS (SELECT d.doc_id, p.lang, count(*) AS score
+                FROM doc_tri d JOIN profile p ON d.g = p.g
+                GROUP BY d.doc_id, p.lang),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    all_scores AS (
+      SELECT doc.doc_id, l.lang,
+             coalesce(o.score, 0) AS score
+      FROM documents doc CROSS JOIN langs l
+      LEFT JOIN overlap o ON o.doc_id = doc.doc_id AND o.lang = l.lang
+    )
+    SELECT doc_id, pred_lang, actual_lang,
+           CAST(pred_lang = actual_lang AS BOOLEAN) AS correct FROM (
+      SELECT s.doc_id, s.lang AS pred_lang, d.lang AS actual_lang,
+             row_number() OVER (PARTITION BY s.doc_id
+                 ORDER BY s.score DESC, s.lang) AS rn
+      FROM all_scores s JOIN documents d ON s.doc_id = d.doc_id)
+    WHERE rn = 1
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID: per-language profiles (top-30
+    trigrams of a doc_id%5!=0 training split, count-desc/trigram-asc) and
+    argmax profile-overlap prediction (score-desc/lang-asc tie-break).
+    Pure integer scoring — deterministic. Profiles are tiny and broadcast;
+    the only big shuffle is the doc-trigram explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    trigrams = F.expr(
+        "transform(sequence(1, greatest(length(text) - 2, 0)),"
+        " i -> substring(text, i, 3))"
+    )
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    counts = (
+        train.select("lang", F.explode(trigrams).alias("g"))
+        .groupBy("lang", "g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wp = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("g"))
+    profile = (
+        counts.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 30)
+        .select("lang", "g")
+    )
+    doc_tri = docs.select(
+        "doc_id", F.explode(F.array_distinct(trigrams)).alias("g")
+    )
+    overlap = (
+        doc_tri.join(
+            F.broadcast(profile.withColumnRenamed("lang", "cand_lang")), "g"
+        )
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("score"))
+    )
+    langs = docs.select(F.col("lang").alias("cand_lang")).distinct()
+    all_scores = (
+        docs.select("doc_id", F.col("lang").alias("actual_lang"))
+        .crossJoin(F.broadcast(langs))
+        .join(overlap, ["doc_id", "cand_lang"], "left")
+        .withColumn("score", F.coalesce("score", F.lit(0)))
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand_lang")
+    )
+    return (
+        all_scores.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("cand_lang").alias("pred_lang"),
+            "actual_lang",
+            (F.col("cand_lang") == F.col("actual_lang")).alias("correct"),
+        )
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+             length(text) AS n_chars,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({_STOPWORDS!r}, w))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+           CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len,
+           (CAST(n_stop AS DOUBLE) / n_words) * 0.5
+             + (least(n_words, 100) / 100.0) * 0.3
+             + (least(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 10.0)
+                / 10.0) * 0.2 AS quality_score
+    FROM q
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring from length / stopword-ratio / word-length signals,
+    composed with a fixed left-associative op order so the float result is
+    IEEE-identical on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin(*_STOPWORDS))
+    )
+    avg_wlen = (F.length("text") - (n_words - 1)).cast("double") / n_words
+    stop_ratio = n_stop.cast("double") / n_words
+    score = (
+        stop_ratio * 0.5
+        + (F.least(n_words, F.lit(100)) / 100.0) * 0.3
+        + (F.least(avg_wlen, F.lit(10.0)) / 10.0) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        stop_ratio.alias("stop_ratio"),
+        avg_wlen.alias("avg_word_len"),
+        score.alias("quality_score"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT)
+               AS word_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, regex word tokens (BPE-ish
+    pre-tokenization), and the chars/4 BPE-count estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).alias(
+            "word_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).alias("bpe_est"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                 for i in range(1, len(ws) - 1)]) AS sg
+           FROM w)
+    SELECT doc_id,
+           array_to_string(list_sort(list_transform(sg, s -> md5(s)))[1:4], '|')
+               AS fingerprint,
+           CAST(len(sg) AS INT) AS n_shingles
+    FROM sh
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-4 winnowing over md5'd word 3-gram
+    shingles (md5 identical across engines). Equal fingerprints <=> high
+    shingle overlap — the cheap first-pass dedup key."""
+    from cloud2sql_spark.queries.extensions import _doc_shingles
+
+    shingled = _doc_shingles(spark, sf_dir)
+    fps = F.slice(
+        F.sort_array(F.transform("sg", lambda s: F.md5(s))), 1, 4
+    )
+    return shingled.select(
+        "doc_id",
+        F.array_join(fps, "|").alias("fingerprint"),
+        F.size("sg").alias("n_shingles"),
+    )

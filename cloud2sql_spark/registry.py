@@ -39,6 +39,8 @@ _QUERY_MODULES = [
     "cloud2sql_spark.queries.streaming",
     "cloud2sql_spark.queries.udx",
     "cloud2sql_spark.queries.extensions",
+    "cloud2sql_spark.queries.text",
+    "cloud2sql_spark.queries.multimodal",
 ]
 
 _loaded = False
