@@ -1,0 +1,86 @@
+"""CLI front-end (reference A20: cloud2sql/__main__.py:24-66 — flags
+--config, --show, --debug, --version, --create-config; env prefix
+CLOUD2SQL_ -> here CLOUD2SQL_SPARK_).
+
+Usage:
+    python -m cloud2sql_spark.cli --create-config > config.yaml
+    python -m cloud2sql_spark.cli --config config.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+__version__ = "0.1.0"
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        "cloud2sql_spark", description="Collect resource graphs into SQL/files via Spark"
+    )
+    p.add_argument(
+        "--config",
+        default=os.environ.get("CLOUD2SQL_SPARK_CONFIG"),
+        help="path to YAML config (sources + destinations)",
+    )
+    p.add_argument(
+        "--show",
+        choices=["progress", "log", "none"],
+        default="progress",
+        help="progress rendering mode",
+    )
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--version", action="store_true")
+    p.add_argument(
+        "--create-config",
+        action="store_true",
+        help="print a config template and exit",
+    )
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    from cloud2sql_spark.etl.config import (
+        default_config,
+        destination_from_config,
+        parse_config,
+    )
+
+    args = parse_args(argv)
+    if args.version:
+        print(__version__)
+        return 0
+    if args.create_config:
+        print(default_config())
+        return 0
+    if not args.config:
+        print("--config required (or --create-config)", file=sys.stderr)
+        return 2
+
+    from cloud2sql_spark.etl.pipeline import collect
+    from cloud2sql_spark.session import get_spark
+
+    with open(args.config) as fh:
+        cfg = parse_config(fh.read())
+    dest = destination_from_config(cfg)
+    spark = get_spark("cloud2sql_spark-etl")
+    try:
+        counts = collect(spark, cfg, dest)
+        if args.show != "none":
+            for table in sorted(counts):
+                print(f"{table}: {counts[table]} rows")
+            print(f"done: {len(counts)} tables, {sum(counts.values())} rows")
+        return 0
+    except Exception as exc:  # fail-fast, no partial promote (A19)
+        print(f"collect failed, snapshot NOT promoted: {exc}", file=sys.stderr)
+        if args.debug:
+            raise
+        return 1
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,132 @@
+"""Config surface (reference A1: configure(), cloud2sql/collect.py:74-151;
+A13: db_string_from_config, cloud2sql/util.py:22-87; template
+config-template.yaml).
+
+Same YAML shape as the reference: top-level ``sources`` and
+``destinations``; file-ish destinations (``file``/``s3``/``gcs``) normalize
+to an arrow-output config (format parquet|csv, batch_size default 100_000 —
+reference collect.py:103); SQL-ish destinations normalize to a JDBC URL.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+try:
+    import yaml
+except ImportError:  # pragma: no cover
+    yaml = None
+
+
+class ConfigError(ValueError):
+    pass
+
+
+@dataclass
+class FileDestination:
+    path: str
+    format: str = "parquet"  # parquet | csv (reference collect.py:90-93)
+    batch_size: int = 100_000
+
+
+@dataclass
+class JdbcDestination:
+    url: str
+    batch_size: int = 100_000
+
+
+# reference dialect aliasing (util.py:22-87: mysql->pymysql etc.); here the
+# SQLAlchemy scheme maps to a JDBC scheme
+_JDBC_SCHEMES = {
+    "sqlite": "jdbc:sqlite",
+    "postgresql": "jdbc:postgresql",
+    "mysql": "jdbc:mysql",
+    "mariadb": "jdbc:mariadb",
+    "snowflake": "jdbc:snowflake",
+    "derby": "jdbc:derby",
+}
+
+
+def normalize_s3_url(url: str) -> str:
+    """Normalize the accepted S3 URL shapes to ``s3a://bucket/path`` —
+    Spark's native S3 scheme (reference accepts 4 shapes,
+    collect.py:110-124; semantics re-derived, see queries.udx)."""
+    from cloud2sql_spark.queries.udx import normalize_bucket
+
+    bucket = normalize_bucket(url)
+    path = ""
+    if "//" in url:
+        rest = url.split("//", 1)[1]
+        if "/" in rest:
+            path = rest.split("/", 1)[1]
+            # path-style URL: the first path segment IS the bucket
+            if path == bucket or path.startswith(bucket + "/"):
+                path = path[len(bucket):].lstrip("/")
+    return f"s3a://{bucket}/{path}".rstrip("/")
+
+
+def parse_config(text: str) -> dict:
+    """YAML text -> validated config dict (requires ``sources`` and
+    ``destinations`` — reference collect.py:76-88)."""
+    if yaml is None:
+        raise ConfigError("pyyaml not available")
+    cfg = yaml.safe_load(text) or {}
+    if "sources" not in cfg or not cfg["sources"]:
+        raise ConfigError("config requires a 'sources' section")
+    if "destinations" not in cfg or not cfg["destinations"]:
+        raise ConfigError("config requires a 'destinations' section")
+    return cfg
+
+
+def destination_from_config(cfg: dict) -> FileDestination | JdbcDestination:
+    """Normalize the destinations section (reference collect.py:90-149 file
+    path; util.py:22-67 SQL path)."""
+    dests = cfg["destinations"]
+    if "file" in dests:
+        d = dests["file"]
+        fmt = d.get("format", "parquet")
+        if fmt not in ("parquet", "csv"):
+            raise ConfigError(f"unsupported file format: {fmt}")
+        return FileDestination(d["path"], fmt, d.get("batch_size", 100_000))
+    if "s3" in dests:
+        d = dests["s3"]
+        return FileDestination(
+            normalize_s3_url(d["uri"]), d.get("format", "parquet"),
+            d.get("batch_size", 100_000),
+        )
+    if "gcs" in dests:
+        d = dests["gcs"]
+        uri = d["uri"]
+        if uri.startswith("gs://"):
+            pass
+        else:
+            uri = f"gs://{uri}"
+        return FileDestination(uri, d.get("format", "parquet"),
+                               d.get("batch_size", 100_000))
+    for name, d in dests.items():
+        if name in _JDBC_SCHEMES:
+            if "url" in d:
+                return JdbcDestination(d["url"], d.get("batch_size", 100_000))
+            host = d.get("host", "")
+            port = f":{d['port']}" if "port" in d else ""
+            db = d.get("database", "")
+            return JdbcDestination(
+                f"{_JDBC_SCHEMES[name]}://{host}{port}/{db}",
+                d.get("batch_size", 100_000),
+            )
+    raise ConfigError(f"no supported destination in {sorted(dests)}")
+
+
+def default_config() -> str:
+    """Emit a config template for the registered sources (reference A3:
+    default_config(), collect.py:37-45)."""
+    return (
+        "sources:\n"
+        "  example:\n"
+        "    # the synthetic example source needs no configuration\n"
+        "destinations:\n"
+        "  file:\n"
+        "    path: /tmp/cloud2sql_spark_out\n"
+        "    format: parquet\n"
+        "    batch_size: 100000\n"
+    )

@@ -1,0 +1,177 @@
+"""Layer-1 ETL parity tests (SURVEY.md §5.2(2-3)): the Spark pipeline over
+the synthetic example graph must reproduce the reference's golden output —
+exactly 13 tables with exact row counts (reference tests/collect_test.py:
+26-45), through both the file sink and the JDBC sink; plus snapshot-swap
+atomicity and executor-side distributed fetch."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud2sql_spark.etl import sinks
+from cloud2sql_spark.etl.config import (
+    FileDestination,
+    JdbcDestination,
+    destination_from_config,
+    normalize_s3_url,
+    parse_config,
+)
+from cloud2sql_spark.etl.example_source import (
+    GOLDEN_COUNTS,
+    collect_example,
+    example_catalog,
+)
+from cloud2sql_spark.etl.flatten import flatten_graph
+from cloud2sql_spark.etl.pipeline import collect, distributed_collect
+
+_TMP = os.path.join(tempfile.gettempdir(), "cloud2sql_spark", "etl_tests")
+
+
+def test_flatten_golden_counts(spark):
+    """Graph -> relational flatten yields exactly the reference's 13
+    tables with the reference's exact row counts."""
+    nodes, edges = collect_example(spark)
+    tables = flatten_graph(nodes, edges, example_catalog())
+    assert sorted(tables) == sorted(GOLDEN_COUNTS)
+    counts = {name: df.count() for name, df in tables.items()}
+    assert counts == GOLDEN_COUNTS
+
+
+def test_flatten_typed_columns(spark):
+    """Kind-specific properties are flattened to typed native columns."""
+    nodes, edges = collect_example(spark)
+    tables = flatten_graph(nodes, edges, example_catalog())
+    inst = tables["example_instance"]
+    row = inst.filter(F.col("id") == "inst1").collect()[0]
+    assert row["instance_cores"] == 4.0
+    assert row["instance_status"] == "running"
+    assert row["region"] == "us-west"
+    assert row["tags"]["owner"] == "example"
+    assert dict(inst.dtypes)["instance_cores"] == "double"
+    assert dict(inst.dtypes)["tags"] == "map<string,string>"
+
+
+def test_collect_csv_golden(spark):
+    """Full pipeline through the CSV sink (mirrors reference
+    test_collect_csv, tests/collect_test.py:48-79): load back and assert
+    the golden counts."""
+    out = os.path.join(_TMP, "csv_out")
+    cfg = parse_config(
+        f"sources:\n  example:\ndestinations:\n  file:\n    path: {out}\n    format: csv\n"
+    )
+    dest = destination_from_config(cfg)
+    assert isinstance(dest, FileDestination) and dest.format == "csv"
+    counts = collect(spark, cfg, dest)
+    assert counts == GOLDEN_COUNTS
+    for table, expected in GOLDEN_COUNTS.items():
+        back = spark.read.option("header", True).csv(f"{out}/{table}")
+        assert back.count() == expected, table
+
+
+def test_collect_jdbc_golden(spark):
+    """Full pipeline through the JDBC sink with staged tmp_* tables and
+    atomic swap (mirrors reference test_collect, tests/collect_test.py:
+    16-45; Derby stands in for SQLite)."""
+    db = os.path.join(_TMP, "jdbc_db")
+    import shutil
+
+    shutil.rmtree(db, ignore_errors=True)
+    cfg = parse_config(
+        "sources:\n  example:\ndestinations:\n  derby:\n    url: "
+        f"jdbc:derby:{db};create=true\n"
+    )
+    dest = destination_from_config(cfg)
+    assert isinstance(dest, JdbcDestination)
+    counts = collect(spark, cfg, dest)
+    assert counts == GOLDEN_COUNTS
+    url = f"jdbc:derby:{db}"
+    for table, expected in GOLDEN_COUNTS.items():
+        back = (
+            spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+        )
+        assert back.count() == expected, table
+
+
+def test_parquet_snapshot_swap_atomicity(spark):
+    """Readers resolving the target path see either the old or the new
+    snapshot, never a mix (reference swap_temp_tables contract,
+    collect.py:198-203)."""
+    target = os.path.join(_TMP, "snap")
+    v1 = spark.range(5).select(F.col("id"), F.lit("v1").alias("ver"))
+    sinks.write_parquet_snapshot(v1, target)
+    before = spark.read.parquet(target).select("ver").distinct().collect()
+    assert [r["ver"] for r in before] == ["v1"]
+
+    v2 = spark.range(7).select(F.col("id"), F.lit("v2").alias("ver"))
+    sinks.write_parquet_snapshot(v2, target)
+    after = spark.read.parquet(target)
+    assert after.count() == 7
+    assert [r["ver"] for r in after.select("ver").distinct().collect()] == ["v2"]
+
+
+def test_failed_load_does_not_promote(spark):
+    """Fail-fast: a failing load must leave the previous JDBC snapshot
+    intact (reference collect.py:204-212 — no partial promote)."""
+    db = os.path.join(_TMP, "jdbc_fail")
+    import shutil
+
+    shutil.rmtree(db, ignore_errors=True)
+    url = f"jdbc:derby:{db};create=true"
+    writer = sinks.JdbcSnapshotWriter(spark, url)
+    writer.stage("t1", spark.range(3).select(F.col("id")))
+    writer.swap()
+
+    writer2 = sinks.JdbcSnapshotWriter(spark, url)
+    writer2.stage("t1", spark.range(10).select(F.col("id")))
+    # a second staged table fails before swap -> nothing is promoted
+    with pytest.raises(Exception):
+        bad = spark.range(1).select((F.col("id") / F.lit(0)).alias("x"))
+        writer2.stage("t2", bad.filter(F.expr("assert_true(x > 0) IS NULL")))
+        raise RuntimeError("load failed")
+    back = (
+        spark.read.format("jdbc")
+        .option("url", f"jdbc:derby:{db}")
+        .option("dbtable", "t1")
+        .load()
+    )
+    assert back.count() == 3  # previous snapshot intact
+
+
+def test_distributed_collect(spark):
+    """Executor-side fetch over accounts×regions via mapInPandas."""
+
+    def fetch(account: str, region: str) -> list[dict]:
+        return [
+            {"account": account, "region": region, "resource_id": f"{account}-{region}-{i}"}
+            for i in range(3)
+        ]
+
+    df = distributed_collect(
+        spark,
+        ["acc1", "acc2"],
+        ["us-west", "us-east"],
+        fetch,
+        "account STRING, region STRING, resource_id STRING",
+    )
+    rows = df.collect()
+    assert len(rows) == 12
+    assert {r["account"] for r in rows} == {"acc1", "acc2"}
+
+
+def test_s3_url_normalization():
+    """The four accepted S3 URL shapes normalize to s3a:// (reference
+    collect.py:110-124 semantics)."""
+    assert normalize_s3_url("s3://my-bucket/prefix") == "s3a://my-bucket/prefix"
+    assert normalize_s3_url("s3://my-bucket") == "s3a://my-bucket"
+    assert (
+        normalize_s3_url("https://my-bucket.s3.us-east-1.amazonaws.com/prefix")
+        == "s3a://my-bucket/prefix"
+    )
+    assert (
+        normalize_s3_url("https://s3.us-east-1.amazonaws.com/my-bucket/x")
+        == "s3a://my-bucket/x"
+    )
