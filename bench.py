@@ -38,8 +38,15 @@ HEADLINE = [
     "stream_session",
     "dedup_exact",
     "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embed_cosine",
     "sim_search_topk",
+    "sim_search_ivf",
     "text_tokenize_tfidf",
+    "text_lang_id",
+    "text_fingerprint",
+    "multimodal_decode",
 ]
 
 
@@ -49,13 +56,18 @@ def main() -> None:
     spark = get_spark("cloud2sql_spark-bench")
     registry = queries()
 
+    # warm the JVM (codegen, shuffle machinery, parquet reader) at sf0.001
+    # so the first timed query doesn't pay one-time startup cost
+    warm_dir = "/root/testdata/sf0.001"
+    spark.range(1000).selectExpr("sum(id)").collect()
+    if os.path.isdir(warm_dir):
+        registry["agg_groupby"](spark, warm_dir).collect()
+
     per_query: dict[str, float] = {}
     for key in HEADLINE:
         fn = registry.get(key)
         if fn is None:
             continue
-        # warm the JVM/code paths once at tiny scale to exclude first-call
-        # compilation noise from the measurement
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count() if hasattr(df, "count") else 0

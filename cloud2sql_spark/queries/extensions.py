@@ -148,28 +148,37 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     no pairwise comparison ever happens outside shared buckets.
     """
     n_hashes, n_bands, rows_per_band = 128, 32, 4
-    shingled = _doc_shingles(spark, sf_dir).filter(F.size("sg") > 0)
-    tok = shingled.select("doc_id", F.explode("sg").alias("g"))
-    sig = tok.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ]
+    par = spark.sparkContext.defaultParallelism * 2
+    # repartition: documents parquet is one file split at small sf, and the
+    # signature build is the CPU-heavy step — spread it across all cores
+    # (at 100 TB the source has thousands of splits and this is a no-op)
+    shingled = _doc_shingles(spark, sf_dir).filter(F.size("sg") > 0).repartition(par)
+    # Signature = pure per-row expression: base-hash each shingle once
+    # (string hash), then fold a 128-salt re-hash family with an
+    # elementwise-min zip. No explode, no shuffle, no wide aggregate —
+    # a 128-column min-agg was measured 18× slower end-to-end (codegen
+    # blowup), and an explode+narrow-agg shuffles 128× the rows.
+    base_hashes = F.transform("sg", lambda g: F.xxhash64(g))
+    sig_expr = F.aggregate(
+        base_hashes,
+        F.array_repeat(F.lit(9223372036854775807), n_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+                lambda i: F.xxhash64(i, h),
+            ),
+            lambda a, b: F.least(a, b),
+        ),
     )
-    bands = F.array(
+    sig = shingled.select("doc_id", sig_expr.alias("sig"))
+    band_sigs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("sig"),
-            )
+            F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band))
             for b in range(n_bands)
         ]
     )
-    buckets = sig.select("doc_id", F.explode(bands).alias("bs")).select(
-        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
+    buckets = sig.select("doc_id", F.posexplode(band_sigs).alias("band", "sig"))
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -203,7 +212,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     variants are judged against. Pair volume is Σ df² over shingles (54k
     here; at scale, cap df to drop stop-shingles — near-dup pairs always
     share rare shingles)."""
-    return _exact_jaccard_pairs(_doc_shingles(spark, sf_dir), 0.5)
+    par = spark.sparkContext.defaultParallelism * 2
+    return _exact_jaccard_pairs(
+        _doc_shingles(spark, sf_dir).repartition(par), 0.5
+    )
 
 
 @register(
@@ -240,37 +252,51 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature bit-for-bit in SQL), pairs at hamming distance <= 10.
 
     Signature: for each shingle, md5 hex chars 1..16 give 64 bits; each
-    bit votes +1/-1; signature bit = sign of the vote sum. Pair scan is a
-    self-join on packed BIGINT signatures with bit_count(xor) — cheap int
-    ops per pair. Scale path: band the 64 bits into chunks as an equality
-    pre-join (guaranteed recall only up to chunks-1 hamming), or prefix
-    buckets; the signature build itself is one shuffle by doc_id."""
-    shingled = _doc_shingles(spark, sf_dir).filter(F.size("sg") > 0)
-    tok = shingled.select("doc_id", F.explode("sg").alias("g")).withColumn(
-        "m", F.md5("g")
+    bit votes +1/-1; signature bit = sign of the vote sum. The signature
+    build is a vectorized Arrow-batched mapInPandas: hashlib.md5 matches
+    SQL md5 byte-for-byte, and the 64-bit voting is one numpy matrix op
+    per batch. (A pure-SQL higher-order-function fold of the same
+    computation falls out of codegen and was measured >90s for 500 docs;
+    exploding (doc, shingle, bit) rows shuffles 64× the data.) Pair scan
+    is a self-join on packed BIGINT signatures with bit_count(xor) —
+    cheap int ops per pair. Scale path: band the 64 bits into chunks as
+    an equality pre-join (guaranteed recall up to chunks-1 hamming), or
+    prefix buckets; the signature map itself is embarrassingly parallel.
+    """
+    import numpy as np
+    import pandas as pd
+
+    par = spark.sparkContext.defaultParallelism * 2
+    shingled = (
+        _doc_shingles(spark, sf_dir).filter(F.size("sg") > 0).repartition(par)
     )
-    bits = tok.select(
-        "doc_id", "m", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit")
-    )
-    # nibble of hex char at position bit//4 + 1, then extract bit%4
-    # (shift amounts are columns, so SQL expr — F.shiftright needs an int)
-    vote = F.expr(
-        "CASE WHEN (shiftright(instr('0123456789abcdef',"
-        " substring(m, CAST(bit / 4 AS INT) + 1, 1)) - 1,"
-        " CAST(bit % 4 AS INT)) & 1) = 1 THEN 1 ELSE -1 END"
-    )
-    votes = (
-        bits.withColumn("vote", vote)
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    weight = F.expr(
-        "CASE WHEN bit = 63 THEN CAST(-9223372036854775808 AS BIGINT)"
-        " ELSE shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) END"
-    )
-    sig = votes.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("v") > 0, weight).otherwise(0)).alias("s")
-    )
+
+    def simhash_sig(batches):
+        import hashlib
+
+        bit_src = np.arange(64) // 4  # hex-nibble index per bit
+        bit_shift = np.arange(64) % 4
+        for pdf in batches:
+            sigs = np.empty(len(pdf), dtype=np.int64)
+            for j, sgs in enumerate(pdf["sg"]):
+                # md5 digest bytes 0..7 hold hex chars 0..15 (hi nibble
+                # first) = the 64 signature bits the oracle extracts
+                raw = b"".join(
+                    hashlib.md5(g.encode("utf-8")).digest()[:8] for g in sgs
+                )
+                by = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 8)
+                nibs = np.empty((by.shape[0], 16), dtype=np.uint8)
+                nibs[:, 0::2] = by >> 4
+                nibs[:, 1::2] = by & 15
+                bits = (nibs[:, bit_src] >> bit_shift) & 1
+                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+                val = 0
+                for i in np.nonzero(votes > 0)[0]:
+                    val |= 1 << int(i)
+                sigs[j] = val - (1 << 64) if val >= 1 << 63 else val
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "s": sigs})
+
+    sig = shingled.mapInPandas(simhash_sig, "doc_id BIGINT, s BIGINT")
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
@@ -296,22 +322,62 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (quantized-int cosine ≥ 0.4 — this
     synthetic space has no pairs above 0.52, so the 'near-dup' band is
-    0.4+). Exact integer dot products make the cosine value bit-identical
-    across engines. Scale path: bucket by IVF centroid (sim_search_ivf)
-    or random hyperplanes first; the verify step stays this computation."""
-    q = _quantized(spark, sf_dir)
-    n = q.select(
-        "vec_id", "v", F.sqrt(_int_dot("v", "v").cast("double")).alias("nrm")
+    0.4+).
+
+    Block-nested gram matrix: vectors hash into B blocks; each of the
+    B(B+1)/2 block pairs is one task running a NumPy int64 matmul over its
+    two ~n/B-row matrices. int64 matmul and the two IEEE ops per cosine are
+    exact, so the values hash-match the oracle's per-pair list arithmetic.
+    This is the scale shape: work is B² tasks of dense BLAS, shuffle is
+    one row per block (the packed matrix), never the O(n²) pair stream —
+    per-pair higher-order-function dot products were measured 20× slower.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_blocks = 8
+    q = _quantized(spark, sf_dir).withColumn(
+        "block", (F.col("vec_id") % n_blocks).cast("int")
     )
-    a = n.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = n.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = _int_dot("va", "vb").cast("double") / (F.col("na") * F.col("nb"))
-    return (
-        pairs.withColumn("cos", cos)
-        .filter(F.col("cos") >= 0.4)
-        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+    blocks = q.groupBy("block").agg(
+        F.collect_list(F.struct("vec_id", "v")).alias("vecs")
     )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    bp = a.join(b, F.col("a.block") <= F.col("b.block")).select(
+        F.col("a.block").alias("block_a"),
+        F.col("b.block").alias("block_b"),
+        F.col("a.vecs").alias("vecs_a"),
+        F.col("b.vecs").alias("vecs_b"),
+    ).repartition(n_blocks * (n_blocks + 1) // 2)
+
+    def gram(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for _, row in pdf.iterrows():
+                ids_a = np.array([x["vec_id"] for x in row["vecs_a"]], dtype=np.int64)
+                mat_a = np.array([x["v"] for x in row["vecs_a"]], dtype=np.int64)
+                ids_b = np.array([x["vec_id"] for x in row["vecs_b"]], dtype=np.int64)
+                mat_b = np.array([x["v"] for x in row["vecs_b"]], dtype=np.int64)
+                dots = mat_a @ mat_b.T
+                na = np.sqrt((mat_a * mat_a).sum(axis=1).astype(np.float64))
+                nb = np.sqrt((mat_b * mat_b).sum(axis=1).astype(np.float64))
+                cos = dots / (na[:, None] * nb[None, :])
+                if row["block_a"] == row["block_b"]:
+                    # diagonal block: each unordered pair appears twice
+                    mask = (cos >= 0.4) & (ids_a[:, None] < ids_b[None, :])
+                else:
+                    # off-diagonal: each unordered pair appears exactly once
+                    mask = cos >= 0.4
+                ia, ib = np.nonzero(mask)
+                lo = np.minimum(ids_a[ia], ids_b[ib])
+                hi = np.maximum(ids_a[ia], ids_b[ib])
+                out_a.extend(lo)
+                out_b.extend(hi)
+                out_c.extend(cos[ia, ib])
+            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cos": out_c})
+
+    pairs = bp.mapInPandas(gram, "vec_a BIGINT, vec_b BIGINT, cos DOUBLE")
+    return pairs.select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
 
 
 # ---------------------------------------------------------- similarity

@@ -100,22 +100,30 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sums, one IEEE division). The batch shape, schema contract,
     and partition parallelism are exactly what a PIL/ffmpeg decode would
     use; only the codec call is faked (see decode_image)."""
-    mm = _with_payload(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "payload"
+    mm = (
+        _with_payload(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "payload")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            payloads = pdf["payload"]
-            n = payloads.map(len)
-            sums = payloads.map(lambda b: int(sum(b)))
-            mx = payloads.map(lambda b: int(max(b)))
+            # np.frombuffer: zero-copy byte view — the vectorized 'decode'
+            n, sums, mx = [], [], []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                n.append(arr.size)
+                sums.append(int(arr.sum()))
+                mx.append(int(arr.max()))
+            n_arr = np.array(n, dtype=np.int64)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": n.astype("int32"),
-                    "mean_byte": sums / n,
-                    "max_byte": mx.astype("int32"),
+                    "n_bytes": n_arr.astype("int32"),
+                    "mean_byte": np.array(sums, dtype=np.int64) / n_arr,
+                    "max_byte": np.array(mx, dtype=np.int32),
                 }
             )
 

@@ -48,7 +48,11 @@ def text_tokenize_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokenize -> TF -> DF -> TF-IDF, top-3 terms per doc.
     IDF = ln((N+1)/(df+1)); ranked by rounded score (term tie-break) so
     cross-engine libm noise cannot flip ranks."""
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition: the documents fixture is a single file split; spread the
+    # tokenize/explode CPU across cores (no-op on a many-split lake table)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
@@ -138,7 +142,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax profile-overlap prediction (score-desc/lang-asc tie-break).
     Pure integer scoring — deterministic. Profiles are tiny and broadcast;
     the only big shuffle is the doc-trigram explode."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     trigrams = F.expr(
         "transform(sequence(1, greatest(length(text) - 2, 0)),"
         " i -> substring(text, i, 3))"
