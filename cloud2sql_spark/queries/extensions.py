@@ -33,15 +33,15 @@ from cloud2sql_spark.registry import register
 
 # ---------------------------------------------------------------- helpers
 
-_SHINGLES_EXPR = """
-CASE WHEN size(split(text, ' ')) >= 3
+_WS_SHINGLES_EXPR = """
+CASE WHEN size(ws) >= 3
      THEN array_distinct(transform(
-            sequence(1, size(split(text, ' ')) - 2),
-            i -> concat_ws(' ', slice(split(text, ' '), i, 3))))
+            sequence(1, size(ws) - 2),
+            i -> concat_ws(' ', slice(ws, i, 3))))
      ELSE array() END
 """
 
-# DuckDB twin of _SHINGLES_EXPR (list comprehension is empty for <3 words)
+# DuckDB twin of _WS_SHINGLES_EXPR (list comprehension is empty for <3 words)
 _SHINGLES_SQL = """
 list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                for i in range(1, len(ws) - 1)])
@@ -59,17 +59,33 @@ _EXACT_JACCARD_PAIRS_SQL = f"""
 """
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_shingles(
+    spark: SparkSession, sf_dir: str, nonempty: bool = False
+) -> DataFrame:
+    """Word 3-gram shingles per doc, words array materialized BEFORE the
+    shingle transform: with split() inlined in the lambda, Catalyst
+    re-splits the text for every shingle index (O(words²) per doc,
+    measured 2× the whole stage). The repartition is both the
+    materialization barrier that keeps ``ws`` a real column and the
+    spread of the CPU-heavy transform across all cores (the documents
+    fixture is a single file split; on a many-split lake table the
+    round-robin is a cheap rebalance)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.expr(_SHINGLES_EXPR).alias("sg"))
+    par = spark.sparkContext.defaultParallelism * 2
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws")).repartition(par)
+    if nonempty:
+        ws = ws.filter(F.size("ws") >= 3)
+    return ws.select("doc_id", F.expr(_WS_SHINGLES_EXPR).alias("sg"))
 
 
 def _exact_jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
     """Exact shingle-Jaccard over candidate pairs via inverted-index join:
     explode shingles, self-join on the shingle, count shared, derive
     |union| = |a| + |b| - shared. Never materializes the n² pair space."""
+    # persist: both self-join sides read the exploded index; without it the
+    # shingle expression and explode run twice
     sized = shingled.withColumn("n", F.size("sg"))
-    tok = sized.select("doc_id", "n", F.explode("sg").alias("g"))
+    tok = sized.select("doc_id", "n", F.explode("sg").alias("g")).persist()
     a, b = tok.alias("a"), tok.alias("b")
     shared = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -148,11 +164,10 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     no pairwise comparison ever happens outside shared buckets.
     """
     n_hashes, n_bands, rows_per_band = 128, 32, 4
-    par = spark.sparkContext.defaultParallelism * 2
-    # repartition: documents parquet is one file split at small sf, and the
-    # signature build is the CPU-heavy step — spread it across all cores
-    # (at 100 TB the source has thousands of splits and this is a no-op)
-    shingled = _doc_shingles(spark, sf_dir).filter(F.size("sg") > 0).repartition(par)
+    # persist: shingled feeds the bucket build AND both verify-join sides;
+    # buckets feed both candidate-join sides — cache each so the shingle
+    # expression and the 128-hash fold run once, not 2-4×
+    shingled = _doc_shingles(spark, sf_dir, nonempty=True).persist()
     # Signature = pure per-row expression: base-hash each shingle once
     # (string hash), then fold a 128-salt re-hash family with an
     # elementwise-min zip. No explode, no shuffle, no wide aggregate —
@@ -178,7 +193,9 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    buckets = sig.select("doc_id", F.posexplode(band_sigs).alias("band", "sig"))
+    buckets = sig.select(
+        "doc_id", F.posexplode(band_sigs).alias("band", "sig")
+    ).persist()
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -212,10 +229,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     variants are judged against. Pair volume is Σ df² over shingles (54k
     here; at scale, cap df to drop stop-shingles — near-dup pairs always
     share rare shingles)."""
-    par = spark.sparkContext.defaultParallelism * 2
-    return _exact_jaccard_pairs(
-        _doc_shingles(spark, sf_dir).repartition(par), 0.5
-    )
+    return _exact_jaccard_pairs(_doc_shingles(spark, sf_dir), 0.5)
 
 
 @register(
@@ -266,10 +280,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    par = spark.sparkContext.defaultParallelism * 2
-    shingled = (
-        _doc_shingles(spark, sf_dir).filter(F.size("sg") > 0).repartition(par)
-    )
+    shingled = _doc_shingles(spark, sf_dir, nonempty=True)
 
     def simhash_sig(batches):
         import hashlib
@@ -296,7 +307,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sigs[j] = val - (1 << 64) if val >= 1 << 63 else val
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "s": sigs})
 
-    sig = shingled.mapInPandas(simhash_sig, "doc_id BIGINT, s BIGINT")
+    # persist: both sides of the pair self-join read this 16-byte/doc frame;
+    # without it the shingle+md5 map runs twice (no exchange reuse across a
+    # broadcast boundary)
+    sig = shingled.mapInPandas(simhash_sig, "doc_id BIGINT, s BIGINT").persist()
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
@@ -339,9 +353,10 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _quantized(spark, sf_dir).withColumn(
         "block", (F.col("vec_id") % n_blocks).cast("int")
     )
+    # persist: the B-row packed frame feeds both sides of the block-pair join
     blocks = q.groupBy("block").agg(
         F.collect_list(F.struct("vec_id", "v")).alias("vecs")
-    )
+    ).persist()
     a, b = blocks.alias("a"), blocks.alias("b")
     bp = a.join(b, F.col("a.block") <= F.col("b.block")).select(
         F.col("a.block").alias("block_a"),
