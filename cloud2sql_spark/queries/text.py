@@ -142,12 +142,20 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax profile-overlap prediction (score-desc/lang-asc tie-break).
     Pure integer scoring — deterministic. Profiles are tiny and broadcast;
     the only big shuffle is the doc-trigram explode."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    # char array materialized once behind an exchange: substring(text, i, 3)
+    # per trigram index is O(len²) per doc (each substring re-scans the
+    # UTF-8 bytes); slicing the char array is O(1) per position. persist:
+    # the frame feeds the profile build, the doc-trigram explode, the lang
+    # dim, and the score spine.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.split("text", "").alias("cs"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
     )
     trigrams = F.expr(
-        "transform(sequence(1, greatest(length(text) - 2, 0)),"
-        " i -> substring(text, i, 3))"
+        "transform(sequence(1, greatest(size(cs) - 2, 0)),"
+        " i -> concat_ws('', slice(cs, i, 3)))"
     )
     train = docs.filter(F.col("doc_id") % 5 != 0)
     counts = (

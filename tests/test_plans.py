@@ -1,0 +1,89 @@
+"""Physical-plan assertions (SURVEY.md §7 M7): the 100 TB posture is only
+real if the plans show it. These tests pin the properties that matter at
+scale — predicate pushdown into the parquet scan, column pruning, broadcast
+joins for bounded dims, map-side partial aggregation, and top-k that never
+performs a global sort — so a refactor that silently regresses one of them
+fails CI, not the cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cloud2sql_spark.registry import queries
+
+_QUERIES = queries()
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    plan = _physical(_QUERIES["scan_parquet_pruned"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate, not an empty list
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), f"no predicates pushed: {plan}"
+    # projection pruned to a strict subset of lineitem's 16 columns
+    schema = plan.split("ReadSchema: struct<", 1)[1].split(">", 1)[0]
+    assert 0 < len(schema.split(",")) < 16, schema
+
+
+def test_filter_reaches_scan(spark, sf_dir):
+    plan = _physical(_QUERIES["filter_comparison"](spark, sf_dir))
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), f"comparison filter not pushed: {plan}"
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = _physical(_QUERIES["join_broadcast_dim"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    # lineitem⋈orders⋈customer⋈nation⋈region: every dim side is bounded and
+    # must broadcast — a shuffle of the fact table per dim would dominate at
+    # 100 TB. orders⋈lineitem may legitimately shuffle (both are facts).
+    plan = _physical(_QUERIES["join_multiway_star"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_groupby_has_partial_aggregation(spark, sf_dir):
+    # partial (map-side) + final HashAggregate pair: the shuffle carries
+    # one row per group per task, not one row per input row
+    plan = _physical(_QUERIES["agg_groupby"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = _physical(_QUERIES["limit_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_whole_stage_codegen_on_flagship(spark, sf_dir):
+    # codegen spans only materialize in the final AQE plan — execute first.
+    # '*(n)' prefixes mark WholeStageCodegen stages; the scan→filter→project→
+    # partial-agg pipeline must be inside one.
+    df = _QUERIES["agg_groupby"](spark, sf_dir)
+    df.collect()
+    plan = _physical(df)
+    assert "isFinalPlan=true" in plan, plan
+    assert "*(" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "agg_groupby",
+        "join_multiway_star",
+        "win_row_number",
+        "dedup_exact",
+        "sim_search_topk",
+    ],
+)
+def test_no_cartesian_in_keyed_queries(key, spark, sf_dir):
+    # queries with equi-join/group semantics must never fall back to a
+    # cartesian product (the death sentence at scale)
+    plan = _physical(_QUERIES[key](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
