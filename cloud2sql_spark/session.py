@@ -37,7 +37,17 @@ def get_spark(app_name: str = "cloud2sql_spark", cpus: int | None = None) -> Spa
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] puts executors in the driver JVM: size the heap for N
+        # concurrent tasks + broadcasts + shuffle buffers. 8g showed
+        # GC-driven 10-30s stalls late in long sessions (accumulated
+        # broadcast blocks only free on GC); 24g removes them. On a real
+        # cluster this maps to ordinary executor memory, not driver memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # shuffle/spill files on tmpfs: with /tmp disk-backed, the writeback
+        # + cleaner-deletion storm after a heavy query mix stalled following
+        # queries 5-20× for ~a minute. On a cluster this is the standard
+        # local-SSD/ramdisk scratch-dir sizing decision.
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
