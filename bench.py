@@ -47,6 +47,8 @@ HEADLINE = [
     "text_lang_id",
     "text_fingerprint",
     "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frames",
 ]
 
 

@@ -130,3 +130,121 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.mapInPandas(
         extract, "doc_id BIGINT, n_bytes INT, mean_byte DOUBLE, max_byte INT"
     )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      list_transform(string_split(text, ''), c -> ascii(c))
+                          AS bl
+               FROM documents),
+    s AS (SELECT doc_id, bl, len(bl) AS n FROM b)
+    SELECT doc_id, CAST(n AS INT) AS n_bytes,
+           [CAST(list_aggregate(bl[(i*n)//16 + 1 : ((i+1)*n)//16], 'sum')
+                 AS DOUBLE) / (((i+1)*n)//16 - (i*n)//16)
+            for i in range(0, 16)] AS resized
+    FROM s
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Resize' over binary payloads: area-average downsample of the byte
+    stream to a fixed 16-bucket signature — the 1-D analogue of image
+    thumbnailing (a real decode would produce an HxWxC array and the same
+    bucketed mean runs per channel; see decode_image stub). Bucket means
+    are integer sums over fixed bounds divided once in IEEE double, so the
+    arrays hash-match the oracle exactly. Every payload is one Arrow batch
+    row; work is embarrassingly parallel over partitions."""
+    mm = (
+        _with_payload(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "payload")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        w = 16
+        for pdf in batches:
+            n_bytes, resized = [], []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                n = arr.size
+                bounds = (np.arange(w + 1) * n) // w
+                sums = np.add.reduceat(arr, bounds[:-1])
+                means = sums / np.diff(bounds)
+                n_bytes.append(n)
+                resized.append(means.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pd.array(n_bytes, dtype="int32"),
+                    "resized": resized,
+                }
+            )
+
+    return mm.mapInPandas(
+        resize, "doc_id BIGINT, n_bytes INT, resized ARRAY<DOUBLE>"
+    )
+
+
+@register(
+    "multimodal_frames",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      list_transform(string_split(text, ''), c -> ascii(c))
+                          AS bl
+               FROM documents),
+    s AS (SELECT doc_id, bl, len(bl) AS n,
+                 CAST(ceil(len(bl) / 64.0) AS INT) AS nf
+          FROM b),
+    f AS (SELECT doc_id, bl, n, unnest(range(0, nf)) AS fi FROM s)
+    SELECT doc_id, fi AS frame_idx,
+           CAST(least((fi+1)*64, n) - fi*64 AS INT) AS n_bytes,
+           CAST(list_aggregate(bl[fi*64 + 1 : least((fi+1)*64, n)], 'sum')
+                AS BIGINT) AS byte_sum
+    FROM f
+    WHERE fi % 4 = 0
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Frame sampling' over binary payloads: the byte stream is cut into
+    fixed 64-byte frames and every 4th frame is sampled with per-frame
+    stats — the video keyframe-extraction shape (a real ffmpeg decode
+    would seek the same stride; see decode_image stub). One input row
+    fans out to nf/4 output rows inside the Arrow batch, exactly how a
+    frame sampler multiplies rows without a shuffle."""
+    mm = (
+        _with_payload(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "payload")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        frame, stride = 64, 4
+        for pdf in batches:
+            ids, idxs, sizes, sums = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                n = arr.size
+                nf = -(-n // frame)
+                for fi in range(0, nf, stride):
+                    seg = arr[fi * frame : min((fi + 1) * frame, n)]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    sizes.append(seg.size)
+                    sums.append(int(seg.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int64"),
+                    "n_bytes": pd.array(sizes, dtype="int32"),
+                    "byte_sum": pd.array(sums, dtype="int64"),
+                }
+            )
+
+    return mm.mapInPandas(
+        sample, "doc_id BIGINT, frame_idx BIGINT, n_bytes INT, byte_sum BIGINT"
+    )
