@@ -271,11 +271,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL md5 byte-for-byte, and the 64-bit voting is one numpy matrix op
     per batch. (A pure-SQL higher-order-function fold of the same
     computation falls out of codegen and was measured >90s for 500 docs;
-    exploding (doc, shingle, bit) rows shuffles 64× the data.) Pair scan
-    is a self-join on packed BIGINT signatures with bit_count(xor) —
-    cheap int ops per pair. Scale path: band the 64 bits into chunks as
-    an equality pre-join (guaranteed recall up to chunks-1 hamming), or
-    prefix buckets; the signature map itself is embarrassingly parallel.
+    exploding (doc, shingle, bit) rows shuffles 64× the data.) Candidate
+    pairs come from an 11-band equality pre-join with provably perfect
+    recall at hamming <= 10 (pigeonhole over the band cut, see inline
+    comment), verified with bit_count(xor) on the packed BIGINT — never
+    an O(n²) pair scan. The signature map is embarrassingly parallel.
     """
     import numpy as np
     import pandas as pd
@@ -307,16 +307,51 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sigs[j] = val - (1 << 64) if val >= 1 << 63 else val
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "s": sigs})
 
-    # persist: both sides of the pair self-join read this 16-byte/doc frame;
-    # without it the shingle+md5 map runs twice (no exchange reuse across a
-    # broadcast boundary)
+    # persist: the banded candidate join reads this 16-byte/doc frame from
+    # both sides; without it the shingle+md5 map runs twice (no exchange
+    # reuse across join branches)
     sig = shingled.mapInPandas(simhash_sig, "doc_id BIGINT, s BIGINT").persist()
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+
+    # Banded candidate generation (Manku/Das Sarma-style): cut the 64 bits
+    # into 11 bands (ceil(64/11)=6-bit chunks). Any pair at hamming <= 10
+    # differs in at most 10 bit positions, which can dirty at most 10 of
+    # the 11 bands — the pigeonhole principle guarantees one band matches
+    # exactly. So an EQUALITY join on (band, chunk) yields a candidate set
+    # with provably perfect recall, and the O(n²) pair scan becomes a keyed
+    # shuffle join that partitions cleanly on a cluster. Verification then
+    # computes exact hamming on the full signature per candidate.
+    n_bands = 11
+    chunk_bits = 6  # ceil(64 / n_bands)
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned("s", b * chunk_bits).bitwiseAND(
+                F.lit((1 << chunk_bits) - 1)
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sig.select(
+        "doc_id", "s", F.posexplode(chunks).alias("band", "chunk")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
+        )
+        .distinct()
+    )
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", hamming.cast("int"))
+        cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= 10)
         .select("doc_a", "doc_b", "hamming")
     )
