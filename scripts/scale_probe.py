@@ -1,0 +1,159 @@
+"""Scale probe: does each operator scale ~linearly from sf0.1 to ~sf1?
+
+Synthesizes a 10x dataset in tmpfs by replicating sf0.1 with key offsets and
+content perturbation (so near-dup/similarity outputs stay O(n), not O(n²) by
+construction), then times selected queries at both scales and prints the
+ratio. A ratio near 10 is linear; >>10 flags an operator whose plan would
+not survive a 100 TB cluster. Dims (region/nation/customer/supplier/part)
+stay fixed — they are bounded in the reference's schema.
+
+Usage: python scripts/scale_probe.py [replication]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cloud2sql_spark.catalog import TABLES, load_table
+from cloud2sql_spark.registry import queries
+from cloud2sql_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/dev/shm/scale_probe"
+
+PROBE_KEYS = [
+    "agg_groupby",
+    "agg_count_distinct",
+    "join_multiway_star",
+    "join_asof",
+    "win_row_number",
+    "stream_session",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embed_cosine",
+    "sim_search_ivf",
+    "text_tokenize_tfidf",
+    "text_lang_id",
+    "multimodal_decode",
+]
+
+
+def synthesize(spark, reps: int) -> None:
+    shutil.rmtree(OUT, ignore_errors=True)
+    os.makedirs(OUT)
+    dims = {"region", "nation", "customer", "supplier", "part"}
+    for name in dims:
+        shutil.copy(os.path.join(BASE, f"{name}.parquet"), OUT)
+
+    def replicate(name: str, grow):
+        df = load_table(spark, BASE, name)
+        parts = [grow(df, i) for i in range(reps)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(OUT, f"{name}.parquet"))
+
+    mx = {}
+    for tbl, col in [
+        ("orders", "o_orderkey"),
+        ("lineitem", "l_orderkey"),
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+        ("events", "event_id"),
+    ]:
+        mx[tbl] = load_table(spark, BASE, tbl).agg(F.max(col)).first()[0] + 1
+
+    replicate(
+        "orders",
+        lambda df, i: df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + i * mx["orders"]
+        ),
+    )
+    replicate(
+        "lineitem",
+        lambda df, i: df.withColumn(
+            "l_orderkey", F.col("l_orderkey") + i * mx["orders"]
+        ),
+    )
+    # documents: every 3rd word gets a replica marker injected so replicas
+    # of the same doc are NOT near-dups of each other (shingle overlap
+    # drops to ~0.1) — output pair counts stay linear in data size
+    replicate(
+        "documents",
+        lambda df, i: df.withColumn("doc_id", F.col("doc_id") + i * mx["documents"])
+        .withColumn(
+            "text",
+            F.when(F.lit(i) == 0, F.col("text")).otherwise(
+                F.array_join(
+                    F.expr(
+                        "transform(split(text, ' '), (w, j) -> "
+                        f"IF(j % 3 = 0, concat(w, ' r{i}x', j), w))"
+                    ),
+                    " ",
+                )
+            ),
+        ),
+    )
+    # embeddings: rotate the vector by i so replicas are not near-dups
+    replicate(
+        "embeddings",
+        lambda df, i: df.withColumn("vec_id", F.col("vec_id") + i * mx["embeddings"])
+        .withColumn(
+            "embedding",
+            F.col("embedding")
+            if i == 0
+            else F.concat(
+                F.slice("embedding", i % 64 + 1, 64 - (i % 64)),
+                F.slice("embedding", 1, i % 64),
+            ),
+        ),
+    )
+    replicate(
+        "events",
+        lambda df, i: df.withColumn("event_id", F.col("event_id") + i * mx["events"])
+        .withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000)),
+    )
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    print(f"synthesizing {reps}x dataset in {OUT} ...", flush=True)
+    t0 = time.time()
+    synthesize(spark, reps)
+    print(f"synthesis done in {time.time() - t0:.0f}s", flush=True)
+    for name in TABLES:
+        n = spark.read.parquet(os.path.join(OUT, f"{name}.parquet")).count()
+        print(f"  {name}: {n} rows", flush=True)
+
+    print(f"\n{'key':26s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>6s}", flush=True)
+    for key in PROBE_KEYS:
+        fn = qs[key]
+        t0 = time.time()
+        fn(spark, BASE).count()
+        small = time.time() - t0
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn(spark, OUT).count()
+        big = time.time() - t0
+        spark.catalog.clearCache()
+        print(
+            f"{key:26s} {small:7.1f}s {big:7.1f}s {big / max(small, 1e-9):5.1f}x",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
