@@ -169,35 +169,46 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 30)
         .select("lang", "g")
     )
-    doc_tri = docs.select(
-        "doc_id", F.explode(F.array_distinct(trigrams)).alias("g")
+    # The fitted model is bounded (n_langs × 30 trigrams), so collect it to
+    # the driver and ship it back as literals — the standard fit-small/
+    # broadcast pattern. Scoring is then one per-row array_intersect per
+    # language: no doc-trigram explode (was rows × ~300 shuffled into a
+    # join + groupBy + window), no shuffle at all after the fit.
+    prof: dict[str, list[str]] = {}
+    for r in profile.collect():  # bounded: n_langs × 30
+        prof.setdefault(r["lang"], []).append(r["g"])
+    langs_sorted = [
+        r["lang"] for r in docs.select("lang").distinct().orderBy("lang").collect()
+    ]
+    # materialize the distinct trigram array once (persist = the barrier;
+    # inlined, the trigram transform would re-evaluate per language below)
+    with_tri = docs.select(
+        "doc_id", "lang", F.array_distinct(trigrams).alias("tri")
+    ).persist()
+    # scores ordered lang-asc; array_position finds the FIRST max, which
+    # implements the score-desc/lang-asc tie-break of the oracle's window
+    scores = F.array(
+        *[
+            F.size(
+                F.array_intersect(
+                    "tri", F.array(*[F.lit(g) for g in prof.get(lang, [])])
+                )
+            )
+            for lang in langs_sorted
+        ]
     )
-    overlap = (
-        doc_tri.join(
-            F.broadcast(profile.withColumnRenamed("lang", "cand_lang")), "g"
-        )
-        .groupBy("doc_id", "cand_lang")
-        .agg(F.count("*").alias("score"))
+    lang_arr = F.array(*[F.lit(lang) for lang in langs_sorted])
+    scored = with_tri.select(
+        "doc_id", F.col("lang").alias("actual_lang"), scores.alias("scores")
     )
-    langs = docs.select(F.col("lang").alias("cand_lang")).distinct()
-    all_scores = (
-        docs.select("doc_id", F.col("lang").alias("actual_lang"))
-        .crossJoin(F.broadcast(langs))
-        .join(overlap, ["doc_id", "cand_lang"], "left")
-        .withColumn("score", F.coalesce("score", F.lit(0)))
+    pred = F.element_at(
+        lang_arr, F.expr("array_position(scores, array_max(scores))").cast("int")
     )
-    wr = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("cand_lang")
-    )
-    return (
-        all_scores.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("cand_lang").alias("pred_lang"),
-            "actual_lang",
-            (F.col("cand_lang") == F.col("actual_lang")).alias("correct"),
-        )
+    return scored.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        "actual_lang",
+        (pred == F.col("actual_lang")).alias("correct"),
     )
 
 
