@@ -173,3 +173,60 @@ def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return df.select(F.col("r_regionkey").cast("int"), "r_name").orderBy("r_regionkey")
+
+
+@register(
+    "sink_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join: both tables are written
+    bucketed+sorted on the join key (16 buckets, saveAsTable — bucket
+    metadata needs a catalog table), so the sort-merge join reads
+    co-located buckets with NO Exchange and NO Sort in the plan
+    (asserted in tests/test_plans.py). This is the 100 TB technique for
+    joins repeated across many queries — pay the keyed layout once at
+    load, never shuffle the fact table again. The merge hint pins SMJ so
+    the demonstration doesn't degenerate to a broadcast at small sf."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_extendedprice").cast("decimal(18,2)").alias("price")
+    )
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name, df, key in (
+        ("bkt_orders", orders, "o_orderkey"),
+        ("bkt_lineitem", li, "l_orderkey"),
+    ):
+        # idempotent: a previous process may have left the location behind
+        # without a matching metastore entry (LOCATION_ALREADY_EXISTS)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+        (
+            df.write.mode("overwrite")
+            .bucketBy(16, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    o = spark.table("bkt_orders")
+    l = spark.table("bkt_lineitem")
+    return (
+        o.hint("merge")
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -72,6 +72,16 @@ def test_whole_stage_codegen_on_flagship(spark, sf_dir):
     assert "*(" in plan, plan
 
 
+def test_bucketed_join_is_colocated(spark, sf_dir):
+    # both sides written bucketed on the join key: the sort-merge join must
+    # read co-located buckets with NO shuffle on either input — the
+    # pay-layout-once, never-reshuffle-the-fact-table pattern
+    plan = _physical(_QUERIES["sink_bucketed_join"](spark, sf_dir))
+    assert plan.count("Bucketed: true") == 2, plan
+    join_subtree = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_subtree, join_subtree
+
+
 @pytest.mark.parametrize(
     "key",
     [
