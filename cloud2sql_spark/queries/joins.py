@@ -349,3 +349,62 @@ def join_self_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(e1.from_id.alias("nationkey"))
         .agg(F.count("*").alias("n_orders_2hop"))
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    WITH t AS (SELECT l_returnflag,
+                      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                           AS DOUBLE) AS flag_total
+               FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag, l.l_linestatus,
+           count(*) AS n,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / max(t.flag_total) * 100, 6) AS pct_of_flag
+    FROM lineitem l JOIN t ON l.l_returnflag = t.l_returnflag
+    GROUP BY l.l_returnflag, l.l_linestatus
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join against a hot-key dimension: l_returnflag has 3 distinct
+    values, so a plain shuffle join lands the whole fact table on 3
+    reducers. The fact side gets a deterministic salt (l_orderkey % 16)
+    and the dim side is exploded over all 16 salts, turning 3 hot
+    partitions into 48 uniform ones — result identical to the unsalted
+    join (the oracle IS the unsalted join). Salting is the key-space fix
+    for skew a runtime re-plan can't touch (one key bigger than an
+    executor); AQE's skewJoin handles the milder split-a-big-partition
+    case automatically. The merge hint forces the shuffle join that makes
+    the demonstration real — at scale the dim is too big to broadcast.
+    """
+    n_salts = 16
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        (F.col("l_orderkey") % n_salts).cast("int").alias("salt"),
+    )
+    totals = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("flag_total")
+        )
+    )
+    salted_dim = totals.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return (
+        li.hint("merge")
+        .join(salted_dim, ["l_returnflag", "salt"])
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum("price").cast("double") / F.max("flag_total") * 100, 6
+            ).alias("pct_of_flag"),
+        )
+    )
