@@ -33,6 +33,8 @@ PROBE_KEYS = [
     "agg_count_distinct",
     "join_multiway_star",
     "join_asof",
+    "join_skew_salted",
+    "sink_bucketed_join",
     "win_row_number",
     "stream_session",
     "dedup_exact",
