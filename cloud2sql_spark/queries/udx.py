@@ -171,3 +171,35 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     kv = F.explode(F.from_json("props", "map<string,string>"))
     return ev.select("event_id", kv.alias("prop_key", "prop_value"))
+
+
+@register(
+    "udtf_python_native",
+    oracle="""
+    SELECT event_id, k AS prop_key,
+           json_extract_string(props, '$.' || k) AS prop_value
+    FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+    """,
+)
+def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Python UDTF (Spark 4 @udtf, Arrow-batched): one input row fans
+    out to one row per JSON prop, called via LATERAL — the user-defined
+    table function surface proper. ``udtf_python`` is the JVM-side explode
+    formulation of the same contract; both hash-match the same oracle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="prop_key STRING, prop_value STRING")
+    class ExplodeProps:
+        def eval(self, props: str):
+            import json
+
+            if props:
+                for k, v in json.loads(props).items():
+                    yield k, v if isinstance(v, str) else json.dumps(v)
+
+    spark.udtf.register("explode_props", ExplodeProps)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("udtf_events_v")
+    return spark.sql(
+        "SELECT e.event_id, t.prop_key, t.prop_value "
+        "FROM udtf_events_v e, LATERAL explode_props(e.props) t"
+    )
