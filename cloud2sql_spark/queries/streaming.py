@@ -7,6 +7,13 @@ verifies stream-replay == batch for the same transforms (SURVEY §5.2(4)).
 
 stream_foreach_jdbc additionally drives the real incremental JDBC sink
 (foreachBatch) and returns the read-back rollup.
+
+Note: custom arbitrary state uses applyInPandasWithState
+(replay.run_stateful_user_totals). Spark 4's successor API,
+transformWithStateInPandas, was attempted and works API-wise but its
+driver worker requires a protobuf runtime that is broken in this container
+(ImportError: google.protobuf.descriptor) — on a normal cluster the same
+StatefulProcessor port is mechanical (ValueState mirrors the state tuple).
 """
 
 from __future__ import annotations
