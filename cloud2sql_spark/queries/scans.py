@@ -155,7 +155,13 @@ def sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read back from a JDBC destination (round trip of reference output)."""
+    """Read back from a JDBC destination (round trip of reference output).
+
+    The read declares partition bounds (partitionColumn/lower/upper/
+    numPartitions) so Spark issues N range-predicated queries in parallel —
+    the only way a JDBC scan parallelizes on a cluster. 4 partitions over 5
+    rows is deliberately the demonstration shape; on a real warehouse the
+    bounds come from min/max of the key."""
     region = load_table(spark, sf_dir, "region")
     url = _derby_url("scan_jdbc")
     shutil.rmtree(os.path.join(_TMP_ROOT, "derby/scan_jdbc"), ignore_errors=True)
@@ -170,6 +176,10 @@ def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("jdbc")
         .option("url", url)
         .option("dbtable", "region")
+        .option("partitionColumn", "r_regionkey")
+        .option("lowerBound", "0")
+        .option("upperBound", "5")
+        .option("numPartitions", "4")
         .load()
     )
     return df.select(F.col("r_regionkey").cast("int"), "r_name").orderBy("r_regionkey")
