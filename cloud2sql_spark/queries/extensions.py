@@ -566,3 +566,121 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"), "rank")
     )
+
+
+@register(
+    "sim_search_lsh",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+    H AS (SELECT l, p, d,
+                 CASE WHEN (strpos('0123456789abcdef',
+                            substr(md5(l || '_' || p || '_' || d), 1, 1)) - 1)
+                      & 1 = 1 THEN 1 ELSE -1 END AS h
+          FROM generate_series(0, 3) gl(l),
+               generate_series(0, 7) gp(p),
+               generate_series(1, 64) gd(d)),
+    flat AS (SELECT vec_id, d, v[d] AS val
+             FROM q, generate_series(1, 64) g(d)),
+    dots AS (SELECT f.vec_id, H.l, H.p, sum(f.val * H.h) AS dot
+             FROM flat f JOIN H ON f.d = H.d GROUP BY 1, 2, 3),
+    buckets AS (SELECT vec_id, l,
+                       sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS bucket
+                FROM dots GROUP BY 1, 2),
+    qb AS (SELECT * FROM buckets WHERE vec_id < 5),
+    cand AS (SELECT DISTINCT qb.vec_id AS query_id, b.vec_id
+             FROM qb JOIN buckets b
+               ON qb.l = b.l AND qb.bucket = b.bucket
+              AND b.vec_id != qb.vec_id),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM q)
+    SELECT query_id, vec_id, round(cos, 6) AS cosine, rank FROM (
+      SELECT c.query_id, c.vec_id,
+             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos,
+             row_number() OVER (PARTITION BY c.query_id
+                 ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
+                          c.vec_id) AS rank
+      FROM cand c
+      JOIN n a ON a.vec_id = c.query_id
+      JOIN n b ON b.vec_id = c.vec_id)
+    WHERE rank <= 10
+    """,
+)
+def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (the LSH-bucketed scale path next to
+    sim_search_ivf): L=4 tables x k=8 signed hyperplanes. Hyperplane
+    component (l, p, d) is +-1 from the first md5 nibble of "l_p_d" —
+    md5 is identical across engines, so the DuckDB oracle reconstructs
+    the exact same tables and buckets (no literals shipped, no seeds).
+    Bucketing is a numpy sign-matmul per Arrow batch; candidates come
+    from equality joins on (table, bucket) — keyed shuffle, linear in
+    data — then exact integer cosine ranks the candidates. Recall is
+    probabilistic by design (multi-table union raises it); the oracle
+    replicates the algorithm, not a brute-force answer."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    n_tables, n_planes = 4, 8
+    H = np.empty((n_tables, n_planes, 64), dtype=np.int64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for d in range(1, 65):
+                nib = int(
+                    hashlib.md5(f"{t}_{p}_{d}".encode()).hexdigest()[0], 16
+                )
+                H[t, p, d - 1] = 1 if nib & 1 else -1
+    pows = (1 << np.arange(n_planes)).astype(np.int64)
+
+    q = _quantized(spark, sf_dir).select("vec_id", "v").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def bucketize(batches):
+        for pdf in batches:
+            V = np.array(pdf["v"].tolist(), dtype=np.int64)
+            ids = pdf["vec_id"].to_numpy()
+            out_id, out_l, out_b = [], [], []
+            for t in range(n_tables):
+                bits = (V @ H[t].T) >= 0  # (n, k)
+                bkt = (bits * pows).sum(axis=1)
+                out_id.extend(ids)
+                out_l.extend([t] * len(ids))
+                out_b.extend(bkt)
+            yield pd.DataFrame(
+                {"vec_id": out_id, "l": out_l, "bucket": out_b}
+            )
+
+    # persist: feeds both sides of the (table, bucket) candidate join
+    buckets = q.mapInPandas(
+        bucketize, "vec_id BIGINT, l INT, bucket BIGINT"
+    ).persist()
+    qb = buckets.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "l", "bucket"
+    )
+    cand = (
+        qb.join(buckets, ["l", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    n = _quantized(spark, sf_dir).select(
+        "vec_id", "v", F.sqrt(_int_dot("v", "v").cast("double")).alias("nrm")
+    )
+    qside = n.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        cand.join(F.broadcast(qside), "query_id")
+        .join(n, "vec_id")
+        .withColumn(
+            "cos", _int_dot("qv", "v").cast("double") / (F.col("qn") * F.col("nrm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"), "rank")
+    )
