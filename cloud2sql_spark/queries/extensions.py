@@ -684,3 +684,63 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "vec_id", F.round("cos", 6).alias("cosine"), "rank")
     )
+
+
+@register(
+    "dedup_ngram_capped",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sg FROM w),
+    tok AS (SELECT doc_id, unnest(sg) AS g FROM sh),
+    df AS (SELECT g, count(*) AS df FROM tok GROUP BY g),
+    rare AS (SELECT t.doc_id, t.g FROM tok t JOIN df ON t.g = df.g
+             WHERE df.df <= 10),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM rare a JOIN rare b
+               ON a.g = b.g AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(sa.sg, sb.sg)) * 1.0 /
+           len(list_distinct(list_concat(sa.sg, sb.sg))) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE len(list_intersect(sa.sg, sb.sg)) * 1.0 /
+          len(list_distinct(list_concat(sa.sg, sb.sg))) >= 0.5
+    """,
+)
+def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-capped n-gram Jaccard — the scale path of dedup_ngram_jaccard
+    made concrete: candidate pairs come ONLY from shingles with document
+    frequency <= 10, so the inverted-index join volume is bounded by
+    C x rows instead of Σ df² (stop-shingles with huge df are exactly the
+    ones that explode the quadratic term and never distinguish near-dups —
+    a true near-dup pair shares many RARE shingles). Verification computes
+    exact Jaccard on the FULL shingle sets, so reported values are
+    identical to the uncapped op; only recall of pairs sharing solely
+    stop-shingles is (deliberately) given up. The oracle replicates the
+    same cap, making the op deterministic and hash-checkable."""
+    df_cap = 10
+    shingled = _doc_shingles(spark, sf_dir, nonempty=True).persist()
+    tok = shingled.select("doc_id", F.explode("sg").alias("g"))
+    rare = tok.withColumn(
+        "df", F.count("*").over(Window.partitionBy("g"))
+    ).filter(F.col("df") <= df_cap)
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sg_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("sg_b"))
+    verified = cand.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("sg_a", "sg_b"))
+    union = F.size("sg_a") + F.size("sg_b") - inter
+    j = inter * 1.0 / union
+    return verified.select("doc_a", "doc_b", j.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.5
+    )
