@@ -39,10 +39,12 @@ HEADLINE = [
     "dedup_exact",
     "dedup_near_minhash",
     "dedup_ngram_jaccard",
+    "dedup_ngram_capped",
     "dedup_simhash",
     "dedup_embed_cosine",
     "sim_search_topk",
     "sim_search_ivf",
+    "sim_search_lsh",
     "text_tokenize_tfidf",
     "text_lang_id",
     "text_fingerprint",

@@ -41,8 +41,10 @@ PROBE_KEYS = [
     "dedup_near_minhash",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_ngram_capped",
     "dedup_embed_cosine",
     "sim_search_ivf",
+    "sim_search_lsh",
     "text_tokenize_tfidf",
     "text_lang_id",
     "multimodal_decode",
