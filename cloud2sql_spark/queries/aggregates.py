@@ -123,14 +123,41 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # approximate -> rows-only check (SURVEY §2 B-4)
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type, TRUE AS within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate. At 100 TB this replaces exact
-    countDistinct (no per-key shuffle of raw values, fixed-size sketch)."""
+    countDistinct (no per-key shuffle of raw values, fixed-size sketch).
+
+    Deterministic oracle: the raw estimate is engine-specific, so the query
+    emits ``within_5pct = |approx - exact| / exact < 0.05`` (HLL++ at
+    rsd=0.01 comfortably satisfies this, and the sketch is deterministic for
+    a given input, so the check is stable across runs) and the
+    oracle emits the same boolean computed from exact counts — trivially TRUE
+    on the DuckDB side, and TRUE on the Spark side iff the sketch is within
+    tolerance, so the hash check binds on the sketch's accuracy contract."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                < F.lit(0.05)
+            ).alias("within_5pct"),
+        )
         .orderBy("event_type")
     )
 
@@ -238,7 +265,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_collect",
     oracle="""
-    SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys
+    SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys
     FROM orders
     WHERE o_custkey <= 50
     GROUP BY o_custkey
@@ -246,11 +274,19 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list semantics, serialized: the sorted array is joined to a
+    comma string on BOTH sides so the differential hasher (which needs
+    hashable cell values) can digest the result. The aggregation itself is
+    still a real ARRAY build; only the output representation is scalar."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.filter(F.col("o_custkey") <= 50)
         .groupBy("o_custkey")
-        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("o_orderkey")), ","
+            ).alias("orderkeys")
+        )
         .orderBy("o_custkey")
     )
 
