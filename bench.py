@@ -78,10 +78,14 @@ def main() -> None:
                 continue
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count() if hasattr(df, "count") else 0
+            # noop sink, not count(): count() lets Catalyst prune every
+            # unreferenced projection column, so projection-heavy queries
+            # would be timed as near-empty scans (ADVICE r1). The noop
+            # writer materializes every output column and discards rows
+            # executor-side (no driver collect).
+            df.write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             per_query[key] = min(per_query.get(key, float("inf")), dt)
-            _ = n
         spark.catalog.clearCache()
 
     total = round(sum(per_query.values()), 3)

@@ -51,7 +51,7 @@ def normalize_s3_url(url: str) -> str:
     """Normalize the accepted S3 URL shapes to ``s3a://bucket/path`` —
     Spark's native S3 scheme (reference accepts 4 shapes,
     collect.py:110-124; semantics re-derived, see queries.udx)."""
-    from cloud2sql_spark.queries.udx import normalize_bucket
+    from cloud2sql_spark.queries.udx import _S3_PATH, normalize_bucket
 
     bucket = normalize_bucket(url)
     path = ""
@@ -59,8 +59,14 @@ def normalize_s3_url(url: str) -> str:
         rest = url.split("//", 1)[1]
         if "/" in rest:
             path = rest.split("/", 1)[1]
-            # path-style URL: the first path segment IS the bucket
-            if path == bucket or path.startswith(bucket + "/"):
+            # Only path-style URLs (https://s3.<region>.amazonaws.com/
+            # <bucket>/<key>) carry the bucket as the first path segment;
+            # for s3:// and virtual-hosted shapes the whole path IS the key,
+            # so a key that merely starts with the bucket name (s3://foo/
+            # foo/bar) must not be stripped (ADVICE r1).
+            if _S3_PATH.match(url) and (
+                path == bucket or path.startswith(bucket + "/")
+            ):
                 path = path[len(bucket):].lstrip("/")
     return f"s3a://{bucket}/{path}".rstrip("/")
 

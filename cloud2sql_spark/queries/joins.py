@@ -292,24 +292,31 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     click (reference has no such operator; SURVEY §4.2(3) custom work).
 
     Spark-first formulation: one shuffle by user_id, sort by ts within the
-    partition, and a running ``last(click, ignorenulls)`` over the preceding
-    frame — O(n log n), no range-join candidate explosion, works unchanged
-    at 100 TB because state per user is one struct. DuckDB verifies with its
-    native ASOF JOIN.
+    partition, and a running ``max(click struct)`` over a RANGE frame ending
+    strictly before the current timestamp — O(n log n), no range-join
+    candidate explosion, works unchanged at 100 TB because state per user is
+    one struct. DuckDB verifies with its native ASOF JOIN.
+
+    The frame is rangeBetween over unix microseconds ending at -1, not a
+    rowsBetween(-1): a ROWS frame ordered by (ts, event_id) would admit a
+    same-timestamp click whose event_id sorts earlier, diverging from the
+    oracle's strict ``p.ts > c.ts`` (ADVICE r1). The RANGE frame excludes
+    every tied row; max(struct(ts, event_id, value)) then picks the latest
+    strictly-prior click deterministically (largest event_id on ts ties).
     """
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .orderBy(F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts)"))
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     click = F.when(
-        F.col("event_type") == "click", F.struct("ts", "value")
+        F.col("event_type") == "click", F.struct("ts", "event_id", "value")
     )
     return (
-        ev.withColumn("prev_click", F.last(click, ignorenulls=True).over(w))
+        ev.withColumn("prev_click", F.max(click).over(w))
         .filter((F.col("event_type") == "purchase") & F.col("prev_click").isNotNull())
         .select(
             "event_id",

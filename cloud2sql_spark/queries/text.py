@@ -153,9 +153,14 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .persist()
     )
+    # size>=3 guard (mirrors _WS_SHINGLES_EXPR in extensions.py): without it,
+    # sequence(1, 0) yields a DESCENDING [1, 0] for docs shorter than 3 chars
+    # and slice(cs, 0, 3) throws at runtime (array indices start at 1).
     trigrams = F.expr(
-        "transform(sequence(1, greatest(size(cs) - 2, 0)),"
+        "CASE WHEN size(cs) >= 3 THEN"
+        " transform(sequence(1, size(cs) - 2),"
         " i -> concat_ws('', slice(cs, i, 3)))"
+        " ELSE array() END"
     )
     train = docs.filter(F.col("doc_id") % 5 != 0)
     counts = (

@@ -81,3 +81,19 @@ def test_s3_url_shapes_normalize_identically(bucket, path):
         shapes.append(bucket)  # bare bucket name
     normalized = {normalize_s3_url(u) for u in shapes}
     assert normalized == {f"s3a://{bucket}{suffix}".rstrip("/")}, normalized
+
+
+def test_s3_key_starting_with_bucket_name_not_stripped():
+    """Regression (ADVICE r1): the path-style bucket strip must not fire on
+    s3:// or virtual-hosted URLs whose KEY happens to begin with the bucket
+    name."""
+    assert normalize_s3_url("s3://foo/foo/bar") == "s3a://foo/foo/bar"
+    assert (
+        normalize_s3_url("https://foo.s3.us-east-1.amazonaws.com/foo/bar")
+        == "s3a://foo/foo/bar"
+    )
+    # path-style still strips exactly one leading bucket segment
+    assert (
+        normalize_s3_url("https://s3.us-east-1.amazonaws.com/foo/foo/bar")
+        == "s3a://foo/foo/bar"
+    )

@@ -27,6 +27,90 @@ def test_query_matches_oracle(key, spark, duck, sf_dir):
         assert len(df.columns) > 0
 
 
+def test_lang_id_short_docs(spark, tmp_path):
+    """Regression (ADVICE r1): docs shorter than 3 chars used to produce a
+    descending sequence(1, 0) and a runtime slice() crash. Short docs must
+    instead yield an empty trigram array and the all-zero-score prediction
+    (alphabetically first lang) — identical to the oracle's coalesce(0)
+    cross-join path."""
+    import duckdb
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": ["a", "xy", "", "hello hello hello world", "bonjour le monde", "x"],
+            "lang": ["en", "en", "fr", "en", "fr", "fr"],
+            "source": ["web"] * 6,
+            "n_chars": [1, 2, 0, 23, 16, 1],
+        }
+    )
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    df = _QUERIES["text_lang_id"](spark, sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    try:
+        compare(df, con, _ORACLES["text_lang_id"], key="text_lang_id_short")
+    finally:
+        con.close()
+
+
+def test_asof_same_ts_strict(spark, tmp_path):
+    """Regression (ADVICE r1): a click at exactly the purchase timestamp must
+    NOT match (oracle is strict p.ts > c.ts); the fixtures contain no such
+    ties, so this synthesizes them (TIMESTAMP_NANOS like the real fixture)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        # user 1: click@0, click@5, purchase@5 -> must match click@0, not click@5
+        (1, base + 0 * s, 1, "click", 10.0, None),
+        (2, base + 5 * s, 1, "click", 20.0, None),
+        (3, base + 5 * s, 1, "purchase", 99.0, None),
+        # user 2: click@3 == purchase@3 and nothing earlier -> no match (dropped)
+        (4, base + 3 * s, 2, "click", 30.0, None),
+        (5, base + 3 * s, 2, "purchase", 88.0, None),
+        # user 3: two clicks at the same prior ts -> deterministic largest event_id
+        (6, base + 1 * s, 3, "click", 40.0, None),
+        (7, base + 1 * s, 3, "click", 41.0, None),
+        (8, base + 2 * s, 3, "purchase", 77.0, None),
+    ]
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("ns")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(ev, schema=schema), f"{tmp_path}/events.parquet"
+    )
+    df = _QUERIES["join_asof"](spark, str(tmp_path))
+    got = {(r["event_id"], r["click_value"]) for r in df.collect()}
+    assert got == {(3, 10.0), (8, 41.0)}, got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    try:
+        compare(df, con, _ORACLES["join_asof"], key="join_asof_ties")
+    finally:
+        con.close()
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
