@@ -46,6 +46,49 @@ _JDBC_SCHEMES = {
     "derby": "jdbc:derby",
 }
 
+# file-backed engines take `jdbc:<scheme>:<database-path>`, not a //host URL
+_FILE_DIALECTS = {"sqlite", "derby"}
+
+
+def build_jdbc_url(db_type: str, d: dict) -> str:
+    """Assemble a JDBC URL from the reference's destination fields —
+    user/password/host/port/database/args (db_string_from_config,
+    cloud2sql/util.py:22-59) — in each dialect's native URL shape.
+
+    Network dialects: ``jdbc:<scheme>://host[:port]/database?user=..&
+    password=..&k=v`` (JDBC passes credentials as properties, not
+    userinfo). File dialects (sqlite, derby): ``jdbc:<scheme>:<database>``
+    with extra args appended Derby-style (``;k=v``) for derby and
+    query-style for sqlite.
+    """
+    if db_type not in _JDBC_SCHEMES:
+        raise ConfigError(f"unsupported database type: {db_type}")
+    scheme = _JDBC_SCHEMES[db_type]
+    args = dict(d.get("args", {}))
+    if db_type in _FILE_DIALECTS:
+        database = d.get("database") or d.get("path")
+        if not database:
+            raise ConfigError(f"{db_type} destination requires 'database'")
+        url = f"{scheme}:{database}"
+        if db_type == "derby":
+            return url + "".join(f";{k}={v}" for k, v in args.items())
+        if args:
+            url += "?" + "&".join(f"{k}={v}" for k, v in args.items())
+        return url
+    for key in ("user", "password"):
+        if d.get(key):
+            args.setdefault(key, d[key])
+    url = f"{scheme}://"
+    if d.get("host"):
+        url += str(d["host"])
+        if d.get("port"):
+            url += f":{d['port']}"
+    if d.get("database"):
+        url += f"/{d['database']}"
+    if args:
+        url += "?" + "&".join(f"{k}={v}" for k, v in args.items())
+    return url
+
 
 def normalize_s3_url(url: str) -> str:
     """Normalize the accepted S3 URL shapes to ``s3a://bucket/path`` —
@@ -113,12 +156,8 @@ def destination_from_config(cfg: dict) -> FileDestination | JdbcDestination:
         if name in _JDBC_SCHEMES:
             if "url" in d:
                 return JdbcDestination(d["url"], d.get("batch_size", 100_000))
-            host = d.get("host", "")
-            port = f":{d['port']}" if "port" in d else ""
-            db = d.get("database", "")
             return JdbcDestination(
-                f"{_JDBC_SCHEMES[name]}://{host}{port}/{db}",
-                d.get("batch_size", 100_000),
+                build_jdbc_url(name, d), d.get("batch_size", 100_000)
             )
     raise ConfigError(f"no supported destination in {sorted(dests)}")
 

@@ -53,6 +53,11 @@ def collect(
 
     counts: dict[str, int] = {}
     if isinstance(destination, JdbcDestination):
+        # fail fast with an install hint if the dialect's JDBC driver is
+        # absent (reference check_db_driver, util.py:70-87)
+        from cloud2sql_spark.etl.dialects import check_jdbc_driver
+
+        check_jdbc_driver(spark, destination.url)
         writer = sinks.JdbcSnapshotWriter(
             spark, destination.url, destination.batch_size
         )

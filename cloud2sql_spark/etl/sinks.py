@@ -66,24 +66,41 @@ def write_parquet_snapshot(df: DataFrame, target: str) -> str:
 
 
 class JdbcSnapshotWriter:
-    """Staged JDBC load + atomic multi-table swap.
+    """Staged JDBC load + snapshot promote.
 
     Protocol (mirrors reference SqlUpdater [dep], cloud2sql/collect.py:198-203):
 
     1. every table is written to ``tmp_<name>`` via ``df.write.jdbc`` with
        ``batchsize`` (reference default 100k rows, collect.py:103);
-    2. after ALL loads succeed, each ``tmp_<name>`` is renamed over the live
-       name inside one driver-side transaction per table (RENAME is DDL —
-       cross-table atomicity matches the reference, which also renames
-       sequentially [dep]);
-    3. any load failure aborts before any rename (reference fail-fast,
+    2. after ALL loads succeed, each ``tmp_<name>`` is promoted over the
+       live name with the destination dialect's swap statements
+       (etl/dialects.py);
+    3. any load failure aborts before any promote (reference fail-fast,
        collect.py:204-212) so the live snapshot is untouched.
+
+    Promotion guarantee by dialect (ADVICE r1 — stated, not oversold):
+
+    - transactional-DDL dialects (Derby, PostgreSQL, SQLite): every DROP +
+      RENAME runs in ONE transaction committed after all tables — readers
+      see the whole previous snapshot or the whole new one, and a failure
+      mid-swap rolls the catalog back to the previous snapshot.
+    - MySQL/MariaDB: per-table atomic multi-RENAME (live -> retired and
+      tmp -> live in a single statement); cross-table the swap is
+      sequential, and retired copies are dropped only after every table
+      promoted.
+    - generic/Snowflake: two renames per table — a concurrent reader can
+      miss the table between them; a failure never loses the previous
+      snapshot (the retired copy is still present, and nothing is dropped
+      until all promotes succeed).
     """
 
     def __init__(self, spark: SparkSession, url: str, batch_size: int = 100_000):
+        from cloud2sql_spark.etl.dialects import dialect_for_url
+
         self.spark = spark
         self.url = url
         self.batch_size = batch_size
+        self.dialect = dialect_for_url(url)
         self._staged: list[str] = []
 
     def stage(self, name: str, df: DataFrame) -> None:
@@ -97,23 +114,49 @@ class JdbcSnapshotWriter:
         )
         self._staged.append(name)
 
+    def _table_exists(self, meta, name: str) -> bool:
+        rs = meta.getTables(None, None, self.dialect.normalize_ident(name), None)
+        try:
+            return bool(rs.next())
+        finally:
+            rs.close()
+
     def swap(self) -> list[str]:
         """Promote all staged tables. Uses the JVM's DriverManager via the
         active SparkContext so no extra Python DB driver is needed."""
+        d = self.dialect
         jvm = self.spark._jvm
         conn = jvm.java.sql.DriverManager.getConnection(self.url)
         try:
+            if d.transactional_ddl:
+                conn.setAutoCommit(False)
             meta = conn.getMetaData()
-            for name in self._staged:
-                stmt = conn.createStatement()
-                try:
-                    # drop the live table if present, then rename tmp -> live
-                    rs = meta.getTables(None, None, name.upper(), None)
-                    if rs.next():
-                        stmt.execute(f"DROP TABLE {name}")
-                    stmt.execute(f"RENAME TABLE tmp_{name} TO {name}")
-                finally:
-                    stmt.close()
+            retired: list[str] = []
+            stmt = conn.createStatement()
+            try:
+                for name in self._staged:
+                    # clear leftovers from a previously crashed promote so
+                    # the rename-to-retired path cannot collide
+                    if self._table_exists(meta, f"retired_{name}"):
+                        stmt.execute(f"DROP TABLE retired_{name}")
+                    sqls, retire = d.swap_sql(
+                        name, self._table_exists(meta, name)
+                    )
+                    for sql in sqls:
+                        stmt.execute(sql)
+                    retired.extend(retire)
+                if d.transactional_ddl:
+                    conn.commit()
+                # previous-snapshot copies are dropped only after EVERY
+                # table promoted (best-effort; leftovers are reaped above)
+                for t in retired:
+                    stmt.execute(f"DROP TABLE {t}")
+            except Exception:
+                if d.transactional_ddl:
+                    conn.rollback()
+                raise
+            finally:
+                stmt.close()
         finally:
             conn.close()
         promoted, self._staged = self._staged, []

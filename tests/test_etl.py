@@ -175,3 +175,156 @@ def test_s3_url_normalization():
         normalize_s3_url("https://s3.us-east-1.amazonaws.com/my-bucket/x")
         == "s3a://my-bucket/x"
     )
+
+
+# ---------------------------------------------------------------------------
+# A13: multi-dialect JDBC destinations (reference util.py:22-87)
+# ---------------------------------------------------------------------------
+
+
+def test_build_jdbc_url_matrix():
+    """URL construction per dialect from the reference's destination
+    fields (db_string_from_config semantics in JDBC shapes)."""
+    from cloud2sql_spark.etl.config import ConfigError, build_jdbc_url
+
+    assert (
+        build_jdbc_url(
+            "postgresql",
+            {"host": "db.example", "port": 5432, "database": "cloud",
+             "user": "u", "password": "p"},
+        )
+        == "jdbc:postgresql://db.example:5432/cloud?user=u&password=p"
+    )
+    assert (
+        build_jdbc_url("mysql", {"host": "h", "database": "d",
+                                 "args": {"useSSL": "false"}})
+        == "jdbc:mysql://h/d?useSSL=false"
+    )
+    assert (
+        build_jdbc_url("mariadb", {"host": "h", "port": 3306, "database": "d"})
+        == "jdbc:mariadb://h:3306/d"
+    )
+    assert build_jdbc_url("sqlite", {"database": "/tmp/x.db"}) == "jdbc:sqlite:/tmp/x.db"
+    assert (
+        build_jdbc_url("derby", {"database": "/tmp/db", "args": {"create": "true"}})
+        == "jdbc:derby:/tmp/db;create=true"
+    )
+    assert (
+        build_jdbc_url("snowflake", {"host": "acc.snowflakecomputing.com",
+                                     "database": "d", "user": "u"})
+        == "jdbc:snowflake://acc.snowflakecomputing.com/d?user=u"
+    )
+    with pytest.raises(ConfigError):
+        build_jdbc_url("oracle", {})
+    with pytest.raises(ConfigError):
+        build_jdbc_url("sqlite", {})  # file dialects require database
+
+
+def test_destination_from_config_builds_dialect_url():
+    cfg = parse_config(
+        "sources:\n  example:\n"
+        "destinations:\n  postgresql:\n"
+        "    host: localhost\n    port: 5432\n    database: cloud\n"
+        "    user: u\n    password: p\n"
+    )
+    dest = destination_from_config(cfg)
+    assert isinstance(dest, JdbcDestination)
+    assert dest.url == "jdbc:postgresql://localhost:5432/cloud?user=u&password=p"
+
+
+def test_dialect_swap_sql_matrix():
+    """Promotion statements per dialect express the documented guarantee."""
+    from cloud2sql_spark.etl.dialects import DIALECTS
+
+    # transactional: DROP + RENAME (rolls back together)
+    assert DIALECTS["derby"].swap_sql("t", live_exists=True) == (
+        ["DROP TABLE t", "RENAME TABLE tmp_t TO t"],
+        [],
+    )
+    assert DIALECTS["postgresql"].swap_sql("t", live_exists=True) == (
+        ["DROP TABLE t", "ALTER TABLE tmp_t RENAME TO t"],
+        [],
+    )
+    assert DIALECTS["sqlite"].swap_sql("t", live_exists=True) == (
+        ["DROP TABLE t", "ALTER TABLE tmp_t RENAME TO t"],
+        [],
+    )
+    # MySQL family: single-statement atomic shuffle, retired drop deferred
+    assert DIALECTS["mysql"].swap_sql("t", live_exists=True) == (
+        ["RENAME TABLE t TO retired_t, tmp_t TO t"],
+        ["retired_t"],
+    )
+    assert DIALECTS["mariadb"].swap_sql("t", live_exists=True) == (
+        ["RENAME TABLE t TO retired_t, tmp_t TO t"],
+        ["retired_t"],
+    )
+    # Snowflake: two renames, retired drop deferred
+    assert DIALECTS["snowflake"].swap_sql("t", live_exists=True) == (
+        ["ALTER TABLE t RENAME TO retired_t", "ALTER TABLE tmp_t RENAME TO t"],
+        ["retired_t"],
+    )
+    # first-ever promote: plain rename everywhere
+    for d in DIALECTS.values():
+        sqls, retired = d.swap_sql("t", live_exists=False)
+        assert len(sqls) == 1 and "tmp_t" in sqls[0] and retired == []
+
+
+def test_dialect_ident_case():
+    from cloud2sql_spark.etl.dialects import DIALECTS, dialect_for_url
+
+    assert DIALECTS["derby"].normalize_ident("My_Table") == "MY_TABLE"
+    assert DIALECTS["postgresql"].normalize_ident("My_Table") == "my_table"
+    assert DIALECTS["mysql"].normalize_ident("My_Table") == "My_Table"
+    assert dialect_for_url("jdbc:postgresql://h/d").name == "postgresql"
+    assert dialect_for_url("jdbc:derby:/tmp/x;create=true").name == "derby"
+    assert dialect_for_url("jdbc:weirddb://h/d").name == "generic"
+    with pytest.raises(ValueError):
+        dialect_for_url("postgresql://h/d")
+
+
+def test_missing_driver_diagnostic(spark):
+    """A dialect whose driver jar is absent fails fast with an install
+    hint (reference check_db_driver, util.py:70-87); Derby (bundled with
+    Spark) passes."""
+    from cloud2sql_spark.etl.dialects import MissingJdbcDriver, check_jdbc_driver
+
+    check_jdbc_driver(spark, "jdbc:derby:memory:ok;create=true")  # no raise
+    with pytest.raises(MissingJdbcDriver, match="postgresql"):
+        check_jdbc_driver(spark, "jdbc:postgresql://localhost/db")
+
+
+def test_swap_failure_rolls_back_previous_snapshot(spark):
+    """Transactional-DDL promote (ADVICE r1): a failure mid-swap must
+    leave EVERY live table at the previous snapshot — even tables whose
+    own DROP+RENAME already executed in the doomed transaction."""
+    db = os.path.join(_TMP, "jdbc_txn")
+    import shutil
+
+    shutil.rmtree(db, ignore_errors=True)
+    url = f"jdbc:derby:{db};create=true"
+    w1 = sinks.JdbcSnapshotWriter(spark, url)
+    w1.stage("t1", spark.range(3).select(F.col("id")))
+    w1.stage("t2", spark.range(4).select(F.col("id")))
+    assert w1.swap() == ["t1", "t2"]
+
+    w2 = sinks.JdbcSnapshotWriter(spark, url)
+    w2.stage("t1", spark.range(30).select(F.col("id")))
+    w2.stage("t2", spark.range(40).select(F.col("id")))
+    # sabotage: remove t2's staged table behind the writer's back so its
+    # rename fails AFTER t1's drop+rename already ran
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute("DROP TABLE tmp_t2")
+    st.close()
+    conn.close()
+    with pytest.raises(Exception):
+        w2.swap()
+    for name, expected in [("t1", 3), ("t2", 4)]:
+        back = (
+            spark.read.format("jdbc")
+            .option("url", f"jdbc:derby:{db}")
+            .option("dbtable", name)
+            .load()
+        )
+        assert back.count() == expected, name  # previous snapshot intact
