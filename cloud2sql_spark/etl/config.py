@@ -169,6 +169,8 @@ def default_config() -> str:
         "sources:\n"
         "  example:\n"
         "    # the synthetic example source needs no configuration\n"
+        "  # remote_graph:           # ingest a pre-collected graph export\n"
+        "  #   path: /data/graph     # dir with nodes/, edges/, kinds.json\n"
         "destinations:\n"
         "  file:\n"
         "    path: /tmp/cloud2sql_spark_out\n"

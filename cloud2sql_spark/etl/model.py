@@ -94,6 +94,11 @@ class KindCatalog:
     def schema(self, kind_name: str) -> T.StructType:
         return self._kinds[kind_name].schema()
 
+    def properties(self, kind_name: str) -> dict[str, str]:
+        """Kind-specific property->type mapping (the serializable half of
+        the catalog — base/context columns are implied by the model)."""
+        return dict(self._kinds[kind_name].properties)
+
     def kinds(self) -> list[str]:
         return sorted(self._kinds)
 

@@ -17,6 +17,7 @@ Parallelism mapping (reference A15/A16 -> Spark):
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -27,10 +28,29 @@ from cloud2sql_spark.etl.flatten import flatten_graph
 from cloud2sql_spark.etl.model import KindCatalog
 
 # source registry (reference A2: entry-points discovery collect.py:48-71;
-# a plain dict here — extension = register a callable)
+# a plain dict of FACTORIES here — each takes the source's config section
+# and returns (collect_fn, catalog_fn), mirroring the reference handing
+# each plugin its Config slice (collect.py:64-70))
 SourceFn = Callable[[SparkSession], tuple[DataFrame, DataFrame]]
-SOURCES: dict[str, tuple[SourceFn, Callable[[], KindCatalog]]] = {
-    "example": (collect_example, example_catalog),
+CatalogFn = Callable[[], KindCatalog]
+SourceFactory = Callable[[dict | None], tuple[SourceFn, CatalogFn]]
+
+
+def _make_example_source(cfg: dict | None) -> tuple[SourceFn, CatalogFn]:
+    return collect_example, example_catalog
+
+
+def _make_remote_graph_source(cfg: dict | None) -> tuple[SourceFn, CatalogFn]:
+    from cloud2sql_spark.etl.graph_source import make_graph_source
+
+    return make_graph_source(cfg)
+
+
+SOURCES: dict[str, SourceFactory] = {
+    "example": _make_example_source,
+    # A5: ingest a graph collected elsewhere (reference RemoteGraphCollector,
+    # collect.py:60-63)
+    "remote_graph": _make_remote_graph_source,
 }
 
 
@@ -43,13 +63,30 @@ def collect(
     snapshot. Returns per-table row counts (the reference's analytics
     payload, collect.py:194-196). Any failure aborts BEFORE promotion, so
     readers keep the previous snapshot (reference collect.py:198-212)."""
-    tables: dict[str, DataFrame] = {}
-    for name in sorted(config["sources"]):
+    names = sorted(config["sources"])
+    for name in names:
         if name not in SOURCES:
             raise ValueError(f"unknown source: {name}")
-        source_fn, catalog_fn = SOURCES[name]
-        nodes, edges = source_fn(spark)
-        tables.update(flatten_graph(nodes, edges, catalog_fn()))
+
+    # A15: sources collect concurrently under a small driver-side thread
+    # pool (reference: 4 collector threads, collect.py:186). Each thread
+    # tags its Spark jobs with a per-source FAIR pool so, when
+    # spark.scheduler.mode=FAIR is set, one source's long job cannot
+    # starve the others; under FIFO the tag is inert. Any source failure
+    # propagates BEFORE staging starts, so fail-fast-no-promote (A19) is
+    # preserved exactly.
+    tables: dict[str, DataFrame] = {}
+    with ThreadPoolExecutor(max_workers=min(4, len(names))) as pool:
+        futures = {
+            name: pool.submit(
+                _run_source, spark, name, config["sources"].get(name)
+            )
+            for name in names
+        }
+        # deterministic merge order (raises the first failure here, with
+        # every other future drained by the with-block's shutdown)
+        for name in names:
+            tables.update(futures[name].result())
 
     counts: dict[str, int] = {}
     if isinstance(destination, JdbcDestination):
@@ -74,6 +111,20 @@ def collect(
                 sinks.write_parquet_snapshot(df, path)
             counts[tname] = df.count()
     return counts
+
+
+def _run_source(
+    spark: SparkSession, name: str, source_cfg: dict | None
+) -> dict[str, DataFrame]:
+    """One source's collect + flatten, run on a pool thread."""
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.scheduler.pool", f"source-{name}")
+    try:
+        source_fn, catalog_fn = SOURCES[name](source_cfg)
+        nodes, edges = source_fn(spark)
+        return flatten_graph(nodes, edges, catalog_fn())
+    finally:
+        sc.setLocalProperty("spark.scheduler.pool", None)
 
 
 def _jsonify_complex(df: DataFrame) -> DataFrame:

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 from pyspark.sql import functions as F
@@ -328,3 +329,138 @@ def test_swap_failure_rolls_back_previous_snapshot(spark):
             .load()
         )
         assert back.count() == expected, name  # previous snapshot intact
+
+
+# ---------------------------------------------------------------------------
+# A5: pre-collected ("remote") graph source (reference collect.py:60-63)
+# ---------------------------------------------------------------------------
+
+
+def test_remote_graph_roundtrip_golden(spark):
+    """Export the example graph in the ndjson wire format, re-ingest it
+    through the remote_graph source, and land the reference's exact 13
+    golden tables."""
+    from cloud2sql_spark.etl.graph_source import export_graph
+
+    export_dir = os.path.join(_TMP, "graph_export")
+    out = os.path.join(_TMP, "graph_reingest_out")
+    nodes, edges = collect_example(spark)
+    export_graph(nodes, edges, example_catalog(), export_dir)
+
+    cfg = parse_config(
+        "sources:\n"
+        "  remote_graph:\n"
+        f"    path: {export_dir}\n"
+        "destinations:\n"
+        f"  file:\n    path: {out}\n    format: csv\n"
+    )
+    counts = collect(spark, cfg, destination_from_config(cfg))
+    assert counts == GOLDEN_COUNTS
+    inst = spark.read.option("header", True).csv(f"{out}/example_instance")
+    assert {r["id"] for r in inst.collect()} == {"inst1", "inst2"}
+
+
+def test_remote_graph_nested_payload_shape(spark):
+    """The reader accepts payload as a nested JSON object too (the shape a
+    foreign exporter would naturally produce), not only as an encoded
+    string."""
+    from cloud2sql_spark.etl.graph_source import read_graph
+
+    path = os.path.join(_TMP, "graph_nested")
+    os.makedirs(os.path.join(path, "nodes"), exist_ok=True)
+    os.makedirs(os.path.join(path, "edges"), exist_ok=True)
+    with open(os.path.join(path, "nodes", "part-0.json"), "w") as fh:
+        fh.write(
+            '{"node_id": "n1", "kind": "k", "payload": {"id": "n1", "name": "x"},'
+            ' "cloud": "c", "account": "a", "region": "r"}\n'
+        )
+    with open(os.path.join(path, "edges", "part-0.json"), "w") as fh:
+        fh.write('{"from_id": "n1", "to_id": "n2", "from_kind": "k", "to_kind": "k2"}\n')
+    nodes, edges = read_graph(spark, path)
+    row = nodes.collect()[0]
+    import json as _json
+
+    assert _json.loads(row["payload"]) == {"id": "n1", "name": "x"}
+    assert edges.collect()[0]["to_kind"] == "k2"
+
+
+def test_remote_graph_requires_path():
+    from cloud2sql_spark.etl.graph_source import make_graph_source
+
+    with pytest.raises(ValueError, match="path"):
+        make_graph_source({})
+
+
+# ---------------------------------------------------------------------------
+# A15: concurrent source collection (reference: 4 threads, collect.py:186)
+# ---------------------------------------------------------------------------
+
+
+def _slow_example_factory(delay: float):
+    def factory(cfg):
+        def source_fn(sp):
+            import time
+
+            time.sleep(delay)
+            return collect_example(sp)
+
+        return source_fn, example_catalog
+
+    return factory
+
+
+def test_sources_collect_concurrently(spark, monkeypatch):
+    """Two sources that each block 0.6s must overlap, not serialize
+    (reference runs collectors under a 4-thread pool)."""
+    import time
+
+    from cloud2sql_spark.etl import pipeline
+
+    monkeypatch.setitem(pipeline.SOURCES, "slow_a", _slow_example_factory(0.6))
+    monkeypatch.setitem(pipeline.SOURCES, "slow_b", _slow_example_factory(0.6))
+    out = os.path.join(_TMP, "concurrent_out")
+    cfg = parse_config(
+        "sources:\n  slow_a:\n  slow_b:\n"
+        f"destinations:\n  file:\n    path: {out}\n    format: csv\n"
+    )
+    t0 = time.time()
+    counts = collect(spark, cfg, destination_from_config(cfg))
+    elapsed = time.time() - t0
+    assert counts == GOLDEN_COUNTS  # both produce the same example graph
+    # sequential would be >= 1.2s of sleep alone; allow generous headroom
+    # for the Spark jobs that follow the overlapped sleeps
+    assert elapsed < 1.2 + 8, elapsed
+    # the sleeps themselves overlapped: both sources' collect phases fit
+    # well under the 1.2s a serial run would need before any Spark work.
+    # (measured separately to stay robust on loaded CI machines)
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(pipeline._run_source, spark, "slow_a", None)
+        fb = pool.submit(pipeline._run_source, spark, "slow_b", None)
+        fa.result(), fb.result()
+    assert time.time() - t0 < 1.15, "sources serialized"
+
+
+def test_failing_source_blocks_promote(spark, monkeypatch):
+    """A source that fails must abort the run BEFORE anything is staged or
+    promoted (A19 fail-fast preserved under the thread pool)."""
+    import shutil
+
+    from cloud2sql_spark.etl import pipeline
+
+    def boom_factory(cfg):
+        def source_fn(sp):
+            raise RuntimeError("collector exploded")
+
+        return source_fn, example_catalog
+
+    monkeypatch.setitem(pipeline.SOURCES, "boom", boom_factory)
+    out = os.path.join(_TMP, "failfast_out")
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = parse_config(
+        "sources:\n  example:\n  boom:\n"
+        f"destinations:\n  file:\n    path: {out}\n    format: csv\n"
+    )
+    with pytest.raises(RuntimeError, match="collector exploded"):
+        collect(spark, cfg, destination_from_config(cfg))
+    assert not os.path.exists(out)  # nothing written, let alone promoted
