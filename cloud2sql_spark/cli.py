@@ -60,14 +60,30 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     from cloud2sql_spark.etl.pipeline import collect
+    from cloud2sql_spark.etl.progress import (
+        NullReporter,
+        ProgressReporter,
+        StageProgressPoller,
+    )
     from cloud2sql_spark.session import get_spark
+
+    from pyspark.sql import SparkSession
 
     with open(args.config) as fh:
         cfg = parse_config(fh.read())
     dest = destination_from_config(cfg)
+    # only stop a session this CLI created — embedding callers (and the
+    # test harness) keep theirs
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("cloud2sql_spark-etl")
+    # A17: --show progress streams per-source/per-table lines plus Spark
+    # stage-level task progress to stderr (reference collect.py:165-179)
+    reporter = (
+        ProgressReporter() if args.show == "progress" else NullReporter()
+    )
     try:
-        counts = collect(spark, cfg, dest)
+        with StageProgressPoller(spark.sparkContext, reporter):
+            counts = collect(spark, cfg, dest, feedback=reporter)
         if args.show != "none":
             for table in sorted(counts):
                 print(f"{table}: {counts[table]} rows")
@@ -79,7 +95,8 @@ def main(argv: list[str] | None = None) -> int:
             raise
         return 1
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
 
 
 if __name__ == "__main__":

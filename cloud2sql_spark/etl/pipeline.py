@@ -58,11 +58,18 @@ def collect(
     spark: SparkSession,
     config: dict,
     destination: FileDestination | JdbcDestination,
+    feedback: "ProgressReporter | None" = None,
 ) -> dict[str, int]:
     """Run every configured source, flatten, load, then promote the
     snapshot. Returns per-table row counts (the reference's analytics
     payload, collect.py:194-196). Any failure aborts BEFORE promotion, so
-    readers keep the previous snapshot (reference collect.py:198-212)."""
+    readers keep the previous snapshot (reference collect.py:198-212).
+
+    ``feedback`` (A17): per-source and per-table progress messages, the
+    reference's CoreFeedback channel (collect.py:183-189)."""
+    from cloud2sql_spark.etl.progress import NullReporter
+
+    fb = feedback or NullReporter()
     names = sorted(config["sources"])
     for name in names:
         if name not in SOURCES:
@@ -79,7 +86,7 @@ def collect(
     with ThreadPoolExecutor(max_workers=min(4, len(names))) as pool:
         futures = {
             name: pool.submit(
-                _run_source, spark, name, config["sources"].get(name)
+                _run_source, spark, name, config["sources"].get(name), fb
             )
             for name in names
         }
@@ -98,31 +105,45 @@ def collect(
         writer = sinks.JdbcSnapshotWriter(
             spark, destination.url, destination.batch_size
         )
-        for tname, df in tables.items():
+        for i, (tname, df) in enumerate(tables.items()):
             writer.stage(tname, _jsonify_complex(df))
             counts[tname] = df.count()
+            fb.progress("load", f"staged {tname} ({counts[tname]} rows)")
+            fb.progress_done("load", i + 1, len(tables))
         writer.swap()  # atomic promote only after every load succeeded
+        fb.progress("load", "snapshot promoted")
     else:
-        for tname, df in tables.items():
+        for i, (tname, df) in enumerate(tables.items()):
             path = f"{destination.path}/{tname}"
             if destination.format == "csv":
                 sinks.write_csv(_jsonify_complex(df), path)
             else:
                 sinks.write_parquet_snapshot(df, path)
             counts[tname] = df.count()
+            fb.progress("load", f"wrote {tname} ({counts[tname]} rows)")
+            fb.progress_done("load", i + 1, len(tables))
     return counts
 
 
 def _run_source(
-    spark: SparkSession, name: str, source_cfg: dict | None
+    spark: SparkSession,
+    name: str,
+    source_cfg: dict | None,
+    feedback: "ProgressReporter | None" = None,
 ) -> dict[str, DataFrame]:
     """One source's collect + flatten, run on a pool thread."""
+    from cloud2sql_spark.etl.progress import NullReporter
+
+    fb = feedback or NullReporter()
     sc = spark.sparkContext
     sc.setLocalProperty("spark.scheduler.pool", f"source-{name}")
     try:
+        fb.progress(name, "collecting")
         source_fn, catalog_fn = SOURCES[name](source_cfg)
         nodes, edges = source_fn(spark)
-        return flatten_graph(nodes, edges, catalog_fn())
+        tables = flatten_graph(nodes, edges, catalog_fn())
+        fb.progress(name, f"collected ({len(tables)} tables)")
+        return tables
     finally:
         sc.setLocalProperty("spark.scheduler.pool", None)
 

@@ -464,3 +464,57 @@ def test_failing_source_blocks_promote(spark, monkeypatch):
     with pytest.raises(RuntimeError, match="collector exploded"):
         collect(spark, cfg, destination_from_config(cfg))
     assert not os.path.exists(out)  # nothing written, let alone promoted
+
+
+# ---------------------------------------------------------------------------
+# A17: progress/feedback channel (reference collect.py:165-189)
+# ---------------------------------------------------------------------------
+
+
+def test_progress_messages_from_collect(spark):
+    """collect() streams per-source and per-table progress through the
+    feedback channel."""
+    import io
+
+    from cloud2sql_spark.etl.progress import ProgressReporter
+
+    buf = io.StringIO()
+    out = os.path.join(_TMP, "progress_out")
+    cfg = parse_config(
+        "sources:\n  example:\n"
+        f"destinations:\n  file:\n    path: {out}\n    format: csv\n"
+    )
+    counts = collect(
+        spark, cfg, destination_from_config(cfg),
+        feedback=ProgressReporter(stream=buf),
+    )
+    assert counts == GOLDEN_COUNTS
+    lines = buf.getvalue().splitlines()
+    assert "[example] collecting" in lines
+    assert "[example] collected (13 tables)" in lines
+    assert any(l.startswith("[load] wrote example_instance") for l in lines)
+    assert f"[load] {len(GOLDEN_COUNTS)}/{len(GOLDEN_COUNTS)} done" in lines
+
+
+def test_cli_show_progress(spark, capfd):
+    """CLI integration: --show progress renders progress lines on stderr;
+    --show none stays silent."""
+    from cloud2sql_spark import cli
+
+    out = os.path.join(_TMP, "cli_progress_out")
+    cfg_path = os.path.join(_TMP, "cli_progress.yaml")
+    os.makedirs(_TMP, exist_ok=True)
+    with open(cfg_path, "w") as fh:
+        fh.write(
+            "sources:\n  example:\n"
+            f"destinations:\n  file:\n    path: {out}\n    format: csv\n"
+        )
+    assert cli.main(["--config", cfg_path, "--show", "progress"]) == 0
+    captured = capfd.readouterr()
+    assert "[example] collecting" in captured.err
+    assert "[load] snapshot" not in captured.err  # file dest: no JDBC promote
+    assert "done: 13 tables" in captured.out
+
+    assert cli.main(["--config", cfg_path, "--show", "none"]) == 0
+    captured = capfd.readouterr()
+    assert "[example]" not in captured.err
