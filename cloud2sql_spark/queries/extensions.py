@@ -83,9 +83,19 @@ def _exact_jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
     explode shingles, self-join on the shingle, count shared, derive
     |union| = |a| + |b| - shared. Never materializes the n² pair space."""
     # persist: both self-join sides read the exploded index; without it the
-    # shingle expression and explode run twice
+    # shingle expression and explode run twice.
+    # explode_outer, not explode: InferFiltersFromGenerate turns a plain
+    # explode into a size(sg)>0 AND isnotnull(sg) filter that Catalyst
+    # pushes below the repartition exchange — re-evaluating the whole
+    # shingle HOF twice per doc inside the single-task scan stage
+    # (measured 3× the stage). outer explode infers nothing; the cheap
+    # g IS NOT NULL post-filter restores identical rows.
     sized = shingled.withColumn("n", F.size("sg"))
-    tok = sized.select("doc_id", "n", F.explode("sg").alias("g")).persist()
+    tok = (
+        sized.select("doc_id", "n", F.explode_outer("sg").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .persist()
+    )
     a, b = tok.alias("a"), tok.alias("b")
     shared = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -720,20 +730,44 @@ def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-shingles is (deliberately) given up. The oracle replicates the
     same cap, making the op deterministic and hash-checkable."""
     df_cap = 10
+    par = spark.sparkContext.defaultParallelism * 2
     shingled = _doc_shingles(spark, sf_dir, nonempty=True).persist()
-    tok = shingled.select("doc_id", F.explode("sg").alias("g"))
-    rare = tok.withColumn(
-        "df", F.count("*").over(Window.partitionBy("g"))
-    ).filter(F.col("df") <= df_cap)
-    a, b = rare.alias("a"), rare.alias("b")
+    tok = (
+        shingled.select("doc_id", F.explode_outer("sg").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    # ONE keyed shuffle does df-count + posting-list build + pair
+    # generation: groupBy(g) collects the (<= cap) doc list per shingle,
+    # then the i<j pairs are emitted combinatorially map-side. This
+    # replaces the previous window-count (full sort of the token table)
+    # plus token self-join (a second shuffle of the same data) — same
+    # candidates, half the shuffles. df=1 shingles generate no pairs and
+    # are dropped. Bound per shingle: C(cap, 2) pairs.
+    byg = (
+        tok.groupBy("g")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= df_cap))
+    )
+    pairs_expr = F.expr(
+        """
+        flatten(transform(ds, (x, i) ->
+            transform(slice(ds, i + 2, size(ds)),
+                      y -> struct(x AS doc_a, y AS doc_b))))
+        """
+    )
+    # explode_outer + null filter: see _exact_jaccard_pairs (a plain
+    # explode's inferred filter would re-run the pair transform).
+    # The repartition before the verify joins is load-bearing: the
+    # distinct's output is a few MB of skinny (doc_a, doc_b) rows, so AQE
+    # coalesces it to ~4 partitions — starving the CPU-heavy
+    # array_intersect of parallelism (measured 8x the stage time). An
+    # explicit partition count is exempt from AQE coalescing.
     cand = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        byg.select(F.explode_outer(pairs_expr).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("p.doc_a", "p.doc_b")
         .distinct()
+        .repartition(par)
     )
     sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sg_a"))
     sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("sg_b"))
