@@ -696,9 +696,7 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_capped",
-    oracle=f"""
+_CAPPED_PAIRS_SQL = f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sg FROM w),
     tok AS (SELECT doc_id, unnest(sg) AS g FROM sh),
@@ -716,8 +714,10 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sh sb ON sb.doc_id = c.doc_b
     WHERE len(list_intersect(sa.sg, sb.sg)) * 1.0 /
           len(list_distinct(list_concat(sa.sg, sb.sg))) >= 0.5
-    """,
-)
+"""
+
+
+@register("dedup_ngram_capped", oracle=_CAPPED_PAIRS_SQL)
 def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """df-capped n-gram Jaccard — the scale path of dedup_ngram_jaccard
     made concrete: candidate pairs come ONLY from shingles with document
@@ -778,3 +778,115 @@ def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select("doc_a", "doc_b", j.alias("jaccard")).filter(
         F.col("jaccard") >= 0.5
     )
+
+
+@register(
+    "dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_CAPPED_PAIRS_SQL}),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+    lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM lab
+    """,
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS via connected components over the
+    df-capped Jaccard pair graph (pairwise dedup leaves A~B, B~C as two
+    independent pairs; curation needs the {{A,B,C}} cluster with one
+    representative). cluster_id = min doc_id reachable in the undirected
+    pair graph; cluster_size counts members.
+
+    Spark-first iterative algorithm, not a UDF: min-label propagation —
+    labels(node) joined to edges, groupBy(node) min, until a fixpoint.
+    Each round is one keyed shuffle of the edge list (Pregel's CC in
+    DataFrame form), so 100 TB behavior is #rounds x one linear join;
+    rounds = graph diameter, and near-dup clusters are tiny-diameter by
+    construction (members all overlap the same text). The fixpoint check
+    is a driver-side count of changed labels (a scalar per round, not a
+    collect of data). For adversarially long path graphs, switch the
+    propagation step to hash-to-min (doubles reach per round, O(log d)).
+    The DuckDB oracle computes the same min-reachable-id label with a
+    recursive CTE, so the clustering is hash-checked exactly.
+    """
+    pairs = dedup_ngram_capped(spark, sf_dir).select("doc_a", "doc_b")
+    # both orientations generated map-side by ONE explode — a
+    # union(pairs, pairs.swapped) re-evaluates the whole upstream pair
+    # pipeline once per branch (and once more on persist), measured 4x
+    # the pair-detection cost
+    undirected = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .persist()
+    )
+    n_edges = undirected.count()
+    # Loop partitioning follows the EDGE volume, not the corpus: the pair
+    # graph is orders of magnitude smaller than the documents table, and a
+    # fixed 32/64-way shuffle makes every propagation round pay full
+    # task-scheduling overhead on near-empty partitions (measured 10s for
+    # a 3-round fixpoint on a 500-edge graph). ~100k edges per partition,
+    # capped at the session parallelism — the same join scales linearly
+    # when the edge list actually is 100 TB-sized.
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 100_000 + 1))
+    edges = undirected.repartition(n_parts, "v").persist()
+    edges.count()
+    undirected.unpersist()
+    # round 0 fused in: label(node) = min(node, direct neighbors)
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(F.col("u").alias("node"), F.least("u", "mv").alias("label"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(20):  # diameter bound; near-dup clusters converge in ~2
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("label").alias("nl")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("nl").alias("min_neigh"))
+        )
+        # one materialization serves both the fixpoint test and the next
+        # round's labels (a separate changed-join doubled round latency)
+        joined = (
+            labels.join(neigh, labels["node"] == neigh["u"], "left")
+            .select(
+                "node",
+                "label",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("min_neigh"), F.col("label")),
+                ).alias("new_label"),
+            )
+            .persist()
+        )
+        changed = joined.filter(F.col("new_label") != F.col("label")).count()
+        labels.unpersist()
+        labels = joined.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    wsz = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).withColumn("cluster_size", F.count("*").over(wsz))

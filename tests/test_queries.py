@@ -118,3 +118,45 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_cluster_cc_transitive(spark, tmp_path):
+    """dedup_cluster_cc must merge chains: A~B and B~C near-dup pairs (but
+    A~C below threshold) still form ONE {A,B,C} cluster. The sf fixtures'
+    planted dups are mostly disjoint pairs, so transitivity needs its own
+    corpus: B is 20 words; A replaces the first 4, C the last 4 — J(A,B)
+    and J(B,C) are 14/22 >= 0.5 while J(A,C) is 10/26 < 0.5."""
+    import duckdb
+    import pandas as pd
+
+    base = [f"w{i}" for i in range(20)]
+    a = [f"x{i}" for i in range(4)] + base[4:]
+    c = base[:16] + [f"y{i}" for i in range(4)]
+    texts = {
+        10: " ".join(a),
+        11: " ".join(base),
+        12: " ".join(c),
+        13: "totally unrelated words that share nothing with the others",
+    }
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * 4,
+            "source": ["web"] * 4,
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    )
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    df = _QUERIES["dedup_cluster_cc"](spark, sf)
+    rows = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in df.collect()}
+    assert rows == {10: (10, 3), 11: (10, 3), 12: (10, 3)}, rows
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    try:
+        compare(df, con, _ORACLES["dedup_cluster_cc"], key="dedup_cluster_cc_chain")
+    finally:
+        con.close()
