@@ -1,0 +1,232 @@
+"""Training-data curation operators over ``documents`` (B-12 extension
+surface, same contract as extensions.py): deterministic stratified
+sampling, sequence packing, PII redaction, benchmark-contamination
+detection.
+
+The reference has no curation surface (it delegates all querying to the
+destination database, README.md:221-224); these are the operations a
+100 TB pretraining pipeline runs between collection and training, built
+Spark-first: pure column expressions and keyed windows, no Python on the
+hot path.
+
+Determinism policy: "random" orderings are md5(doc_id) — identical hex
+strings in Spark and DuckDB — so sampling is reproducible and
+oracle-hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloud2sql_spark.catalog import load_table
+from cloud2sql_spark.queries.extensions import _SHINGLES_SQL, _WS_SHINGLES_EXPR
+from cloud2sql_spark.registry import register
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang, source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang, source) AS stratum_n
+      FROM documents)
+    SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk,
+           CAST(stratum_n AS BIGINT) AS stratum_n
+    FROM ranked
+    WHERE rk <= ceil(0.1 * stratum_n)
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 10% stratified sample per (lang, source): rank docs inside
+    each stratum by md5(doc_id) — a deterministic shuffle both engines
+    hash identically — and keep the first ceil(0.1·n). Unlike
+    ``df.sampleBy`` (Bernoulli, approximate counts, RNG-seeded), this
+    yields the exact per-stratum quota reproducibly. One keyed window
+    shuffle; strata partition the corpus, so at 100 TB each task sorts
+    only its stratum slice (salt the window key if one stratum
+    dominates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    strat = Window.partitionBy("lang", "source")
+    w = strat.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.count("*").over(strat).cast("long").alias("stratum_n"),
+        )
+        .filter(F.col("rk") <= F.ceil(0.1 * F.col("stratum_n")))
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    pref AS (
+      SELECT doc_id, lang, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix_tokens
+      FROM toks)
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(prefix_tokens // 512 AS BIGINT) AS bin_id,
+           CAST(prefix_tokens - (prefix_tokens // 512) * 512 AS BIGINT)
+             AS offset_in_bin
+    FROM pref
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: docs are laid end-to-end in
+    deterministic (doc_id) order within each lang shard and cut into
+    512-token bins — bin_id = exclusive-prefix-sum // 512. This is the
+    streaming pack used by real pretraining pipelines (a bin may overrun
+    by up to one doc; packers then truncate/pad), chosen over first-fit
+    bin packing because it is ONE window scan — first-fit is inherently
+    sequential state. At 100 TB the window partitions by shard key, so
+    each task packs its shard independently — exactly how packed parquet
+    shards are produced in practice."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = toks.withColumn(
+        "prefix_tokens", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    bin_id = F.floor(F.col("prefix_tokens") / 512)
+    return pref.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        bin_id.cast("long").alias("bin_id"),
+        (F.col("prefix_tokens") - bin_id * 512).cast("long").alias("offset_in_bin"),
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7 tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-0199' AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_IPV4_RE}'))
+                AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}'))
+                AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_IPV4_RE}', '<IP>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM seeded
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: emails, IPv4s, and phone-shaped numbers replaced
+    with typed placeholders, plus per-doc match counts. The fixture
+    corpus carries no PII, so each doc is first seeded with a
+    deterministic doc_id-derived email/IP/phone — proving every pattern
+    fires on every row (the oracle seeds identically). Patterns are kept
+    to the Java-regex ∩ RE2 common dialect so Spark and DuckDB match the
+    same spans. Pure column expressions — JVM-side regex in whole-stage
+    codegen, no UDF, embarrassingly parallel at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-0199"),
+        ).alias("text"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+            _IPV4_RE,
+            "<IP>",
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_IPV4_RE), 0)).cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).cast("long").alias("n_phones"),
+        red.alias("redacted"),
+    )
+
+
+@register(
+    "text_contamination",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sg FROM w),
+    eval_tok AS (SELECT doc_id AS eval_doc_id, unnest(sg) AS g
+                 FROM sh WHERE doc_id % 7 = 0),
+    train_tok AS (SELECT doc_id AS train_doc_id, unnest(sg) AS g
+                  FROM sh WHERE doc_id % 7 != 0)
+    SELECT t.train_doc_id, e.eval_doc_id,
+           count(*) AS n_shared_shingles
+    FROM train_tok t JOIN eval_tok e ON t.g = e.g
+    GROUP BY t.train_doc_id, e.eval_doc_id
+    HAVING count(*) >= 5
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: docs with doc_id % 7 == 0 stand in
+    for a held-out eval set; any training doc sharing >= 5 word-3-gram
+    shingles with an eval doc is flagged with the shared count (the
+    n-gram-overlap decontamination rule used for pretraining corpora).
+    The eval shingle index is tiny by construction (the eval set is
+    bounded), so it is BROADCAST — the 100 TB train side streams past it
+    map-side with zero shuffle before the final pair aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism * 2
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws")).repartition(par)
+    sh = ws.select("doc_id", F.expr(_WS_SHINGLES_EXPR).alias("sg"))
+    tok = (
+        sh.select("doc_id", F.explode_outer("sg").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    eval_tok = tok.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "g"
+    )
+    train_tok = tok.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "g"
+    )
+    return (
+        train_tok.join(F.broadcast(eval_tok), "g")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= 5)
+    )

@@ -195,3 +195,26 @@ def stream_foreach_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return df.select("event_type", "n_events", "total_value")
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           c.event_id AS click_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           c.value AS click_value
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+    """,
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join with an event-time interval condition: purchases
+    x same-user clicks within the preceding hour. Streaming replay
+    (tests/test_streaming.py) runs the SAME transform over two watermarked
+    file streams — Spark buffers only the interval's worth of click state;
+    batch verifies the exact pair set against DuckDB."""
+    return transforms.clicks_before_purchase(load_table(spark, sf_dir, "events"))

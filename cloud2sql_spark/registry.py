@@ -39,6 +39,7 @@ _QUERY_MODULES = [
     "cloud2sql_spark.queries.streaming",
     "cloud2sql_spark.queries.udx",
     "cloud2sql_spark.queries.extensions",
+    "cloud2sql_spark.queries.curation",
     "cloud2sql_spark.queries.text",
     "cloud2sql_spark.queries.multimodal",
 ]

@@ -124,3 +124,40 @@ def counts_by_type(events: DataFrame) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.count("*").alias("n_events"), _sum_value().alias("total_value")
     )
+
+
+def clicks_before_purchase(events: DataFrame) -> DataFrame:
+    """Stream-stream INNER interval join: each purchase matched to the
+    same user's clicks in the preceding hour (inclusive bounds). On a
+    stream both sides carry event-time watermarks and the interval
+    condition bounds join state: Spark buffers only one hour of clicks
+    per watermark advance — the canonical bounded stream-stream join.
+    On batch the same plan is a plain range-condition join, so the
+    DuckDB oracle verifies the full pair set exactly."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if clicks.isStreaming:
+        clicks = clicks.withWatermark("click_ts", "1 hour")
+        purchases = purchases.withWatermark("purchase_ts", "1 hour")
+    cond = (
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "purchase_id",
+        F.col("p_user_id").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        "click_value",
+    )

@@ -416,8 +416,8 @@ def test_sources_collect_concurrently(spark, monkeypatch):
 
     from cloud2sql_spark.etl import pipeline
 
-    monkeypatch.setitem(pipeline.SOURCES, "slow_a", _slow_example_factory(0.6))
-    monkeypatch.setitem(pipeline.SOURCES, "slow_b", _slow_example_factory(0.6))
+    monkeypatch.setitem(pipeline.SOURCES, "slow_a", _slow_example_factory(1.0))
+    monkeypatch.setitem(pipeline.SOURCES, "slow_b", _slow_example_factory(1.0))
     out = os.path.join(_TMP, "concurrent_out")
     cfg = parse_config(
         "sources:\n  slow_a:\n  slow_b:\n"
@@ -427,18 +427,18 @@ def test_sources_collect_concurrently(spark, monkeypatch):
     counts = collect(spark, cfg, destination_from_config(cfg))
     elapsed = time.time() - t0
     assert counts == GOLDEN_COUNTS  # both produce the same example graph
-    # sequential would be >= 1.2s of sleep alone; allow generous headroom
+    # sequential would be >= 2.0s of sleep alone; allow generous headroom
     # for the Spark jobs that follow the overlapped sleeps
-    assert elapsed < 1.2 + 8, elapsed
-    # the sleeps themselves overlapped: both sources' collect phases fit
-    # well under the 1.2s a serial run would need before any Spark work.
-    # (measured separately to stay robust on loaded CI machines)
+    assert elapsed < 2.0 + 8, elapsed
+    # the sleeps themselves overlapped: a serial run needs >= 2.0s of
+    # sleep before any Spark work; concurrent is ~1.0s + flatten overhead
+    # (~0.5s on a loaded box), so 1.9s cleanly separates the two.
     t0 = time.time()
     with ThreadPoolExecutor(max_workers=2) as pool:
         fa = pool.submit(pipeline._run_source, spark, "slow_a", None)
         fb = pool.submit(pipeline._run_source, spark, "slow_b", None)
         fa.result(), fb.result()
-    assert time.time() - t0 < 1.15, "sources serialized"
+    assert time.time() - t0 < 1.9, "sources serialized"
 
 
 def test_failing_source_blocks_promote(spark, monkeypatch):

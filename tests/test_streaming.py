@@ -94,3 +94,19 @@ def test_stream_static_join_equals_batch(spark, sf_dir, replay_dir):
     _assert_same_rows(
         result, batch, ["event_id", "user_id", "event_type", "c_mktsegment"]
     )
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, replay_dir):
+    """Two watermarked file streams (purchases x clicks from the same
+    replay) joined on user + 1h interval must equal the batch join.
+    In-order replay with availableNow drains everything before the final
+    watermark, so the inner join loses nothing."""
+    stream = transforms.clicks_before_purchase(
+        replay.read_event_stream(spark, replay_dir, files_per_trigger=3)
+    )
+    result = replay.run_to_memory(stream, "mem_ssj", output_mode="append")
+    batch = transforms.clicks_before_purchase(load_table(spark, sf_dir, "events"))
+    _assert_same_rows(
+        result, batch,
+        ["purchase_id", "user_id", "purchase_ts", "click_id", "click_ts", "click_value"],
+    )
