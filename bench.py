@@ -42,12 +42,18 @@ HEADLINE = [
     "dedup_ngram_capped",
     "dedup_simhash",
     "dedup_embed_cosine",
+    "dedup_cluster_cc",
     "sim_search_topk",
     "sim_search_ivf",
     "sim_search_lsh",
     "text_tokenize_tfidf",
     "text_lang_id",
     "text_fingerprint",
+    "text_pii_redact",
+    "text_contamination",
+    "sample_stratified",
+    "pack_sequences",
+    "stream_stream_interval_join",
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frames",

@@ -48,6 +48,12 @@ PROBE_KEYS = [
     "text_tokenize_tfidf",
     "text_lang_id",
     "multimodal_decode",
+    "dedup_cluster_cc",
+    "sample_stratified",
+    "pack_sequences",
+    "text_pii_redact",
+    "text_contamination",
+    "stream_stream_interval_join",
 ]
 
 
