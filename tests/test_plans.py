@@ -119,3 +119,33 @@ def test_grouped_map_has_no_giant_groups(spark, sf_dir):
     # and the operator still runs through applyInPandas
     plan = _QUERIES["udf_grouped_map"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_contamination_broadcasts_eval_index(spark, sf_dir):
+    # the eval shingle index is bounded (held-out set); the 100 TB train
+    # side must stream past it map-side, never shuffle for the join
+    plan = _physical(_QUERIES["text_contamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pii_redact_stays_in_codegen(spark, sf_dir):
+    # regex redaction is pure column expressions: no exchange at all and
+    # no Python evaluation — one codegen'd scan-project
+    plan = _physical(_QUERIES["text_pii_redact"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+    # "*(1)" marks a WholeStageCodegen stage in executedPlan().toString()
+    assert "*(1)" in plan, plan
+
+
+def test_pack_sequences_single_window_shuffle(spark, sf_dir):
+    # one keyed exchange for the per-lang window; a second shuffle would
+    # mean the prefix sum re-partitions the packed shards
+    plan = _physical(_QUERIES["pack_sequences"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_sample_stratified_single_window_shuffle(spark, sf_dir):
+    # rank + stratum count share ONE (lang, source) window partitioning
+    plan = _physical(_QUERIES["sample_stratified"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
