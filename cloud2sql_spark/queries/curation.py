@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cloud2sql_spark.catalog import load_table
-from cloud2sql_spark.queries.extensions import _SHINGLES_SQL, _WS_SHINGLES_EXPR
+from cloud2sql_spark.queries.extensions import (
+    _CAPPED_PAIRS_SQL,
+    _SHINGLES_SQL,
+    _WS_SHINGLES_EXPR,
+)
 from cloud2sql_spark.registry import register
 
 
@@ -229,4 +233,38 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("train_doc_id", "eval_doc_id")
         .agg(F.count("*").alias("n_shared_shingles"))
         .filter(F.col("n_shared_shingles") >= 5)
+    )
+
+
+@register(
+    "dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_CAPPED_PAIRS_SQL}),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+    lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+    drop_ids AS (SELECT doc_id FROM lab WHERE doc_id != cluster_id)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)
+    """,
+)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated corpus: documents minus every near-dup cluster member
+    except the min-doc_id representative — dedup DETECTION
+    (dedup_cluster_cc) actually APPLIED, which is the artifact a training
+    pipeline ships. The drop list is the (tiny) set of non-representative
+    cluster members, so the corpus-sized side is one broadcast anti-join
+    — no shuffle of the 100 TB table."""
+    from cloud2sql_spark.queries.extensions import dedup_cluster_cc
+
+    clusters = dedup_cluster_cc(spark, sf_dir)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
     )

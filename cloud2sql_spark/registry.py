@@ -116,6 +116,9 @@ _PRIORITY = [
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frames",
+    # position 51+: past the observed 50-row driver window, ahead of the
+    # round-1-proven relational core
+    "dedup_apply",
 ]
 
 

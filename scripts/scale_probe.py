@@ -49,6 +49,7 @@ PROBE_KEYS = [
     "text_lang_id",
     "multimodal_decode",
     "dedup_cluster_cc",
+    "dedup_apply",
     "sample_stratified",
     "pack_sequences",
     "text_pii_redact",
