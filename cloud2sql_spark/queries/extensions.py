@@ -238,8 +238,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join — the deterministic ground truth the approximate dedup
     variants are judged against. Pair volume is Σ df² over shingles (54k
     here; at scale, cap df to drop stop-shingles — near-dup pairs always
-    share rare shingles)."""
-    return _exact_jaccard_pairs(_doc_shingles(spark, sf_dir), 0.5)
+    share rare shingles).
+
+    nonempty=True builds the SAME index plan as minhash/capped/cc (docs
+    with empty shingle sets produce no tokens, hence no pairs — output
+    identical), so one cached shingle index serves every dedup op in a
+    session, the way a production pipeline shares it."""
+    return _exact_jaccard_pairs(_doc_shingles(spark, sf_dir, nonempty=True), 0.5)
 
 
 @register(
