@@ -36,6 +36,8 @@ HEADLINE = [
     "fn_json",
     "stream_tumbling",
     "stream_session",
+    "udf_pandas_scalar",
+    "udf_grouped_map",
     "dedup_exact",
     "dedup_near_minhash",
     "dedup_ngram_jaccard",

@@ -72,7 +72,12 @@ def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized (Arrow-batched) scalar UDF. Pure float64 elementwise ops
     are IEEE-deterministic, so the raw doubles hash-match the oracle."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # repartition: the single-file fixture scans as 3 splits, so the
+    # Arrow transfer + Python eval ran on 3 of 32 cores (measured 4x the
+    # stage); a lake table with many files doesn't need this
+    li = load_table(spark, sf_dir, "lineitem").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     @F.pandas_udf("double")
     def revenue(price: pd.Series, discount: pd.Series) -> pd.Series:
@@ -160,11 +165,19 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         out["demeaned"] = pdf["l_quantity"] - pdf["grp_mean"]
         return out
 
-    return (
+    # explicit repartition on the exact group keys: AQE coalesces the
+    # skinny pre-group shuffle by bytes (32 -> 8 partitions here), which
+    # starves the CPU-heavy pandas stage; an explicit count is exempt,
+    # and groupBy over the same keys reuses the partitioning (no second
+    # exchange)
+    salted = (
         li.join(F.broadcast(means), "l_returnflag")
-        .groupBy("l_returnflag", F.pmod("l_orderkey", F.lit(1024)).alias("salt"))
-        .applyInPandas(demean, schema)
+        .withColumn("salt", F.pmod("l_orderkey", F.lit(1024)))
+        .repartition(
+            spark.sparkContext.defaultParallelism, "l_returnflag", "salt"
+        )
     )
+    return salted.groupBy("l_returnflag", "salt").applyInPandas(demean, schema)
 
 
 @register(

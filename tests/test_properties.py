@@ -97,3 +97,56 @@ def test_s3_key_starting_with_bucket_name_not_stripped():
         normalize_s3_url("https://s3.us-east-1.amazonaws.com/foo/foo/bar")
         == "s3a://foo/foo/bar"
     )
+
+
+# ---------------------------------------------------------------------------
+# curation op invariants (pure-python mirrors of the SQL/window logic)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=600), min_size=1, max_size=200)
+)
+@settings(max_examples=100, deadline=None)
+def test_pack_sequences_invariants(token_counts):
+    """The streaming pack (bin = exclusive-prefix // B) guarantees:
+    offsets stay in [0, B); bin ids are non-decreasing; every bin except
+    possibly the last one is filled past B once the next doc starts a new
+    bin (no empty bins skipped)."""
+    B = 512
+    prefix = 0
+    last_bin = 0
+    seen_bins = set()
+    for n in token_counts:
+        bin_id = prefix // B
+        offset = prefix - bin_id * B
+        assert 0 <= offset < B
+        assert bin_id >= last_bin
+        seen_bins.add(bin_id)
+        last_bin = bin_id
+        prefix += n
+    # bins form a contiguous range unless one doc alone spans > B tokens
+    # (a giant doc legitimately jumps past whole bins)
+    if max(token_counts) <= B:
+        assert seen_bins == set(range(min(seen_bins), max(seen_bins) + 1))
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["en", "fr", "de", "es"]),
+        st.integers(min_value=1, max_value=500),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_stratified_quota_exact(strata):
+    """ceil(0.1 * n) per stratum: the quota the window filter keeps is
+    exact — never rounds a stratum down to zero and never exceeds 10%+1."""
+    import math
+
+    for _, n in strata.items():
+        q = math.ceil(0.1 * n)
+        assert q >= 1
+        assert q <= n
+        assert q - 1 < 0.1 * n <= q or q == 1
