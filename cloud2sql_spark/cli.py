@@ -76,6 +76,12 @@ def main(argv: list[str] | None = None) -> int:
     # test harness) keep theirs
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("cloud2sql_spark-etl")
+    # reference log-level mapping (__main__.py:65): --show log surfaces
+    # engine logs (DEBUG with --debug, else INFO); any other mode keeps
+    # the engine quiet and uses the progress channel instead
+    raised_log_level = args.show == "log"
+    if raised_log_level:
+        spark.sparkContext.setLogLevel("DEBUG" if args.debug else "INFO")
     # A17: --show progress streams per-source/per-table lines plus Spark
     # stage-level task progress to stderr (reference collect.py:165-179)
     reporter = (
@@ -97,6 +103,9 @@ def main(argv: list[str] | None = None) -> int:
     finally:
         if owns_session:
             spark.stop()
+        elif raised_log_level:
+            # embedded caller keeps its session: restore the quiet level
+            spark.sparkContext.setLogLevel("WARN")
 
 
 if __name__ == "__main__":

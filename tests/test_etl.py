@@ -518,3 +518,22 @@ def test_cli_show_progress(spark, capfd):
     assert cli.main(["--config", cfg_path, "--show", "none"]) == 0
     captured = capfd.readouterr()
     assert "[example]" not in captured.err
+
+
+def test_cli_show_log_mode(spark, capfd):
+    """--show log surfaces engine logs instead of the progress channel
+    (reference __main__.py:65 log-level mapping) and still completes."""
+    from cloud2sql_spark import cli
+
+    out = os.path.join(_TMP, "cli_log_out")
+    cfg_path = os.path.join(_TMP, "cli_log.yaml")
+    os.makedirs(_TMP, exist_ok=True)
+    with open(cfg_path, "w") as fh:
+        fh.write(
+            "sources:\n  example:\n"
+            f"destinations:\n  file:\n    path: {out}\n    format: csv\n"
+        )
+    assert cli.main(["--config", cfg_path, "--show", "log"]) == 0
+    captured = capfd.readouterr()
+    assert "[example]" not in captured.err  # no progress lines in log mode
+    assert "done: 13 tables" in captured.out
