@@ -178,3 +178,55 @@ def project_nested_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("payload.profile.name").alias("name"),
         F.col("payload.profile.bal").alias("bal"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "subquery_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery via Spark SQL — exercises Catalyst's
+    RewritePredicateSubquery (EXISTS -> left-semi join), the declarative
+    form users write; join_semi is the same physical shape expressed with
+    the DataFrame API."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+        """
+    )
+
+
+@register(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate: orders above 90% of the max order
+    total. max() is order-insensitive and 0.9*x is one IEEE multiply, so
+    the threshold is bit-identical across engines (an avg() here would
+    diverge on float summation order). Catalyst plans the subquery as a
+    broadcast scalar."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)
+        """
+    )

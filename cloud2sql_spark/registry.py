@@ -119,6 +119,9 @@ _PRIORITY = [
     # position 51+: past the observed 50-row driver window, ahead of the
     # round-1-proven relational core
     "dedup_apply",
+    "agg_pivot",
+    "subquery_exists",
+    "subquery_scalar",
 ]
 
 
