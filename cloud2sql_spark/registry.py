@@ -122,6 +122,7 @@ _PRIORITY = [
     "agg_pivot",
     "subquery_exists",
     "subquery_scalar",
+    "agg_approx_quantile",
 ]
 
 

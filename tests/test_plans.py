@@ -149,3 +149,19 @@ def test_sample_stratified_single_window_shuffle(spark, sf_dir):
     # rank + stratum count share ONE (lang, source) window partitioning
     plan = _physical(_QUERIES["sample_stratified"](spark, sf_dir))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_exists_rewrites_to_semi_join(spark, sf_dir):
+    # Catalyst's RewritePredicateSubquery: EXISTS must become a semi join
+    # (broadcast here — orders' key column is the build side), never a
+    # full join + dedup
+    plan = _physical(_QUERIES["subquery_exists"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+
+
+def test_scalar_subquery_prunes_and_broadcasts(spark, sf_dir):
+    # the subquery scan must read ONLY o_totalprice (pruned), and the
+    # threshold comparison must appear in the outer scan's data filters
+    plan = _physical(_QUERIES["subquery_scalar"](spark, sf_dir))
+    assert "Subquery subquery" in plan, plan
+    assert "ReadSchema: struct<o_totalprice:double>" in plan, plan
