@@ -21,6 +21,23 @@ from cloud2sql_spark.session import get_spark
 
 # Headline set: one representative per operator family; extended as
 # families land. Keys absent from the registry are skipped (forward-compat).
+#
+# The set GROWS round over round (round 1 had 29 queries; new operators are
+# added as they land), so the headline total is not comparable across
+# rounds by itself — the JSON also emits `r01_set_total`, the subtotal over
+# exactly the 29 keys round 1 timed, for a like-for-like round comparison.
+R01_SET = [
+    "agg_groupby", "agg_count_distinct", "agg_rollup", "agg_stats",
+    "join_multiway_star", "join_asof", "win_row_number", "win_running_sum",
+    "sort_multikey", "set_union_distinct", "fn_string", "fn_json",
+    "stream_tumbling", "stream_session", "dedup_exact", "dedup_near_minhash",
+    "dedup_ngram_jaccard", "dedup_ngram_capped", "dedup_simhash",
+    "dedup_embed_cosine", "sim_search_topk", "sim_search_ivf",
+    "sim_search_lsh", "text_tokenize_tfidf", "text_lang_id",
+    "text_fingerprint", "multimodal_decode", "multimodal_resize",
+    "multimodal_frames",
+]
+
 HEADLINE = [
     "agg_groupby",
     "agg_count_distinct",
@@ -97,6 +114,9 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(per_query.values()), 3)
+    r01_total = round(
+        sum(v for k, v in per_query.items() if k in set(R01_SET)), 3
+    )
     print(
         json.dumps(
             {
@@ -104,6 +124,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "r01_set_total": r01_total,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
