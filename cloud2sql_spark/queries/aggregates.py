@@ -387,3 +387,38 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, name AS charge_kind,
+           CAST(value AS DOUBLE) AS amount
+    FROM (SELECT l_orderkey, l_linenumber,
+                 l_extendedprice AS price, l_discount AS discount,
+                 l_tax AS tax
+          FROM lineitem WHERE l_orderkey % 100 = 0)
+    UNPIVOT (value FOR name IN (price, discount, tax))
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-line charge columns to long
+    (kind, amount) rows — the inverse of agg_pivot, used to normalize
+    metric columns before keyed aggregation. Spark's native unpivot is a
+    zero-shuffle Expand node (rows multiply map-side); values pass
+    through unchanged so the hash check is exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["price", "discount", "tax"],
+        "charge_kind",
+        "amount",
+    )

@@ -225,3 +225,31 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderdate").over(w).alias("last_order_date"),
         F.first("o_orderkey").over(w).alias("first_order_key"),
     )
+
+
+@register(
+    "win_ntile_percent",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile quartiles, percent_rank,
+    cume_dist per customer ordered by spend. Rank positions are integers
+    and the divisors are row counts, so the rounded ratios are exact
+    rationals — identical across engines. o_orderkey tie-break keeps the
+    frame deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )

@@ -123,6 +123,8 @@ _PRIORITY = [
     "subquery_exists",
     "subquery_scalar",
     "agg_approx_quantile",
+    "win_ntile_percent",
+    "agg_unpivot",
 ]
 
 
