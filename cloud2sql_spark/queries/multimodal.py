@@ -141,9 +141,11 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents),
     s AS (SELECT doc_id, bl, len(bl) AS n FROM b)
     SELECT doc_id, CAST(n AS INT) AS n_bytes,
-           [CAST(list_aggregate(bl[(i*n)//16 + 1 : ((i+1)*n)//16], 'sum')
-                 AS DOUBLE) / (((i+1)*n)//16 - (i*n)//16)
-            for i in range(0, 16)] AS resized
+           array_to_string(
+             [CAST(floor(CAST(list_aggregate(
+                      bl[(i*n)//16 + 1 : ((i+1)*n)//16], 'sum') AS DOUBLE)
+                    / (((i+1)*n)//16 - (i*n)//16) * 1000000 + 0.5) AS BIGINT)
+              for i in range(0, 16)], ',') AS resized_q6
     FROM s
     """,
 )
@@ -152,9 +154,14 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream to a fixed 16-bucket signature — the 1-D analogue of image
     thumbnailing (a real decode would produce an HxWxC array and the same
     bucketed mean runs per channel; see decode_image stub). Bucket means
-    are integer sums over fixed bounds divided once in IEEE double, so the
-    arrays hash-match the oracle exactly. Every payload is one Arrow batch
-    row; work is embarrassingly parallel over partitions."""
+    are integer sums over fixed bounds divided once in IEEE double; the
+    signature is serialized as micro-scaled integers (floor(mean*1e6+0.5),
+    comma-joined) because the driver's canonicalizer sorts result columns
+    with pandas and cannot hash ARRAY cells (round-2 red row) — the same
+    array→string repair agg_collect needed in round 1. Both sides run the
+    identical IEEE double ops, so the strings match exactly. Every payload
+    is one Arrow batch row; work is embarrassingly parallel over
+    partitions."""
     mm = (
         _with_payload(load_table(spark, sf_dir, "documents"))
         .select("doc_id", "payload")
@@ -173,18 +180,19 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bounds = (np.arange(w + 1) * n) // w
                 sums = np.add.reduceat(arr, bounds[:-1])
                 means = sums / np.diff(bounds)
+                q6 = np.floor(means * 1e6 + 0.5).astype(np.int64)
                 n_bytes.append(n)
-                resized.append(means.tolist())
+                resized.append(",".join(map(str, q6)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": pd.array(n_bytes, dtype="int32"),
-                    "resized": resized,
+                    "resized_q6": resized,
                 }
             )
 
     return mm.mapInPandas(
-        resize, "doc_id BIGINT, n_bytes INT, resized ARRAY<DOUBLE>"
+        resize, "doc_id BIGINT, n_bytes INT, resized_q6 STRING"
     )
 
 
