@@ -422,3 +422,105 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "charge_kind",
         "amount",
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY n DESC, o_orderpriority) AS rk
+      FROM counts)
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_n
+    FROM ranked WHERE rk = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent o_orderpriority per
+    status, ties broken by value). Built as count + row_number rather than
+    the built-in mode(), whose tie-breaking is engine-defined — the
+    count's partial aggregation shrinks the shuffle to |status x priority|
+    and the window then runs over that tiny grouped set, not the fact
+    table."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_n"),
+        )
+    )
+
+
+@register(
+    "agg_corr_regr",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 2)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 4)        AS r2,
+           regr_count(l_extendedprice, l_quantity)               AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (price ~ quantity per return flag):
+    slope, intercept, R², count — single-pass partial-aggregable moments,
+    the same shuffle shape as sum/avg. Rounded like agg_stats' corr
+    (cross-engine double accumulation differs in the last bits)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 2).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
+
+
+@register(
+    "agg_freq_items",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+      FROM documents),
+    counts AS (
+      SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY token)
+    SELECT token, n
+    FROM counts
+    WHERE n * 100 >= (SELECT sum(n) FROM counts)
+    """,
+)
+def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: tokens covering >= 1% of the corpus token mass.
+    Explode + keyed count (map-side combined), then a scalar total joined
+    back by broadcast. The support test is integer arithmetic (n*100 >=
+    total), so no float thresholds. At 100 TB the same plan holds — the
+    candidate set after the support filter is at most 100 items by the
+    pigeonhole bound, which is why Misra-Gries sketches use it too."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("n") * 100 >= F.col("total"))
+        .select("token", "n")
+    )

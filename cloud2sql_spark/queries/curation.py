@@ -268,3 +268,112 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@register(
+    "sample_hash_consistent",
+    oracle="""
+    SELECT doc_id, lang, source,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+    """,
+)
+def sample_hash_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent hash sample (~16%: md5 first byte < 0x29): the web-scale
+    sampling idiom. Membership depends only on doc_id, so the sample is
+    stable under corpus growth/reprocessing (a doc never flips in or out),
+    strata can be compared across runs, and the filter is a pure codegen'd
+    predicate — no shuffle, no RNG state, pushdown-friendly."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.select(
+        "doc_id", "lang", "source", bucket.alias("bucket")
+    ).filter(bucket < "29")
+
+
+@register(
+    "sample_weighted",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             pow( (position(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                            IN '0123456789abcdef') - 1) / 16.0
+                + (position(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)
+                            IN '0123456789abcdef') - 1) / 256.0
+                + (position(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)
+                            IN '0123456789abcdef') - 1) / 4096.0
+                + (position(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)
+                            IN '0123456789abcdef') - 1) / 65536.0
+                + (position(substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)
+                            IN '0123456789abcdef') - 1) / 1048576.0
+                + (position(substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)
+                            IN '0123456789abcdef') - 1) / 16777216.0,
+                1.0 / n_chars) AS k
+      FROM documents)
+    SELECT doc_id, n_chars
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT 25
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis): take
+    the top-k documents by u^(1/w) where w = n_chars and u is a
+    deterministic uniform built from md5(doc_id) hex digits — each digit
+    contributes an exact dyadic term, so u is bit-identical across
+    engines, and md5 replaces the RNG for reproducibility. The plan is
+    TakeOrderedAndProject: O(k) memory per partition, one driver merge,
+    no full sort — the same shape at 100 TB. The sort key itself is not
+    output (pow may differ in the last ulp across libm implementations;
+    ordering is unaffected for distinct keys)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    alpha = F.lit("0123456789abcdef")
+    u = None
+    for i in range(1, 7):
+        digit = F.position(F.substring(h, i, 1), alpha) - 1
+        term = digit / F.lit(float(16**i))
+        u = term if u is None else u + term
+    k = F.pow(u, 1.0 / F.col("n_chars"))
+    return (
+        docs.select("doc_id", "n_chars", k.alias("k"))
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(25)
+        .select("doc_id", "n_chars")
+    )
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+                  regexp_replace(lower(text), '[^a-z0-9 \\t\\n]', ' ', 'g'),
+                  '\\s+', ' ', 'g')) AS norm_text
+      FROM documents)
+    SELECT doc_id, norm_text,
+           CAST(len(string_split(norm_text, ' ')) AS INT) AS n_tokens
+    FROM n
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (the pass every dedup/quality stage
+    assumes): lowercase, strip non-alphanumerics to spaces, collapse runs
+    of whitespace, trim — three codegen'd regex expressions, zero shuffle.
+    Unicode NFC folding is out of scope here (both engines would need ICU
+    for identical behavior); the ASCII subset is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 \t\n]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select("doc_id", norm.alias("norm_text")).select(
+        "doc_id",
+        "norm_text",
+        F.size(F.split("norm_text", " ")).alias("n_tokens"),
+    )

@@ -259,3 +259,103 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("k_tuple", F.col("k_tuple_s").cast("bigint")).drop(
         "k_tuple_s"
     )
+
+
+@register(
+    "fn_regex",
+    oracle="""
+    SELECT doc_id,
+           CAST(regexp_matches(text, '(?i)\\bthe\\b') AS INT)      AS has_the,
+           CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS INT)
+                                                                  AS vowel_runs,
+           regexp_extract(text, '([A-Za-z]{7,})', 1)              AS first_long,
+           CAST(len(regexp_split_to_array(text, '\\s+')) AS INT)  AS ws_fields,
+           regexp_replace(text, '[0-9]+', '#', 'g')               AS masked
+    FROM documents
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family over document text: boolean match, match counting,
+    first-group extraction, regex split, global replace. Patterns stay in
+    the Java<->RE2 common subset (char classes, bounded repeats, \\b, (?i))
+    so both engines agree byte-for-byte; all five run inside whole-stage
+    codegen — regex is the right tool JVM-side long before a Python UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("text").rlike(r"(?i)\bthe\b").cast("int").alias("has_the"),
+        F.regexp_count("text", F.lit(r"[aeiou]{2,}")).cast("int").alias(
+            "vowel_runs"
+        ),
+        F.regexp_extract("text", r"([A-Za-z]{7,})", 1).alias("first_long"),
+        F.size(F.split("text", r"\s+")).alias("ws_fields"),
+        F.regexp_replace("text", r"[0-9]+", "#").alias("masked"),
+    )
+
+
+@register(
+    "fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           struct_pack(status := o_orderstatus,
+                       priority := o_orderpriority).status    AS s_status,
+           struct_pack(status := o_orderstatus,
+                       priority := o_orderpriority).priority  AS s_priority,
+           CAST(struct_pack(status := o_orderstatus,
+                            priority := o_orderpriority)
+                = struct_pack(status := 'F', priority := '1-URGENT')
+                AS INT)                                       AS is_urgent_f
+    FROM orders
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct family: construction, field access, and whole-struct
+    equality (field-wise, both engines). Structs are how the engine
+    carries the reference's nested resource shapes (SURVEY §1.2) through
+    relational operators without flattening early."""
+    o = load_table(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    urgent_f = F.struct(
+        F.lit("F").alias("status"), F.lit("1-URGENT").alias("priority")
+    )
+    return o.select(
+        "o_orderkey",
+        s.getField("status").alias("s_status"),
+        s.getField("priority").alias("s_priority"),
+        (s == urgent_f).cast("int").alias("is_urgent_f"),
+    )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255                 AS low_bits,
+           o_orderkey | 4096                AS with_flag,
+           xor(o_orderkey, 255)             AS flipped_low,
+           o_orderkey << 3                  AS shl3,
+           o_orderkey >> 2                  AS shr2,
+           CAST(bit_count(o_orderkey) AS INT) AS popcount,
+           ~o_orderkey                      AS inverted
+    FROM orders
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family over 64-bit keys: and/or/xor, shifts, popcount,
+    complement — the building blocks of the hash/bucket/bloom arithmetic
+    used across the dedup and sampling operators, all codegen'd JVM-side."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_bits"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(255)).alias("flipped_low"),
+        F.shiftleft(k, 3).alias("shl3"),
+        F.shiftright(k, 2).alias("shr2"),
+        F.bit_count(k).alias("popcount"),
+        F.bitwise_not(k).alias("inverted"),
+    )

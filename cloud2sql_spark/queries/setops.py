@@ -85,3 +85,36 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with open orders but no large ones (set semantics)."""
     return _open_custkeys(spark, sf_dir).subtract(_big_custkeys(spark, sf_dir))
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: each custkey appears min(n_left,
+    n_right) times. Spark plans this as a single hash aggregation over
+    both inputs (counting per side), not a join — one shuffle on the
+    value, duplicate multiplicity preserved."""
+    return _open_custkeys(spark, sf_dir).intersectAll(
+        _big_custkeys(spark, sf_dir)
+    )
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: each custkey appears max(0, n_left -
+    n_right) times. Same single-shuffle counted-aggregation plan as
+    INTERSECT ALL."""
+    return _open_custkeys(spark, sf_dir).exceptAll(_big_custkeys(spark, sf_dir))

@@ -40,6 +40,7 @@ _QUERY_MODULES = [
     "cloud2sql_spark.queries.udx",
     "cloud2sql_spark.queries.extensions",
     "cloud2sql_spark.queries.curation",
+    "cloud2sql_spark.queries.analytics",
     "cloud2sql_spark.queries.text",
     "cloud2sql_spark.queries.multimodal",
 ]

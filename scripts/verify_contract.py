@@ -39,12 +39,17 @@ for name in TABLES:
     path = os.path.join(SF_DIR, f"{name}.parquet")
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
 
-t0 = time.time()
-rows = len(mod.entry(spark).collect())
-print(f"entry rows: {rows} ({time.time() - t0:.1f}s)", flush=True)
-assert rows > 0
+only = sys.argv[1:]  # optional key filters (exact name or prefix)
+
+if not only:
+    t0 = time.time()
+    rows = len(mod.entry(spark).collect())
+    print(f"entry rows: {rows} ({time.time() - t0:.1f}s)", flush=True)
+    assert rows > 0
 
 qs = mod.queries()
+if only:
+    qs = {k: v for k, v in qs.items() if any(k == o or k.startswith(o) for o in only)}
 oracles = mod.oracle_sql()
 failed: list[str] = []
 for key in sorted(qs):
