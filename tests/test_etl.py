@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import os
 import tempfile
-from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 from pyspark.sql import functions as F
@@ -396,12 +395,19 @@ def test_remote_graph_requires_path():
 # ---------------------------------------------------------------------------
 
 
-def _slow_example_factory(delay: float):
+def _slow_example_factory(delay: float, spans: dict, tag: str):
+    """Source that sleeps ``delay`` and records its sleep's wall-clock
+    interval in ``spans[tag]`` so the test can prove the intervals of two
+    sources genuinely overlapped (load-independent, unlike elapsed-time
+    thresholds — Spark job durations vary wildly on a shared box)."""
+
     def factory(cfg):
         def source_fn(sp):
             import time
 
+            start = time.time()
             time.sleep(delay)
+            spans[tag] = (start, time.time())
             return collect_example(sp)
 
         return source_fn, example_catalog
@@ -410,35 +416,28 @@ def _slow_example_factory(delay: float):
 
 
 def test_sources_collect_concurrently(spark, monkeypatch):
-    """Two sources that each block 0.6s must overlap, not serialize
-    (reference runs collectors under a 4-thread pool)."""
-    import time
-
+    """Two sources that each block 1s must overlap, not serialize
+    (reference runs collectors under a 4-thread pool, collect.py:186).
+    Proof = the recorded sleep intervals intersect; a serial pipeline
+    cannot produce intersecting sleeps."""
     from cloud2sql_spark.etl import pipeline
 
-    monkeypatch.setitem(pipeline.SOURCES, "slow_a", _slow_example_factory(1.0))
-    monkeypatch.setitem(pipeline.SOURCES, "slow_b", _slow_example_factory(1.0))
+    spans: dict = {}
+    monkeypatch.setitem(
+        pipeline.SOURCES, "slow_a", _slow_example_factory(1.0, spans, "a")
+    )
+    monkeypatch.setitem(
+        pipeline.SOURCES, "slow_b", _slow_example_factory(1.0, spans, "b")
+    )
     out = os.path.join(_TMP, "concurrent_out")
     cfg = parse_config(
         "sources:\n  slow_a:\n  slow_b:\n"
         f"destinations:\n  file:\n    path: {out}\n    format: csv\n"
     )
-    t0 = time.time()
     counts = collect(spark, cfg, destination_from_config(cfg))
-    elapsed = time.time() - t0
     assert counts == GOLDEN_COUNTS  # both produce the same example graph
-    # sequential would be >= 2.0s of sleep alone; allow generous headroom
-    # for the Spark jobs that follow the overlapped sleeps
-    assert elapsed < 2.0 + 8, elapsed
-    # the sleeps themselves overlapped: a serial run needs >= 2.0s of
-    # sleep before any Spark work; concurrent is ~1.0s + flatten overhead
-    # (~0.5s on a loaded box), so 1.9s cleanly separates the two.
-    t0 = time.time()
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fa = pool.submit(pipeline._run_source, spark, "slow_a", None)
-        fb = pool.submit(pipeline._run_source, spark, "slow_b", None)
-        fa.result(), fb.result()
-    assert time.time() - t0 < 1.9, "sources serialized"
+    (a0, a1), (b0, b1) = spans["a"], spans["b"]
+    assert max(a0, b0) < min(a1, b1), f"sources serialized: {spans}"
 
 
 def test_failing_source_blocks_promote(spark, monkeypatch):
