@@ -6,9 +6,11 @@ files store tz-naive values (pyarrow isAdjustedToUTC=false) and the DuckDB
 oracle reads them as naive TIMESTAMP, so NTZ is the semantically identical
 Spark type regardless of session timezone.
 
-``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's reader rejects;
-with ``spark.sql.legacy.parquet.nanosAsLong=true`` we read it as a long and
-convert ns -> µs -> TIMESTAMP_NTZ exactly the way DuckDB truncates on read.
+``events.ts`` has shipped as TIMESTAMP(NANOS) (rounds 1-2) and
+TIMESTAMP(MICROS) (round 3). ``load_table`` peeks the parquet footer for the
+real unit: MICROS reads natively as TIMESTAMP_NTZ; NANOS (which Spark's
+reader rejects) falls back to ``spark.sql.legacy.parquet.nanosAsLong=true``
++ an exact ns -> µs -> TIMESTAMP_NTZ conversion matching DuckDB's truncation.
 """
 
 from __future__ import annotations
@@ -139,16 +141,54 @@ _NS_TO_NTZ = (
     "CAST({col} DIV 1000 AS DECIMAL(20, 0)) / CAST(1000000 AS DECIMAL(10, 0)))"
 )
 
+# events schema variant for fixtures whose ts is already µs TIMESTAMP —
+# read natively as NTZ (full pushdown; no conversion expression needed).
+_EVENTS_TS_NTZ = T.StructType(
+    [
+        f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
+        for f in SCHEMAS["events"].fields
+    ]
+)
+
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def _events_ts_unit(path: str) -> str:
+    """Peek the parquet footer for the physical time unit of ``ts``.
+
+    Driver-side metadata-only read (one footer, no row groups) — O(KB)
+    regardless of table size, so it is scale-safe. The fixture generator has
+    shipped both TIMESTAMP(NANOS) (rounds 1-2) and TIMESTAMP(MICROS)
+    (round 3) files; trusting a hardcoded unit silently shifts every event
+    into 1970, so we look instead of guessing.
+    """
+    if path not in _TS_UNIT_CACHE:
+        import pyarrow.parquet as pq
+
+        probe = path
+        if os.path.isdir(path):
+            inner = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )
+            probe = os.path.join(path, inner[0])
+        field = pq.ParquetFile(probe).schema_arrow.field("ts")
+        _TS_UNIT_CACHE[path] = getattr(field.type, "unit", "us")
+    return _TS_UNIT_CACHE[path]
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame with the canonical schema."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # The legacy flag is runtime-settable; set defensively in case the
-        # caller's session was built without it.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.schema(SCHEMAS[name]).parquet(path)
-        return df.withColumn("ts", F.expr(_NS_TO_NTZ.format(col="ts")))
+        if _events_ts_unit(path) == "ns":
+            # TIMESTAMP(NANOS): Spark's vectorized reader rejects it; read
+            # the raw ns long (legacy flag is runtime-settable — set
+            # defensively in case the caller's session was built without
+            # it) and convert ns -> µs -> NTZ exactly like DuckDB does.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.schema(SCHEMAS[name]).parquet(path)
+            return df.withColumn("ts", F.expr(_NS_TO_NTZ.format(col="ts")))
+        return spark.read.schema(_EVENTS_TS_NTZ).parquet(path)
     return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
