@@ -1,0 +1,279 @@
+"""Embedding-column operators (B-12 extension surface; training-data
+pipeline shapes over ``embeddings.embedding``: array<float>, 64-dim).
+
+The reference delegates all analytics to the destination database
+(README.md:221-224); an LLM-data pipeline additionally needs native
+vector-column plumbing: normalization, per-dimension statistics,
+quantization, and clustering. Everything here rides the shared
+milli-integer quantization (extensions._quantized) so Spark and DuckDB
+do EXACT integer arithmetic and agree bit-for-bit; the only floating
+point is a final deterministic expression (sqrt / one division chain)
+applied to exact integers on both sides.
+
+Scale notes: all four operators are linear scans plus at most one keyed
+shuffle on a bounded key space (64 dims / 8 clusters). The k-means step
+broadcasts 8 centroids; centroid updates are per-dimension integer sums
+(map-side combined). Nothing here materializes pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloud2sql_spark.queries.extensions import _QUANT_SQL, _int_dot, _quantized
+from cloud2sql_spark.registry import register
+
+
+def _int_sum(col: Column | str) -> Column:
+    """Exact integer fold-sum of an array<long> column."""
+    return F.aggregate(col, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+@register(
+    "embed_normalize",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, label, {_QUANT_SQL} AS v FROM embeddings)
+    SELECT vec_id, label,
+           round(sqrt(CAST(list_dot_product(v, v) AS DOUBLE)) / 1000, 6)
+               AS l2_norm,
+           round(CAST(list_aggregate(v, 'sum') AS DOUBLE)
+                 / sqrt(CAST(list_dot_product(v, v) AS DOUBLE)), 6)
+               AS unit_sum
+    FROM q
+    """,
+)
+def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization summary per vector: the norm itself and the sum of
+    the unit vector's components (a hasher-safe scalar checksum of the
+    normalized array — ARRAY cells break the driver's canonicalizer, so
+    array-valued results are always serialized or summarized). Norm² is an
+    exact integer dot product; sqrt + one division are the only floating
+    ops, identical on both engines. Pure projection: no shuffle at any
+    scale."""
+    q = _quantized(spark, sf_dir)
+    nrm = F.sqrt(_int_dot("v", "v").cast("double"))
+    return q.select(
+        "vec_id",
+        "label",
+        F.round(nrm / 1000, 6).alias("l2_norm"),
+        F.round(_int_sum("v").cast("double") / nrm, 6).alias("unit_sum"),
+    )
+
+
+@register(
+    "embed_dim_stats",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+    flat AS (SELECT i AS dim, v[i] AS val
+             FROM q, generate_series(1, 64) g(i)),
+    s AS (SELECT dim, count(*) AS n,
+                 CAST(sum(val) AS DOUBLE) AS s1,
+                 CAST(sum(val * val) AS DOUBLE) AS s2
+          FROM flat GROUP BY dim)
+    SELECT CAST(dim AS INT) AS dim,
+           round(s1 / n / 1000, 6) AS mean_val,
+           round(sqrt((s2 - s1 * s1 / n) / (n - 1)) / 1000, 6) AS std_val
+    FROM s
+    """,
+)
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/stddev across the corpus — the feature-scaling
+    pass before PCA/whitening. Explode is 64× but each output row is two
+    ints, and the groupBy key space is exactly 64, so partial aggregation
+    collapses everything map-side; the final shuffle moves 64 rows per
+    partition regardless of corpus size. Stddev is computed from exact
+    integer Σx and Σx² via one deterministic double expression (never the
+    engines' own order-dependent stddev accumulators)."""
+    q = _quantized(spark, sf_dir)
+    flat = q.select(F.posexplode("v").alias("pos", "val")).select(
+        (F.col("pos") + 1).cast("int").alias("dim"), "val"
+    )
+    s = flat.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").cast("double").alias("s1"),
+        F.sum(F.col("val") * F.col("val")).cast("double").alias("s2"),
+    )
+    n = F.col("n")
+    return s.select(
+        "dim",
+        F.round(F.col("s1") / n / 1000, 6).alias("mean_val"),
+        F.round(
+            F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)) / 1000,
+            6,
+        ).alias("std_val"),
+    )
+
+
+@register(
+    "embed_quantize",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS max_abs
+          FROM q),
+    qz AS (SELECT vec_id, max_abs,
+                  list_transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 127
+                                                    / max_abs, 0) AS BIGINT))
+                      AS qv,
+                  v
+           FROM m WHERE max_abs > 0)
+    SELECT vec_id,
+           CAST(max_abs AS BIGINT) AS max_abs_milli,
+           list_aggregate(qv, 'sum') AS q_checksum,
+           round(list_aggregate(
+                     list_transform(
+                         list_zip(v, qv),
+                         p -> abs(CAST(p[1] AS DOUBLE)
+                                  - CAST(p[2] AS DOUBLE) * max_abs / 127)),
+                     'sum') / 64 / 1000, 6) AS mean_abs_err
+    FROM qz
+    """,
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (scale = max|x|/127): emits
+    the scale, an exact integer checksum of the quantized codes, and the
+    mean absolute dequantization error. Quantized codes are exact on both
+    engines (integer inputs, one double multiply-divide, same half-up
+    round); the error sum is a sequential fold over the same list on both
+    sides, so even its floating accumulation is order-identical. Pure
+    per-row projection — embarrassingly parallel at any scale."""
+    q = _quantized(spark, sf_dir)
+    m = q.select(
+        "vec_id",
+        "v",
+        F.array_max(F.transform("v", lambda x: F.abs(x))).alias("max_abs"),
+    ).filter(F.col("max_abs") > 0)
+    qv = F.transform(
+        "v",
+        lambda x: F.round(x.cast("double") * 127 / F.col("max_abs"), 0).cast(
+            "long"
+        ),
+    )
+    qz = m.withColumn("qv", qv)
+    err = F.aggregate(
+        F.zip_with(
+            "v",
+            "qv",
+            lambda x, c: F.abs(
+                x.cast("double") - c.cast("double") * F.col("max_abs") / 127
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return qz.select(
+        "vec_id",
+        F.col("max_abs").alias("max_abs_milli"),
+        _int_sum("qv").alias("q_checksum"),
+        F.round(err / 64 / 1000, 6).alias("mean_abs_err"),
+    )
+
+
+@register(
+    "embed_kmeans_assign",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(CAST(list_dot_product(v, v) AS DOUBLE))
+                     AS nrm FROM q),
+    seeds AS (SELECT vec_id AS cluster, v AS c, nrm AS cn
+              FROM n WHERE vec_id < 8),
+    a1 AS (SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, s.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY CAST(list_dot_product(e.v, s.c) AS DOUBLE)
+                            / (e.nrm * s.cn) DESC, s.cluster) AS rn
+        FROM n e, seeds s)
+      WHERE rn = 1),
+    flat AS (SELECT a.cluster, i AS dim, e.v[i] AS val
+             FROM a1 a JOIN q e USING (vec_id),
+                  generate_series(1, 64) g(i)),
+    sums AS (SELECT cluster, dim, CAST(sum(val) AS BIGINT) AS s
+             FROM flat GROUP BY cluster, dim),
+    cnorm AS (SELECT cluster,
+                     sqrt(CAST(sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                               AS DOUBLE)) AS cn
+              FROM sums GROUP BY cluster),
+    eflat AS (SELECT vec_id, i AS dim, v[i] AS val
+              FROM q, generate_series(1, 64) g(i)),
+    dots AS (SELECT f.vec_id, s.cluster, CAST(sum(f.val * s.s) AS DOUBLE)
+                        AS dot
+             FROM eflat f JOIN sums s ON f.dim = s.dim
+             GROUP BY f.vec_id, s.cluster),
+    a2 AS (SELECT vec_id, cluster, cos FROM (
+        SELECT d.vec_id, d.cluster,
+               d.dot / (e.nrm * c.cn) AS cos,
+               row_number() OVER (PARTITION BY d.vec_id
+                   ORDER BY d.dot / (e.nrm * c.cn) DESC, d.cluster) AS rn
+        FROM dots d JOIN n e ON d.vec_id = e.vec_id
+                    JOIN cnorm c ON d.cluster = c.cluster)
+      WHERE rn = 1)
+    SELECT vec_id, CAST(cluster AS INT) AS cluster, round(cos, 6) AS cosine
+    FROM a2
+    """,
+)
+def embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration of spherical k-means (k=8, cosine metric):
+    seed with the 8 lowest-id vectors, assign, recompute centroids, then
+    re-assign. Centroids are kept as per-dimension INTEGER SUMS — cosine is
+    scale-invariant, so the sum-centroid scores identically to the mean
+    while every dot product stays exact int64 (both engines agree
+    bit-for-bit; the only doubles are final sqrt/divide chains). Plan
+    shape: centroids broadcast (8 rows), updates are a 64×8-key partial
+    aggregation, scoring joins a 512-row table — the fact side never
+    shuffles on the pair axis. At larger component magnitudes (≳1e9 per
+    summed dim) renormalize centroids per round to stay in int64.
+    """
+    q = _quantized(spark, sf_dir).select("vec_id", "v")
+    n = q.withColumn("nrm", F.sqrt(_int_dot("v", "v").cast("double")))
+    seeds = n.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.col("v").alias("c"),
+        F.col("nrm").alias("cn"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cluster")
+    a1 = (
+        n.crossJoin(F.broadcast(seeds))
+        .withColumn(
+            "cos",
+            _int_dot("v", "c").cast("double") / (F.col("nrm") * F.col("cn")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster")
+    )
+    # centroid update: per-(cluster, dim) integer sums, rebuilt into arrays
+    flat = a1.join(q, "vec_id").select(
+        "cluster", F.posexplode("v").alias("dim", "val")
+    )
+    sums = flat.groupBy("cluster", "dim").agg(F.sum("val").alias("s"))
+    cents = sums.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "s"))), lambda x: x["s"]
+        ).alias("c")
+    )
+    cents = cents.withColumn(
+        "cn",
+        F.sqrt(
+            F.aggregate(
+                "c",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
+    )
+    a2 = (
+        n.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cos",
+            _int_dot("v", "c").cast("double") / (F.col("nrm") * F.col("cn")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return a2.select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.round("cos", 6).alias("cosine"),
+    )

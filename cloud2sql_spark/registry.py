@@ -43,6 +43,7 @@ _QUERY_MODULES = [
     "cloud2sql_spark.queries.analytics",
     "cloud2sql_spark.queries.text",
     "cloud2sql_spark.queries.multimodal",
+    "cloud2sql_spark.queries.embeddings",
 ]
 
 _loaded = False
@@ -70,9 +71,7 @@ _PRIORITY = [
     "agg_approx_quantile",
     "win_ntile_percent",
     "agg_unpivot",
-    # new in round 3 (names may precede their module landing; ignored until
-    # registered)
-    "events_sessionize",
+    # new in round 3
     "events_funnel",
     "events_retention",
     "events_rollup_time",
@@ -88,11 +87,28 @@ _PRIORITY = [
     "sample_weighted",
     "text_normalize",
     "embed_normalize",
+    "embed_dim_stats",
+    "embed_quantize",
     "embed_kmeans_assign",
     "join_bloom_pruned",
-    "scan_delta_incremental",
     "win_pattern_match",
     "graph_degree",
+    "events_path_transitions",
+    "events_anomaly_zscore",
+    "events_rolling_dau",
+    "agg_string_agg",
+    "agg_percentile_exact",
+    "agg_bool_bitwise",
+    "fn_format",
+    "fn_hash",
+    "fn_interval_arith",
+    "fn_explode_lateral",
+    "join_interval_overlap",
+    "scan_incremental_files",
+    "text_top_ngrams",
+    "text_histogram",
+    "dedup_prefix_norm",
+    "sample_mixture",
 ]
 
 
