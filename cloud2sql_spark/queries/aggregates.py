@@ -524,3 +524,89 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") * 100 >= F.col("total"))
         .select("token", "n")
     )
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+               AS statuses,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg parity: the distinct status set per priority,
+    serialized sorted-and-joined so both engines produce the identical
+    string (collect_set order is nondeterministic by contract — array_sort
+    before join makes it canonical; same repair as agg_collect's
+    hasher-safe serialization). Partial aggregation dedups map-side; the
+    concatenated value is bounded by the status domain, never by row
+    count."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5)  AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group. Spark's percentile() and
+    DuckDB's quantile_cont share the definition pos = (n-1)·p,
+    v = a + (pos-floor(pos))·(b-a); with integer-valued quantities and
+    dyadic p the interpolation is exact in IEEE double, so values ship
+    unrounded. Exact percentiles buffer each group's values — fine for
+    bounded group counts; the streaming-friendly sibling at unbounded
+    cardinality is agg_approx_quantile (GK sketch)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25D)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.5D)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75D)").alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_bool_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity < 50)   AS all_under_50,
+           bool_or(l_discount > 0.09)  AS any_deep_discount,
+           bit_and(l_linenumber)       AS lines_and,
+           bit_or(l_linenumber)        AS lines_or,
+           bit_xor(CAST(l_orderkey AS BIGINT)) AS orderkey_xor
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean (every/any) and bitwise (AND/OR/XOR) aggregates — all
+    commutative-associative single-pass folds, so partial aggregation
+    collapses each partition to one row per group before the shuffle.
+    bit_xor over a key column doubles as a cheap order-insensitive
+    content checksum (the same trick the driver's value-hash uses)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") < 50).alias("all_under_50"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.bit_and("l_linenumber").alias("lines_and"),
+        F.bit_or("l_linenumber").alias("lines_or"),
+        F.bit_xor(F.col("l_orderkey").cast("bigint")).alias("orderkey_xor"),
+    )

@@ -247,3 +247,149 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = li.select("l_partkey", "l_suppkey").distinct()
     deg = edges.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+@register(
+    "events_path_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n_transitions,
+           count(DISTINCT user_id) AS n_users
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event paths:
+    lead() pairs each event with its successor in (ts, event_id) order,
+    then a keyed count per (from, to). One window shuffle on user_id plus
+    one bounded aggregation (|event_types|² keys) — the journey-analysis
+    shape (Sankey / next-action prediction features) at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH v AS (SELECT event_id, event_type,
+                      CAST(value AS DECIMAL(18,2)) AS v
+               FROM events),
+    stats AS (SELECT event_type, count(*) AS n,
+                     sum(v) AS s1, sum(v * v) AS s2
+              FROM v GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           CAST(e.v AS DOUBLE) AS value_2dp,
+           round((CAST(e.v AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n)
+                 / sqrt((CAST(s.s2 AS DOUBLE)
+                         - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n)
+                        / (s.n - 1)), 4) AS zscore
+    FROM v e JOIN stats s USING (event_type)
+    WHERE abs((CAST(e.v AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n)
+              / sqrt((CAST(s.s2 AS DOUBLE)
+                      - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n)
+                     / (s.n - 1))) > 2
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier flagging: one bounded aggregation
+    (|event_types| rows) computes exact DECIMAL Σv and Σv², broadcast back
+    onto the stream, and events with |z| > 2 survive. The stats side is a
+    5-row broadcast so the fact table never shuffles; z itself is one
+    deterministic double expression over exact integers (never the
+    engines' order-dependent stddev accumulators). The monitoring shape:
+    at 100 TB the stats pass is map-side combined to |types| rows."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        "event_id", "event_type", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    stats = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    n = F.col("n")
+    z = (F.col("v").cast("double") - F.col("s1").cast("double") / n) / F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double") / n
+        )
+        / (n - 1)
+    )
+    return (
+        v.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs("z") > 2)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("v").cast("double").alias("value_2dp"),
+            F.round("z", 4).alias("zscore"),
+        )
+    )
+
+
+@register(
+    "events_rolling_dau",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events),
+    days AS (SELECT DISTINCT d FROM user_days)
+    SELECT days.d AS day,
+           count(DISTINCT ud.user_id) AS wau
+    FROM days JOIN user_days ud
+      ON ud.d BETWEEN days.d - 6 AND days.d
+    GROUP BY 1
+    """,
+)
+def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day. Distinct rolling counts cannot
+    be window-summed (users overlap across days), so each (user, day)
+    activity row is fanned out to the ≤7 rolling windows it supports
+    (F.sequence explode — bounded 7× row growth on the already-deduped
+    user-day table, NOT on raw events), then one count-distinct per day.
+    Compare the naive day × user_days range join: at 100 TB the fan-out
+    join is a keyed equality shuffle, never an inequality nested loop.
+    Days with no event in the trailing week window of any active day
+    cannot appear — both sides derive days from activity."""
+    events = load_table(spark, sf_dir, "events")
+    user_days = events.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    days = user_days.select("d").distinct()
+    fanned = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), 6), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day"),
+    )
+    return (
+        fanned.join(days.withColumnRenamed("d", "day"), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )

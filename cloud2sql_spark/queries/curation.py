@@ -377,3 +377,102 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "norm_text",
         F.size(F.split("norm_text", " ")).alias("n_tokens"),
     )
+
+
+@register(
+    "dedup_prefix_norm",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, lang,
+             substr(trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                 ' +', ' ', 'g')), 1, 64) AS pfx
+      FROM documents),
+    g AS (SELECT pfx, min(doc_id) AS keep_id, count(*) AS n_dupes
+          FROM n GROUP BY pfx)
+    SELECT n.doc_id, n.lang, g.n_dupes
+    FROM n JOIN g ON n.pfx = g.pfx AND n.doc_id = g.keep_id
+    """,
+)
+def dedup_prefix_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-prefix dedup: canonicalize (lowercase, strip
+    punctuation, collapse spaces), key on the first 64 chars, keep the
+    min-id representative per key — the cheap URL/boilerplate dedup pass
+    that runs BEFORE MinHash in real pipelines (one keyed shuffle on a
+    64-byte key vs signature computation over full text). Group sizes
+    ride along so downstream can audit collapse rates. Same
+    deterministic min-id survivor rule as dedup_exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    pfx = F.substring(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+                " +",
+                " ",
+            )
+        ),
+        1,
+        64,
+    )
+    n = docs.select("doc_id", "lang", pfx.alias("pfx"))
+    g = n.groupBy("pfx").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dupes")
+    )
+    return (
+        n.join(g, (n.pfx == g.pfx) & (n.doc_id == g.keep_id))
+        .select("doc_id", "lang", "n_dupes")
+    )
+
+
+@register(
+    "sample_mixture",
+    oracle="""
+    WITH quota AS (
+      SELECT lang, CAST(ceil(CASE lang
+                   WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.15 WHEN 'fr' THEN 0.15
+                   WHEN 'es' THEN 0.1 WHEN 'zh' THEN 0.1 ELSE 0 END * 200)
+               AS BIGINT) AS quota
+      FROM (SELECT DISTINCT lang FROM documents)),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk
+    FROM ranked r JOIN quota q ON r.lang = q.lang
+    WHERE r.rk <= q.quota
+    """,
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling: rebalance the corpus to target language
+    proportions (en 50%, de/fr 15%, es/zh 10% of a 200-doc budget) by
+    taking each language's quota in deterministic md5 order — the
+    data-mixing pass that turns a raw crawl into a training mixture.
+    Quotas are a broadcast |langs|-row table; ranking is one window
+    shuffle partitioned by lang (salt the dominant language's window at
+    100 TB, or pre-filter with sample_hash_consistent to cut the sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1}
+    quota_expr = F.ceil(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in weights.items() for x in kv]
+            ),
+            F.col("lang"),
+        )
+        * 200
+    ).cast("bigint")
+    quota = (
+        docs.select("lang").distinct().select("lang", quota_expr.alias("quota"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rk")
+    )
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "lang", "rk")
+    )

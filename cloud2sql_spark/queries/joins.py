@@ -415,3 +415,90 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_of_flag"),
         )
     )
+
+
+@register(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT p.p_type,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#23'
+    GROUP BY p.p_type
+    """,
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-dimension join in the runtime-filter shape: the filtered
+    build side (one brand, ~1/25 of part) is exactly what Spark's
+    InjectRuntimeFilter turns into a bloom filter / semi-join pushdown on
+    the fact scan, eliminating ~96% of lineitem rows BEFORE the join.
+    On a cluster the enabling confs are
+    spark.sql.optimizer.runtime.bloomFilter.enabled=true (default 3.3+)
+    with creation/application size thresholds sized to the dim/fact; at
+    test scale the application-side threshold (10GB) keeps it off, so the
+    plan test pins the SHUFFLE_HASH fallback instead. The hint avoids a
+    sort on the fact side (hash build on the small filtered side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    )
+    return (
+        li.join(part.hint("SHUFFLE_HASH"), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    SELECT p.user_id, count(*) AS n_pairs
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    GROUP BY p.user_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (clicks within 1h after a purchase, per user),
+    executed as a BINNED equality join: each purchase emits its covering
+    hour bins (≤2 via sequence-explode), clicks key to their single bin,
+    and the join runs on (user_id, bin) with the exact range predicate as
+    a post-filter. A pair matches in exactly one bin (the click's), so no
+    dedup is needed. This is the range-join-optimization shape: shuffle
+    volume is O(rows·bins_per_interval), never the O(n·m) per-user
+    nested loop a raw inequality join degrades to at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.expr("ts + INTERVAL 1 HOUR").alias("p_end"),
+    )
+    p_binned = purchases.select(
+        "user_id",
+        "p_ts",
+        "p_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "p_ts"),
+                F.date_trunc("hour", "p_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bin"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.date_trunc("hour", "ts").alias("bin"),
+    )
+    return (
+        p_binned.join(clicks, ["user_id", "bin"])
+        .filter((F.col("c_ts") >= F.col("p_ts")) & (F.col("c_ts") < F.col("p_end")))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

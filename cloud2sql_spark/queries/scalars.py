@@ -359,3 +359,134 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(k).alias("popcount"),
         F.bitwise_not(k).alias("inverted"),
     )
+
+
+@register(
+    "fn_format",
+    oracle="""
+    SELECT c_custkey,
+           printf('%s|%08d', c_mktsegment, c_custkey) AS tagged,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0')  AS key_lpad,
+           rpad(c_mktsegment, 12, '.')                AS seg_rpad,
+           repeat('-', CAST(c_custkey % 5 AS INT))    AS dashes,
+           reverse(c_name)                            AS name_rev
+    FROM customer
+    """,
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting + padding/repetition primitives (the ID/
+    partition-path building family — the reference builds JDBC URLs and
+    S3 keys the same way, util.py:38-55). %s/%d only: float format
+    specifiers round differently across Java Formatter and C printf
+    (HALF_UP vs half-even) and are excluded by policy. Pure codegen
+    projections."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.format_string("%s|%08d", "c_mktsegment", "c_custkey").alias("tagged"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("key_lpad"),
+        F.rpad("c_mktsegment", 12, ".").alias("seg_rpad"),
+        F.repeat(F.lit("-"), (F.col("c_custkey") % 5).cast("int")).alias(
+            "dashes"
+        ),
+        F.reverse("c_name").alias("name_rev"),
+    )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name)                       AS name_md5,
+           sha256(c_name)                    AS name_sha256,
+           CAST(position(substr(md5(c_name), 1, 1) IN '0123456789abcdef') - 1
+                AS INT)                      AS md5_bucket16
+    FROM customer
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digest functions — the content-addressing primitives
+    every dedup/sampling operator here builds on (md5-derived keys are the
+    repo-wide deterministic RNG substitute). md5/sha256 are bit-identical
+    across engines by definition; the first-nibble bucket shows digest →
+    integer bucketing without engine-specific conv() (DuckDB lacks it).
+    Engine-native hash()/xxhash64 are deliberately excluded: their values
+    are engine-defined and would never cross-verify."""
+    cust = load_table(spark, sf_dir, "customer")
+    md5 = F.md5("c_name")
+    return cust.select(
+        "c_custkey",
+        md5.alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+        (F.position(F.substring(md5, 1, 1), F.lit("0123456789abcdef")) - 1)
+        .cast("int")
+        .alias("md5_bucket16"),
+    )
+
+
+@register(
+    "fn_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 3 MONTH              AS plus_3mo,
+           CAST(o_orderdate AS DATE) + 90              AS plus_90d,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(date_trunc('month', o_orderdate) AS DATE)    AS month_start,
+           CAST(isodow(o_orderdate) AS INT)            AS iso_weekday,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01')
+                AS INT)                                AS days_to_cutoff
+    FROM orders
+    """,
+)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic on naive timestamps: calendar-month addition
+    (both engines clamp to month end), exact day addition, month
+    boundaries, ISO weekday, and day differences — the reference parses
+    '60d'/'1h' duration configs into exactly these operations
+    (config-template.yaml:40-44). All codegen date math, no UDFs.
+    plus_90d is DATE-typed on both sides: DuckDB 1.0.0's interval
+    equality normalizes months to 30 days, so two "equal" interval
+    constants (3 MONTH, 90 DAY) added to the same column CSE-fold into
+    one — date+int arithmetic sidesteps the oracle-side bug."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.expr("o_orderdate + INTERVAL 3 MONTH").alias("plus_3mo"),
+        F.date_add(F.col("o_orderdate").cast("date"), 90).alias("plus_90d"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        (F.weekday("o_orderdate") + 1).cast("int").alias("iso_weekday"),
+        F.datediff(F.lit("1998-12-01").cast("date"), F.col("o_orderdate"))
+        .cast("int")
+        .alias("days_to_cutoff"),
+    )
+
+
+@register(
+    "fn_explode_lateral",
+    oracle="""
+    WITH parts AS (
+      SELECT o_orderkey, string_split(o_orderpriority, '-') AS p
+      FROM orders),
+    idx AS (
+      SELECT o_orderkey, p, unnest(range(1, len(p) + 1)) AS i
+      FROM parts)
+    SELECT o_orderkey, CAST(i AS INT) AS pos, p[i] AS token
+    FROM idx
+    """,
+)
+def fn_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW posexplode — the table-generating-function shape
+    (split a composite attribute into ordered rows). Spark's generator
+    runs inside the same stage as the scan (no shuffle; row fan-out is
+    bounded by the array length), identical to DuckDB's lateral unnest.
+    1-based positions on both sides."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.posexplode(F.split("o_orderpriority", "-")).alias("pos0", "token"),
+    ).select(
+        "o_orderkey",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        "token",
+    )

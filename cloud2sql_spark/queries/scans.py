@@ -240,3 +240,54 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "scan_incremental_files",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+    """,
+)
+def scan_incremental_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental file-batch ingestion: a snapshot directory receives an
+    initial load and a later delta batch; the incremental reader picks up
+    ONLY files newer than the last-processed checkpoint via the file
+    reader's ``modifiedAfter`` listing filter — file-level pruning in the
+    driver's listing phase, zero data read from old batches. This is the
+    batch analogue of the reference's repeated collect-snapshot runs
+    (collect.py:198-203) and the cheap path to CDC-style catch-up loads
+    at 100 TB (list + mtime filter is O(files), not O(bytes))."""
+    import time
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = _tmp(f"incr_snapshot_{os.path.basename(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    base = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    delta = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base.write.mode("overwrite").parquet(out)
+    first_files = {
+        f for f in os.listdir(out) if f.endswith(".parquet")
+    }
+    delta.write.mode("append").parquet(out)
+    # Pin mtimes on both sides of the checkpoint so the listing filter is
+    # deterministic regardless of write latency.
+    now = time.time()
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        age = 600 if f in first_files else 0
+        os.utime(os.path.join(out, f), (now - age, now - age))
+    cutoff = time.strftime(
+        "%Y-%m-%dT%H:%M:%S", time.localtime(now - 300)
+    )
+    return (
+        spark.read.option("modifiedAfter", cutoff)
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE")
+        .parquet(out)
+    )

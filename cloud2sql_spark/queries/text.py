@@ -335,3 +335,82 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(fps, "|").alias("fingerprint"),
         F.size("sg").alias("n_shingles"),
     )
+
+
+@register(
+    "text_top_ngrams",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      FROM documents),
+    idx AS (
+      SELECT lang, ts, unnest(range(1, len(ts))) AS i
+      FROM toks WHERE len(ts) >= 2),
+    bg AS (SELECT lang, ts[i] || ' ' || ts[i + 1] AS bigram FROM idx),
+    cnt AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+    rk AS (SELECT lang, bigram, n,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, bigram) AS rk
+           FROM cnt)
+    SELECT lang, bigram, n, CAST(rk AS INT) AS rk
+    FROM rk WHERE rk <= 3
+    """,
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 bigrams per language — the n-gram vocabulary pass of corpus
+    profiling. The token array is materialized once per row (never
+    re-split inside the lambda — re-evaluated per element otherwise, see
+    SKILL gotchas), adjacent pairs come from one zip_with over two
+    slices (no self-join), and the per-lang top-k is a bounded window
+    over the aggregated (lang, bigram) counts — the 2-shuffle shape that
+    holds at corpus scale (counts shrink map-side; the window partitions
+    by lang over already-aggregated rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("ts"),
+    ).filter(F.size("ts") >= 2)
+    bg = toks.select(
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    cnt = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+    return (
+        cnt.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "text_histogram",
+    oracle="""
+    SELECT lang,
+           CAST(length(bin(n_chars)) AS INT) AS log2_bucket,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def text_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂ document-length histogram per language — the corpus length
+    profile that drives sequence-packing and truncation budgets. The
+    bucket is length(bin(n)) = floor(log₂ n)+1 computed in INTEGER string
+    space (bit-length), sidestepping libm log2 boundary rounding at exact
+    powers of two. Pure partial-aggregable count/sum over ~|langs|·64
+    keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        "lang",
+        F.length(F.bin("n_chars")).cast("int").alias("log2_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
