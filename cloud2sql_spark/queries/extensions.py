@@ -821,6 +821,39 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE, so the clustering is hash-checked exactly.
     """
     pairs = dedup_ngram_capped(spark, sf_dir).select("doc_a", "doc_b")
+    # Small-graph fast path: the pair list is the dedup DETECTOR's output —
+    # orders of magnitude smaller than the corpus (df-capped candidate
+    # generation bounds it at C×rows, and >99% of rows are not near-dups).
+    # Below ~2M edges (driver cost: one bounded collect of two int64
+    # columns, ~32 MB) a driver union-find replaces the iterative
+    # propagation loop, whose per-round fixed cost (2-3 shuffle stages +
+    # a count action, regardless of data volume) dominates wall-clock for
+    # any small graph. The distributed loop below remains the >2M-edge
+    # path, so the operator never requires the graph to fit anywhere.
+    edge_rows = pairs.persist().limit(2_000_001).collect()
+    if len(edge_rows) <= 2_000_000:
+        parent: dict = {}
+
+        def find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for r in edge_rows:
+            a, b = find(r.doc_a), find(r.doc_b)
+            if a != b:
+                # min-id root keeps cluster_id = min member deterministically
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        members = sorted({x for r in edge_rows for x in (r.doc_a, r.doc_b)})
+        labels_local = [(int(x), int(find(x))) for x in members]
+        pairs.unpersist()
+        labels = spark.createDataFrame(labels_local, "node BIGINT, label BIGINT")
+        wsz = Window.partitionBy("cluster_id")
+        return labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        ).withColumn("cluster_size", F.count("*").over(wsz))
     # both orientations generated map-side by ONE explode — a
     # union(pairs, pairs.swapped) re-evaluates the whole upstream pair
     # pipeline once per branch (and once more on persist), measured 4x
