@@ -76,6 +76,17 @@ HEADLINE = [
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frames",
+    # round 3 additions
+    "events_path_transitions",
+    "events_anomaly_zscore",
+    "events_rolling_dau",
+    "join_interval_overlap",
+    "join_bloom_pruned",
+    "text_top_ngrams",
+    "dedup_prefix_norm",
+    "sample_mixture",
+    "embed_dim_stats",
+    "embed_kmeans_assign",
 ]
 
 

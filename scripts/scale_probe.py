@@ -55,6 +55,13 @@ PROBE_KEYS = [
     "text_pii_redact",
     "text_contamination",
     "stream_stream_interval_join",
+    # round 3: fan-out / binned-join / window-heavy additions
+    "events_rolling_dau",
+    "events_path_transitions",
+    "join_interval_overlap",
+    "text_top_ngrams",
+    "dedup_prefix_norm",
+    "embed_kmeans_assign",
 ]
 
 

@@ -165,3 +165,47 @@ def test_scalar_subquery_prunes_and_broadcasts(spark, sf_dir):
     plan = _physical(_QUERIES["subquery_scalar"](spark, sf_dir))
     assert "Subquery subquery" in plan, plan
     assert "ReadSchema: struct<o_totalprice:double>" in plan, plan
+
+
+def test_bloom_pruned_join_uses_shuffle_hash(spark, sf_dir):
+    """join_bloom_pruned: the filtered dim must build a hash side (no
+    sort-merge sort on the fact), and the brand predicate must reach the
+    part scan so the runtime-filter creation side is small."""
+    plan = _physical(_QUERIES["join_bloom_pruned"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "Brand#23" in plan, f"brand filter not pushed: {plan}"
+
+
+def test_anomaly_zscore_broadcasts_stats(spark, sf_dir):
+    """events_anomaly_zscore: the |event_types|-row stats side must
+    broadcast — the fact table never shuffles on the join key."""
+    plan = _physical(_QUERIES["events_anomaly_zscore"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_mixture_quota_broadcasts(spark, sf_dir):
+    """sample_mixture: the |langs|-row quota table must broadcast onto the
+    ranked stream (window shuffle is the only fact-side exchange)."""
+    plan = _physical(_QUERIES["sample_mixture"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "events_rolling_dau",
+        "join_interval_overlap",
+        "events_path_transitions",
+        "text_top_ngrams",
+        "dedup_prefix_norm",
+    ],
+)
+def test_round3_keyed_queries_avoid_cartesian(key, spark, sf_dir):
+    """The fan-out/binned round-3 operators must stay on equality joins:
+    rolling DAU (sequence-explode + equi-join), interval overlap (hour
+    bins), and the rest are keyed shuffles end to end.
+    (embed_kmeans_assign is exempt by design: scoring against k=8
+    broadcast centroids IS a bounded-side cross join.)"""
+    plan = _physical(_QUERIES[key](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
