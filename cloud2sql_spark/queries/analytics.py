@@ -393,3 +393,79 @@ def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+      FROM events),
+    marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN prev_ts IS NULL
+                       OR ts > prev_ts + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM seq),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess_idx
+      FROM marked)
+    SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+           count(*) AS n_events,
+           min(ts) AS t_start, max(ts) AS t_end,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, sess_idx
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gaps-and-islands sessionization with per-user session
+    ORDINALS (30-min inactivity gap): lag marks session starts, a running
+    sum numbers them, one grouped agg summarizes each session. Both
+    window passes share ONE (user_id, ts, event_id) sort spec, so Spark
+    plans a single Exchange+Sort with stacked Window operators; the
+    grouped agg then shuffles on (user_id, sess_idx). Complementary to
+    stream_session (session_window semantics, no ordinals): ordinals are
+    what churn/lifecycle models key on ('user's 3rd session'). Gap
+    comparison is exact µs interval arithmetic in the NTZ domain —
+    timezone-free, identical on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", "ts", "event_id", "value", F.lag("ts").over(w).alias("prev_ts")
+    )
+    marked = seq.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") > F.expr("prev_ts + INTERVAL 30 MINUTE")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = marked.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("sess_idx"),
+    )
+    return sess.groupBy("user_id", "sess_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -476,3 +476,85 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("quota"))
         .select("doc_id", "lang", "rk")
     )
+
+
+@register(
+    "pipeline_curate_pack",
+    oracle="""
+    WITH quality AS (
+      SELECT doc_id, lang, text FROM documents WHERE n_chars >= 100),
+    keyed AS (
+      SELECT doc_id, lang, text,
+             substr(trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                 ' +', ' ', 'g')), 1, 64) AS pfx
+      FROM quality),
+    survivors AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY pfx ORDER BY doc_id) AS rn
+        FROM keyed) WHERE rn = 1),
+    toks AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM survivors),
+    pref AS (
+      SELECT doc_id, lang, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix_tokens
+      FROM toks)
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(prefix_tokens // 512 AS BIGINT) AS bin_id
+    FROM pref
+    """,
+)
+def pipeline_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline as ONE composed plan: quality gate
+    (length floor, pushed to the parquet scan) → normalized-prefix dedup
+    (min-id survivor per 64-char canonical prefix) → sequence packing
+    into 512-token bins per lang shard. This is the artifact shape a
+    training run consumes, and the composition is the point: each stage
+    is a declarative transform, so Catalyst fuses the whole pipeline —
+    the quality filter prunes before dedup's shuffle, dedup's survivor
+    set flows straight into the packing window, and nothing materializes
+    between stages. Three keyed shuffles total (prefix groupBy, two
+    same-spec windows) at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.filter(F.col("n_chars") >= 100).select(
+        "doc_id", "lang", "text"
+    )
+    pfx = F.substring(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+                " +",
+                " ",
+            )
+        ),
+        1,
+        64,
+    )
+    keyed = quality.select("doc_id", "lang", "text", pfx.alias("pfx"))
+    w_pfx = Window.partitionBy("pfx").orderBy("doc_id")
+    survivors = (
+        keyed.withColumn("rn", F.row_number().over(w_pfx))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    toks = survivors.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w_pack = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = toks.withColumn(
+        "prefix_tokens", F.coalesce(F.sum("n_tokens").over(w_pack), F.lit(0))
+    )
+    return pref.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(F.col("prefix_tokens") / 512).cast("long").alias("bin_id"),
+    )

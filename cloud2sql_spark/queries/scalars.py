@@ -490,3 +490,46 @@ def fn_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).cast("int").alias("pos"),
         "token",
     )
+
+
+@register(
+    "fn_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' ||
+             CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+      FROM documents)
+    SELECT doc_id, url,
+           regexp_extract(url, '^([a-z]+)://', 1)           AS scheme,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)    AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, 'lang=([a-z]+)', 1)          AS lang_param
+    FROM u
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL construction + regex decomposition (scheme/host/path/query
+    param) — the reference's URI-shape parsing re-expressed as codegen
+    regexp_extract (cloud2sql/collect.py:110-124 accepts four S3 URL
+    shapes the same way). The regexes stay in the Java∩RE2 common
+    dialect, so both engines match identically; Spark's parse_url is
+    avoided because DuckDB has no counterpart to cross-verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.regexp_extract("url", r"^([a-z]+)://", 1).alias("scheme"),
+        F.regexp_extract("url", r"^[a-z]+://([^/?#]+)", 1).alias("host"),
+        F.regexp_extract("url", r"^[a-z]+://[^/?#]+([^?#]*)", 1).alias("path"),
+        F.regexp_extract("url", r"lang=([a-z]+)", 1).alias("lang_param"),
+    )

@@ -291,3 +291,47 @@ def scan_incremental_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE")
         .parquet(out)
     )
+
+
+@register("scan_orc_roundtrip", oracle="SELECT * FROM part")
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write+read ORC — the second columnar format Spark ships natively
+    (the reference's Arrow sink writes Parquet/CSV, collect.py:98-106;
+    ORC covers the same contract for Hive-ecosystem destinations).
+    Same vectorized reader / predicate-pushdown machinery as parquet."""
+    part = load_table(spark, sf_dir, "part")
+    path = _tmp("scan_orc_roundtrip/part_orc")
+    shutil.rmtree(path, ignore_errors=True)
+    part.write.mode("overwrite").orc(path)
+    return spark.read.schema(SCHEMAS["part"]).orc(path)
+
+
+@register(
+    "sink_partitioned_pruned",
+    oracle="""
+    SELECT event_type, count(*) AS n_events
+    FROM events
+    WHERE CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-15'
+    GROUP BY event_type
+    """,
+)
+def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink + partition-pruned read: events land in
+    day= directories (the snapshot layout any incremental consumer
+    wants), and the day-filtered read back lists ONE directory —
+    PartitionFilters prune at the listing phase, so the scan cost is the
+    selected day's bytes regardless of table size. This is the layout
+    decision that makes a 100 TB events table queryable by time range at
+    interactive cost."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    path = _tmp(f"sink_partitioned/{os.path.basename(sf_dir)}_events_by_day")
+    shutil.rmtree(path, ignore_errors=True)
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("day") == F.lit("2024-01-15").cast("date"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -109,6 +109,11 @@ _PRIORITY = [
     "text_histogram",
     "dedup_prefix_norm",
     "sample_mixture",
+    "scan_orc_roundtrip",
+    "sink_partitioned_pruned",
+    "events_sessionize",
+    "fn_url_parse",
+    "pipeline_curate_pack",
 ]
 
 

@@ -209,3 +209,21 @@ def test_round3_keyed_queries_avoid_cartesian(key, spark, sf_dir):
     plan = _physical(_QUERIES[key](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_partitioned_sink_read_prunes_partitions(spark, sf_dir):
+    """sink_partitioned_pruned: the day filter must become a
+    PartitionFilter on the read (listing-phase pruning), never a row-level
+    scan filter over all days."""
+    plan = _physical(_QUERIES["sink_partitioned_pruned"](spark, sf_dir))
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "day" in pf, f"day filter not pruning partitions: {plan}"
+
+
+def test_curate_pipeline_pushes_quality_gate(spark, sf_dir):
+    """pipeline_curate_pack: the n_chars quality floor must reach the
+    parquet scan — the cheapest stage of the pipeline prunes first."""
+    plan = _physical(_QUERIES["pipeline_curate_pack"](spark, sf_dir))
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "n_chars" in pushed, f"quality gate not pushed: {plan}"
