@@ -76,7 +76,9 @@ HEADLINE = [
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frames",
-    # round 3 additions
+]
+
+_R03_ADDITIONS = [
     "events_path_transitions",
     "events_anomaly_zscore",
     "events_rolling_dau",
@@ -88,6 +90,8 @@ HEADLINE = [
     "embed_dim_stats",
     "embed_kmeans_assign",
 ]
+
+HEADLINE = HEADLINE + _R03_ADDITIONS
 
 
 def main() -> None:
@@ -128,6 +132,14 @@ def main() -> None:
     r01_total = round(
         sum(v for k, v in per_query.items() if k in set(R01_SET)), 3
     )
+    # like-for-like round deltas: the headline set GROWS every round, so the
+    # raw total is not comparable across rounds. rNN_set_total restricts to
+    # the exact keys that round timed (r01: 29 keys @ 20.03s; r02: 37 keys
+    # @ 22.27s recorded in BENCH_r0N.json).
+    r02_set = [k for k in HEADLINE if k not in _R03_ADDITIONS]
+    r02_total = round(
+        sum(v for k, v in per_query.items() if k in set(r02_set)), 3
+    )
     print(
         json.dumps(
             {
@@ -135,7 +147,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "n_queries": len(per_query),
                 "r01_set_total": r01_total,
+                "r02_set_total": r02_total,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
