@@ -701,6 +701,13 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dedup_cluster_cc: below this edge count the pair graph is labeled by a
+# single bounded driver collect + union-find; above it, the distributed
+# min-label propagation loop runs. Module-level so tests can force the
+# distributed path on small graphs (equivalence is pinned in
+# tests/test_properties.py).
+_CC_UNION_FIND_MAX_EDGES = 2_000_000
+
 _CAPPED_PAIRS_SQL = f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sg FROM w),
@@ -830,8 +837,8 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a count action, regardless of data volume) dominates wall-clock for
     # any small graph. The distributed loop below remains the >2M-edge
     # path, so the operator never requires the graph to fit anywhere.
-    edge_rows = pairs.persist().limit(2_000_001).collect()
-    if len(edge_rows) <= 2_000_000:
+    edge_rows = pairs.persist().limit(_CC_UNION_FIND_MAX_EDGES + 1).collect()
+    if len(edge_rows) <= _CC_UNION_FIND_MAX_EDGES:
         parent: dict = {}
 
         def find(x: int) -> int:

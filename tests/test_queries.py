@@ -160,3 +160,15 @@ def test_cluster_cc_transitive(spark, tmp_path):
         compare(df, con, _ORACLES["dedup_cluster_cc"], key="dedup_cluster_cc_chain")
     finally:
         con.close()
+
+
+def test_cluster_cc_distributed_path_matches_oracle(spark, duck, sf_dir, monkeypatch):
+    """The >2M-edge distributed min-label propagation path never runs at
+    test scale (the union-find fast path wins). Force it by dropping the
+    threshold to 0 and pin it against the same recursive-CTE oracle, so
+    the cluster-scale path cannot silently rot."""
+    from cloud2sql_spark.queries import extensions
+
+    monkeypatch.setattr(extensions, "_CC_UNION_FIND_MAX_EDGES", 0)
+    df = _QUERIES["dedup_cluster_cc"](spark, sf_dir)
+    compare(df, duck, _ORACLES["dedup_cluster_cc"], key="dedup_cluster_cc_loop")
