@@ -227,3 +227,14 @@ def test_curate_pipeline_pushes_quality_gate(spark, sf_dir):
     plan = _physical(_QUERIES["pipeline_curate_pack"](spark, sf_dir))
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "n_chars" in pushed, f"quality gate not pushed: {plan}"
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """events_sessionize: lag + running-sum windows share one
+    (user_id, ts, event_id) spec and the grouped session agg clusters on
+    (user_id, sess_idx) — satisfied by the window's user_id hash
+    partitioning (subset rule), so the whole operator is ONE Exchange and
+    ONE Sort with stacked Window operators."""
+    plan = _physical(_QUERIES["events_sessionize"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 2, plan
