@@ -107,11 +107,13 @@ def main() -> None:
     if os.path.isdir(warm_dir):
         registry["agg_groupby"](spark, warm_dir).collect()
 
-    # best-of-2 per query: this box shows large exogenous load spikes, and a
-    # single-shot measurement can catch one. Caches are cleared between
-    # trials so every timing is a cold plan execution, not a cache read.
+    # best-of-3 per query: this box shows large exogenous load spikes
+    # (round-3 measurements saw identical code vary 3-10x run to run on an
+    # idle VM — host-level contention), and a single-shot measurement can
+    # catch one. Caches are cleared between trials so every timing is a
+    # cold plan execution, not a cache read.
     per_query: dict[str, float] = {}
-    for trial in range(2):
+    for trial in range(3):
         for key in HEADLINE:
             fn = registry.get(key)
             if fn is None:
