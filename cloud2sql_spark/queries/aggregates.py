@@ -610,3 +610,62 @@ def agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("l_linenumber").alias("lines_or"),
         F.bit_xor(F.col("l_orderkey").cast("bigint")).alias("orderkey_xor"),
     )
+
+
+@register(
+    "agg_filter_where",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_quantity >= 25)        AS n_bulk,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_rev,
+           count(*) FILTER (WHERE l_tax = 0)               AS n_taxfree,
+           count(*)                                        AS n_total
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_filter_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER (WHERE) conditional aggregates — several differently-
+    predicated aggregates in ONE pass (the alternative, one scan per
+    predicate, multiplies I/O by the aggregate count at 100 TB). All
+    partial-aggregable; money sums ride DECIMAL per repo policy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("count(*) FILTER (WHERE l_quantity >= 25)").alias("n_bulk"),
+        F.expr(
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))"
+            " FILTER (WHERE l_discount > 0.05) AS DOUBLE)"
+        ).alias("discounted_rev"),
+        F.expr("count(*) FILTER (WHERE l_tax = 0)").alias("n_taxfree"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@register(
+    "agg_arg_minmax",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_totalprice, o_orderkey) AS price_of_last_order,
+           arg_min(o_totalprice, o_orderkey) AS price_of_first_order,
+           max(o_orderkey)                   AS last_orderkey,
+           min(o_orderkey)                   AS first_orderkey
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg_max/arg_min (max_by/min_by): carry a payload column from the
+    row that extremizes another — the 'latest value per key' idiom that
+    otherwise costs a window + filter or a self-join. Single-pass,
+    partial-aggregable (each partial keeps its best (ord, payload) pair).
+    The ordering key is the UNIQUE o_orderkey, so the result is
+    deterministic — ties on the ordering column are engine-defined and
+    must be avoided in cross-engine contracts."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_totalprice", "o_orderkey").alias("price_of_last_order"),
+        F.min_by("o_totalprice", "o_orderkey").alias("price_of_first_order"),
+        F.max("o_orderkey").alias("last_orderkey"),
+        F.min("o_orderkey").alias("first_orderkey"),
+    )

@@ -533,3 +533,42 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("url", r"^[a-z]+://[^/?#]+([^?#]*)", 1).alias("path"),
         F.regexp_extract("url", r"lang=([a-z]+)", 1).alias("lang_param"),
     )
+
+
+@register(
+    "fn_trig",
+    oracle="""
+    SELECT o_orderkey,
+           round(radians(o_orderkey % 360), 6)       AS rad,
+           round(sin(radians(o_orderkey % 360)), 6)  AS sin_v,
+           round(cos(radians(o_orderkey % 360)), 6)  AS cos_v,
+           round(atan2(CAST(o_orderkey % 7 AS DOUBLE),
+                       CAST(o_orderkey % 11 + 1 AS DOUBLE)), 6) AS bearing,
+           round(degrees(atan(CAST(o_orderkey % 5 AS DOUBLE))), 6) AS slope_deg
+    FROM orders
+    """,
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric family (bearing/heading math over resource
+    coordinates is the classic warehouse use). libm-backed like ln/log10,
+    so per repo float policy every value is rounded to 6 decimals on both
+    sides; inputs are exact small integers so the argument to each
+    function is bit-identical across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    deg = F.col("o_orderkey") % 360
+    return orders.select(
+        "o_orderkey",
+        F.round(F.radians(deg), 6).alias("rad"),
+        F.round(F.sin(F.radians(deg)), 6).alias("sin_v"),
+        F.round(F.cos(F.radians(deg)), 6).alias("cos_v"),
+        F.round(
+            F.atan2(
+                (F.col("o_orderkey") % 7).cast("double"),
+                (F.col("o_orderkey") % 11 + 1).cast("double"),
+            ),
+            6,
+        ).alias("bearing"),
+        F.round(
+            F.degrees(F.atan((F.col("o_orderkey") % 5).cast("double"))), 6
+        ).alias("slope_deg"),
+    )

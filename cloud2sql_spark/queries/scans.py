@@ -335,3 +335,35 @@ def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang, source
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file batches: an early batch written
+    without ``source``, a later batch with it, read together under
+    ``mergeSchema`` — the reference's dynamic per-kind schemas evolve
+    exactly this way between collect snapshots (new resource properties
+    appear; old rows backfill NULL). Merge cost is footer-only (one
+    schema union at planning); missing columns materialize as NULL at
+    scan time, no rewrite of old files."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = _tmp(f"schema_evo/{os.path.basename(sf_dir)}_docs")
+    shutil.rmtree(out, ignore_errors=True)
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(out)
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "source"
+    ).write.mode("append").parquet(out)
+    return spark.read.option("mergeSchema", True).parquet(out).select(
+        "doc_id", "lang", "source"
+    )

@@ -253,3 +253,54 @@ def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
     )
+
+
+@register(
+    "win_ignore_nulls",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN value >= 1 THEN CAST(value AS DECIMAL(18,2)) END AS v
+      FROM events)
+    SELECT user_id, event_id,
+           CAST(last_value(v IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS DOUBLE) AS prev_valid,
+           CAST(last_value(v IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS last_valid
+    FROM v
+    """,
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation — gap-filling (last observation
+    carried forward) over a sparse measure, the sensor/ticker idiom.
+    Both frames share one (user_id, ts, event_id) window spec: one
+    Exchange + Sort, stacked Window operators. Spark's last(col,
+    ignorenulls=True) over an UNBOUNDED-to-(-1) frame IS lag IGNORE
+    NULLS; the values ride DECIMAL so the carried measure hashes
+    identically."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.col("value") >= 1, F.col("value").cast("decimal(18,2)")
+        ).alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return v.select(
+        "user_id",
+        "event_id",
+        F.last("v", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .cast("double")
+        .alias("prev_valid"),
+        F.last("v", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("last_valid"),
+    )

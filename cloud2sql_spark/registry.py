@@ -114,6 +114,12 @@ _PRIORITY = [
     "events_sessionize",
     "fn_url_parse",
     "pipeline_curate_pack",
+    # past the 50-slot window this round; first in line for round 4
+    "agg_filter_where",
+    "agg_arg_minmax",
+    "win_ignore_nulls",
+    "fn_trig",
+    "scan_schema_evolution",
 ]
 
 
