@@ -218,3 +218,32 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     file streams — Spark buffers only the interval's worth of click state;
     batch verifies the exact pair set against DuckDB."""
     return transforms.clicks_before_purchase(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_incremental_topk",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    ORDER BY value DESC, event_id
+    LIMIT 10
+    """,
+)
+def stream_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental global top-10 by value maintained across micro-batches:
+    each batch's local top-k (TakeOrderedAndProject, O(k) per task)
+    merges with the O(k) persisted state — top-k is associative, so the
+    streaming answer equals the one-shot batch answer however the stream
+    is chunked. The monitoring-dashboard shape: state never grows with
+    the stream, and the merge is the same at 100 TB/day. Unique event_id
+    breaks value ties deterministically on both engines."""
+    from cloud2sql_spark.streaming import replay
+
+    base = os.path.join(_TMP_ROOT, f"stream_topk_{os.path.basename(sf_dir)}")
+    shutil.rmtree(base, ignore_errors=True)
+    replay_dir = replay.stage_replay_dir(spark, sf_dir, f"{base}/replay", n_files=4)
+    stream = replay.read_event_stream(spark, replay_dir, files_per_trigger=1)
+    replay.run_incremental_topk(stream, f"{base}/state", f"{base}/ckpt", k=10)
+    return spark.read.parquet(f"{base}/state/cur").select(
+        "event_id", "user_id", "event_type", "value"
+    )

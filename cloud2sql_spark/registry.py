@@ -120,6 +120,7 @@ _PRIORITY = [
     "win_ignore_nulls",
     "fn_trig",
     "scan_schema_evolution",
+    "stream_incremental_topk",
 ]
 
 

@@ -151,3 +151,55 @@ def run_foreach_jdbc(
         .start()
     )
     q.awaitTermination()
+
+
+def run_incremental_topk(
+    stream_events: DataFrame, state_dir: str, checkpoint: str, k: int = 10
+) -> None:
+    """Incremental global top-k via foreachBatch: each micro-batch's local
+    top-k merges with the persisted state's top-k and the union's top-k
+    overwrites the state — top-k is associative/commutative, so the
+    incremental result equals the batch answer regardless of how events
+    are split across micro-batches. State is O(k), never O(stream);
+    the same merge runs on any number of executors because each batch's
+    local top-k is a TakeOrderedAndProject before the driver-side union.
+    Deterministic order: (value DESC, event_id ASC) — the unique id
+    breaks value ties."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    cols = ["event_id", "user_id", "event_type", "value"]
+
+    def merge_topk(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_top = (
+            batch_df.select(*cols)
+            .orderBy(F.col("value").desc(), "event_id")
+            .limit(k)
+        )
+        if _os.path.isdir(_os.path.join(state_dir, "cur")):
+            prev = spark.read.parquet(_os.path.join(state_dir, "cur"))
+            batch_top = prev.unionByName(batch_top)
+        merged = (
+            batch_top.orderBy(F.col("value").desc(), "event_id").limit(k)
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(state_dir, "nxt")
+        )
+        # atomic-enough swap for a single-writer stream: rename new over old
+        import shutil as _shutil
+
+        _shutil.rmtree(_os.path.join(state_dir, "cur"), ignore_errors=True)
+        _os.rename(
+            _os.path.join(state_dir, "nxt"), _os.path.join(state_dir, "cur")
+        )
+
+    q = (
+        stream_events.writeStream.foreachBatch(merge_topk)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
