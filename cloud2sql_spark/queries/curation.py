@@ -24,7 +24,6 @@ from cloud2sql_spark.catalog import load_table
 from cloud2sql_spark.queries.extensions import (
     _CAPPED_PAIRS_SQL,
     _SHINGLES_SQL,
-    _WS_SHINGLES_EXPR,
 )
 from cloud2sql_spark.registry import register
 
@@ -214,10 +213,12 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     The eval shingle index is tiny by construction (the eval set is
     bounded), so it is BROADCAST — the 100 TB train side streams past it
     map-side with zero shuffle before the final pair aggregation."""
-    docs = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism * 2
-    ws = docs.select("doc_id", F.split("text", " ").alias("ws")).repartition(par)
-    sh = ws.select("doc_id", F.expr(_WS_SHINGLES_EXPR).alias("sg"))
+    # Same cached shingle frame the dedup family shares (one Arrow-batched
+    # build per session; nonempty drops only docs whose empty arrays would
+    # explode to zero tokens anyway).
+    from cloud2sql_spark.queries.extensions import _doc_shingles
+
+    sh = _doc_shingles(spark, sf_dir, nonempty=True)
     tok = (
         sh.select("doc_id", F.explode_outer("sg").alias("g"))
         .filter(F.col("g").isNotNull())

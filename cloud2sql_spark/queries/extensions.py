@@ -33,15 +33,8 @@ from cloud2sql_spark.registry import register
 
 # ---------------------------------------------------------------- helpers
 
-_WS_SHINGLES_EXPR = """
-CASE WHEN size(ws) >= 3
-     THEN array_distinct(transform(
-            sequence(1, size(ws) - 2),
-            i -> concat_ws(' ', slice(ws, i, 3))))
-     ELSE array() END
-"""
-
-# DuckDB twin of _WS_SHINGLES_EXPR (list comprehension is empty for <3 words)
+# DuckDB twin of _doc_shingles' trigram construction (the list
+# comprehension is empty for <3 words, matching the Python builder)
 _SHINGLES_SQL = """
 list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                for i in range(1, len(ws) - 1)])
