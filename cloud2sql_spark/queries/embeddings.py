@@ -121,7 +121,7 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM m WHERE max_abs > 0)
     SELECT vec_id,
            CAST(max_abs AS BIGINT) AS max_abs_milli,
-           list_aggregate(qv, 'sum') AS q_checksum,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_checksum,
            round(list_aggregate(
                      list_transform(
                          list_zip(v, qv),

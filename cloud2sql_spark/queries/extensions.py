@@ -55,8 +55,23 @@ _EXACT_JACCARD_PAIRS_SQL = f"""
 # One persisted shingle frame per (session, sf_dir, nonempty): every dedup
 # op shares the index the way a production pipeline shares it. Explicit
 # memo instead of relying on Spark's cache-manager plan equality, which is
-# fragile across separately-constructed mapInPandas nodes.
+# fragile across separately-constructed mapInPandas nodes. Bounded: a
+# long-lived session touching many sf_dirs evicts (and unpersists) the
+# oldest entries instead of accumulating executor storage forever.
 _SHINGLE_CACHE: dict = {}
+_SHINGLE_CACHE_MAX = 8
+
+
+def clear_shingle_cache() -> None:
+    """Unpersist and drop every cached shingle frame (test/ops hook; also
+    the escape hatch when fixture files under a cached path are rewritten
+    mid-session and would otherwise serve stale shingles)."""
+    for df in _SHINGLE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _SHINGLE_CACHE.clear()
 
 
 def _doc_shingles(
@@ -78,6 +93,12 @@ def _doc_shingles(
     key = (spark.sparkContext.applicationId, sf_dir, nonempty)
     if key in _SHINGLE_CACHE:
         return _SHINGLE_CACHE[key]
+    while len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
+        old = _SHINGLE_CACHE.pop(next(iter(_SHINGLE_CACHE)))
+        try:
+            old.unpersist()
+        except Exception:
+            pass
     docs = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism * 2
     base = docs.select("doc_id", "text").repartition(par)
@@ -88,7 +109,9 @@ def _doc_shingles(
         for pdf in batches:
             ids, sgs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                ws = text.split(" ")
+                # NULL text → empty shingle list, matching the old
+                # expression form (split(NULL) yielded an empty array).
+                ws = text.split(" ") if isinstance(text, str) else []
                 if len(ws) >= 3:
                     sg = list(
                         dict.fromkeys(
@@ -193,9 +216,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_near_minhash", oracle=_EXACT_JACCARD_PAIRS_SQL.format(thr=0.8))
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup detection: 128 xxhash64 min-hashes over word
-    3-gram shingles, banded 32×4; band-equality join yields candidates,
-    exact Jaccard verifies (≥0.8).
+    """MinHash + LSH near-dup detection: a 128-signature md5-seeded
+    multiply-shift hash family (numpy via mapInPandas, Arrow-batched) over
+    word 3-gram shingles, banded 32×4; band-equality join yields
+    candidates, exact Jaccard verifies (≥0.8). Determinism comes from the
+    md5-derived salts, not the hash library.
 
     Oracle is the EXACT Jaccard pair set: with 32 bands of 4 rows, a J=0.8
     pair collides with p = 1-(1-0.8^4)^32 ≈ 0.9998 (J=0.9: 1-5e-8), and the

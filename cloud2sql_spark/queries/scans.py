@@ -283,8 +283,11 @@ def scan_incremental_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             continue
         age = 600 if f in first_files else 0
         os.utime(os.path.join(out, f), (now - age, now - age))
+    # gmtime, not localtime: Spark parses modifiedAfter in
+    # spark.sql.session.timeZone, which session.py pins to UTC — a local-TZ
+    # cutoff would shift by the host's UTC offset on non-UTC machines.
     cutoff = time.strftime(
-        "%Y-%m-%dT%H:%M:%S", time.localtime(now - 300)
+        "%Y-%m-%dT%H:%M:%S", time.gmtime(now - 300)
     )
     return (
         spark.read.option("modifiedAfter", cutoff)

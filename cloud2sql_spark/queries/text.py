@@ -411,7 +411,7 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(length(bin(n_chars)) AS INT) AS log2_bucket,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1, 2
     """,

@@ -61,66 +61,69 @@ _loaded = False
 # order); everything else follows in registration order. Unknown names are
 # ignored, so the list may name ops before their module lands.
 _PRIORITY = [
-    # round-2 red row: prove the array->string repair in the driver file
-    "multimodal_resize",
-    # never driver-tested (added late in round 2, past the 50-slot window)
-    "dedup_apply",
-    "agg_pivot",
-    "subquery_exists",
-    "subquery_scalar",
-    "agg_approx_quantile",
-    "win_ntile_percent",
-    "agg_unpivot",
-    # new in round 3
-    "events_funnel",
-    "events_retention",
-    "events_rollup_time",
-    "fn_regex",
-    "fn_struct",
-    "fn_bitwise",
-    "agg_mode",
-    "agg_corr_regr",
-    "agg_freq_items",
-    "set_intersect_all",
-    "set_except_all",
-    "sample_hash_consistent",
-    "sample_weighted",
-    "text_normalize",
-    "embed_normalize",
-    "embed_dim_stats",
-    "embed_quantize",
-    "embed_kmeans_assign",
-    "join_bloom_pruned",
-    "win_pattern_match",
-    "graph_degree",
-    "events_path_transitions",
-    "events_anomaly_zscore",
-    "events_rolling_dau",
-    "agg_string_agg",
-    "agg_percentile_exact",
-    "agg_bool_bitwise",
-    "fn_format",
-    "fn_hash",
-    "fn_interval_arith",
-    "fn_explode_lateral",
-    "join_interval_overlap",
-    "scan_incremental_files",
-    "text_top_ngrams",
-    "text_histogram",
-    "dedup_prefix_norm",
-    "sample_mixture",
-    "scan_orc_roundtrip",
-    "sink_partitioned_pruned",
-    "events_sessionize",
-    "fn_url_parse",
-    "pipeline_curate_pack",
-    # past the 50-slot window this round; first in line for round 4
+    # round-3 additions that fell past r3's 50-slot window: never
+    # driver-tested, so they get the first slots this round.
     "agg_filter_where",
     "agg_arg_minmax",
     "win_ignore_nulls",
     "fn_trig",
     "scan_schema_evolution",
     "stream_incremental_topk",
+    # round-3 red rows: values matched row-for-row; the oracles' uncast
+    # DuckDB HUGEINT sums are now CAST AS BIGINT — prove the repair.
+    "embed_quantize",
+    "text_histogram",
+    # new in round 4 (driver signal on first exposure)
+    "dedup_minhash_containment",
+    "sample_reservoir",
+    "embed_pq_codebook",
+    "fn_datetime_bucket",
+    "agg_hll_sketch",
+    "join_range_bucketed",
+    "text_near_template",
+    "events_windowed_distinct",
+    "agg_count_if_distinct",
+    "win_cume_dist_median",
+    # stalest driver evidence: the r01 cohort (last proven two rounds
+    # ago) — re-prove the core relational surface hasn't drifted.
+    "agg_groupby",
+    "agg_global",
+    "agg_count_distinct",
+    "agg_having",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_stats",
+    "scan_parquet",
+    "scan_parquet_pruned",
+    "scan_csv_roundtrip",
+    "scan_json_props",
+    "sink_parquet_snapshot",
+    "sink_bucketed_join",
+    "join_inner_equi",
+    "join_broadcast_dim",
+    "join_multiway_star",
+    "join_left",
+    "join_right",
+    "join_full",
+    "join_semi",
+    "join_anti",
+    "join_theta_range",
+    "join_asof",
+    "join_skew_salted",
+    "win_row_number",
+    "win_rank_dense",
+    "win_lag_lead",
+    "win_running_sum",
+    "win_moving_avg",
+    "win_range_frame",
+    "win_first_last",
+    "sort_multikey",
+    "limit_topk",
+    "topk_per_group",
+    "filter_comparison",
+    "filter_in_between_like",
+    "project_nested_path",
 ]
 
 
