@@ -114,6 +114,25 @@ def main() -> None:
     # cold plan execution, not a cache read.
     per_query: dict[str, float] = {}
     for trial in range(3):
+        # Warm the shared shingle index and time it as its own line. Six
+        # dedup/text ops share this per-session persisted index; round 3
+        # charged its one-time build to whichever dedup op benched first,
+        # which made round-over-round per-op deltas look like regressions
+        # (r2→r3 dedup_near_minhash 0.92→1.74s was pure attribution). The
+        # family's true cost is shingle_build + the per-op marginals.
+        from cloud2sql_spark.queries.extensions import (
+            _doc_shingles,
+            clear_shingle_cache,
+        )
+
+        clear_shingle_cache()
+        t0 = time.time()
+        _doc_shingles(spark, sf_dir, nonempty=True).count()
+        _doc_shingles(spark, sf_dir).count()
+        dt = round(time.time() - t0, 3)
+        per_query["shingle_build"] = min(
+            per_query.get("shingle_build", float("inf")), dt
+        )
         for key in HEADLINE:
             fn = registry.get(key)
             if fn is None:
