@@ -46,12 +46,52 @@ def _make_remote_graph_source(cfg: dict | None) -> tuple[SourceFn, CatalogFn]:
     return make_graph_source(cfg)
 
 
+def _make_aws_mock_source(cfg: dict | None) -> tuple[SourceFn, CatalogFn]:
+    from cloud2sql_spark.etl.aws_mock_source import make_aws_mock_source
+
+    return make_aws_mock_source(cfg)
+
+
 SOURCES: dict[str, SourceFactory] = {
     "example": _make_example_source,
     # A5: ingest a graph collected elsewhere (reference RemoteGraphCollector,
     # collect.py:60-63)
     "remote_graph": _make_remote_graph_source,
+    # AWS-shaped collector against a deterministic in-process mock API —
+    # proves the executor-side fetch path (distributed_collect) on the
+    # account -> region -> instances/volumes hierarchy the reference's
+    # real cloud plugins produce (requirements.txt:14-17).
+    "aws_mock": _make_aws_mock_source,
 }
+
+# Entry-point group for third-party source plugins (reference A2: the
+# pkg_resources entry-points scan in cloud2sql/collect.py:39-44). An
+# installed distribution exposes
+#   [project.entry-points."cloud2sql_spark.sources"]
+#   mysource = "my_pkg.my_mod:factory"
+# and the factory has the SourceFactory signature above.
+ENTRY_POINT_GROUP = "cloud2sql_spark.sources"
+
+
+def discover_sources() -> dict[str, SourceFactory]:
+    """Built-in sources merged with ``importlib.metadata`` entry points.
+
+    Entry points shadow built-ins of the same name (a plugin may override
+    the stock implementation, matching the reference's last-wins plugin
+    scan). Discovery failures of one plugin never break the others."""
+    out: dict[str, SourceFactory] = dict(SOURCES)
+    from importlib.metadata import entry_points
+
+    try:
+        eps = entry_points(group=ENTRY_POINT_GROUP)
+    except TypeError:  # pragma: no cover — pre-3.10 selectable API
+        eps = entry_points().get(ENTRY_POINT_GROUP, [])
+    for ep in eps:
+        try:
+            out[ep.name] = ep.load()
+        except Exception:
+            continue
+    return out
 
 
 def collect(
@@ -70,9 +110,10 @@ def collect(
     from cloud2sql_spark.etl.progress import NullReporter
 
     fb = feedback or NullReporter()
+    sources = discover_sources()
     names = sorted(config["sources"])
     for name in names:
-        if name not in SOURCES:
+        if name not in sources:
             raise ValueError(f"unknown source: {name}")
 
     # A15: sources collect concurrently under a small driver-side thread
@@ -86,7 +127,12 @@ def collect(
     with ThreadPoolExecutor(max_workers=min(4, len(names))) as pool:
         futures = {
             name: pool.submit(
-                _run_source, spark, name, config["sources"].get(name), fb
+                _run_source,
+                spark,
+                name,
+                sources[name],
+                config["sources"].get(name),
+                fb,
             )
             for name in names
         }
@@ -128,6 +174,7 @@ def collect(
 def _run_source(
     spark: SparkSession,
     name: str,
+    factory: SourceFactory,
     source_cfg: dict | None,
     feedback: "ProgressReporter | None" = None,
 ) -> dict[str, DataFrame]:
@@ -139,7 +186,7 @@ def _run_source(
     sc.setLocalProperty("spark.scheduler.pool", f"source-{name}")
     try:
         fb.progress(name, "collecting")
-        source_fn, catalog_fn = SOURCES[name](source_cfg)
+        source_fn, catalog_fn = factory(source_cfg)
         nodes, edges = source_fn(spark)
         tables = flatten_graph(nodes, edges, catalog_fn())
         fb.progress(name, f"collected ({len(tables)} tables)")
