@@ -91,7 +91,20 @@ _R03_ADDITIONS = [
     "embed_kmeans_assign",
 ]
 
-HEADLINE = HEADLINE + _R03_ADDITIONS
+_R04_ADDITIONS = [
+    "agg_count_if_distinct",
+    "agg_hll_sketch",
+    "win_cume_dist_median",
+    "events_windowed_distinct",
+    "fn_datetime_bucket",
+    "sample_reservoir",
+    "join_range_bucketed",
+    "text_diversity",
+    "dedup_containment",
+    "embed_pq_codebook",
+]
+
+HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS
 
 
 def main() -> None:

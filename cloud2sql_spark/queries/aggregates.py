@@ -669,3 +669,73 @@ def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderkey").alias("last_orderkey"),
         F.min("o_orderkey").alias("first_orderkey"),
     )
+
+
+@register(
+    "agg_count_if_distinct",
+    oracle="""
+    SELECT l_linestatus,
+           count(DISTINCT CASE WHEN l_quantity >= 30 THEN l_partkey END)
+               AS bulk_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count_if(l_discount = 0)  AS n_no_discount,
+           count(*)                  AS n_rows
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_count_if_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional distinct counting: count(DISTINCT CASE WHEN ...) —
+    distinct over a predicate-masked key — alongside count_if. Spark
+    expands multiple distinct aggregates via the Expand operator (one
+    row replica per distinct group), so the shuffle carries
+    |rows| x |distinct-aggs| — fine when the group count is small, and
+    the reason to prefer approx sketches when it is not (see
+    agg_hll_sketch)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count_distinct(
+            F.when(F.col("l_quantity") >= 30, F.col("l_partkey"))
+        ).alias("bulk_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.expr("count_if(l_discount = 0)").alias("n_no_discount"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_hll_sketch",
+    oracle="""
+    SELECT count(DISTINCT user_id)          AS exact_total,
+           count(DISTINCT CAST(ts AS DATE)) AS n_days,
+           TRUE                             AS merged_est_ok
+    FROM events
+    """,
+)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Datasketches): build one user-id sketch
+    PER DAY, then union the 30 daily sketches and estimate total distinct
+    users — the re-aggregatable rollup pattern that replaces a full
+    count-distinct shuffle at 100 TB (daily sketches are kilobytes; the
+    merge is associative, so partial aggregation applies at every level).
+    DuckDB's HLL is a different implementation, so the oracle checks the
+    EXACT distinct count plus a boolean that the merged estimate lands
+    within 5% of it (lgK=12 gives ~0.8% standard error — 5% is >6 sigma;
+    a miss means the sketch machinery is broken, not unlucky)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_total"))
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "exact_total",
+        "n_days",
+        (
+            F.abs(F.col("est") - F.col("exact_total"))
+            <= 0.05 * F.col("exact_total")
+        ).alias("merged_est_ok"),
+    )

@@ -469,3 +469,39 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@register(
+    "events_windowed_distinct",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 1800) * 1800 - 1800 * g AS BIGINT)
+               AS window_start,
+           count(DISTINCT user_id) AS n_users,
+           count(*)                AS n_events
+    FROM events, range(2) t(g)
+    GROUP BY 1
+    """,
+)
+def events_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users: 1-hour windows sliding every 30
+    minutes via F.window — each event lands in exactly two windows, and
+    the per-window count(DISTINCT) dedups users inside each. This is the
+    batch shape of the streaming sliding-window aggregation
+    (stream_sliding) with a hard distinct instead of a count; the oracle
+    replays the window assignment arithmetic (start = floor(epoch/slide)
+    *slide - k*slide). Shuffle is by window_start after Expand doubles
+    rows — at 100 TB prefer the HLL-sketch variant (agg_hll_sketch) when
+    approximate distinct suffices."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "n_users",
+            "n_events",
+        )
+    )

@@ -559,3 +559,36 @@ def pipeline_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.floor(F.col("prefix_tokens") / 512).cast("long").alias("bin_id"),
     )
+
+
+@register(
+    "sample_reservoir",
+    oracle="""
+    SELECT lang, doc_id, rk FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 20
+    """,
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-group sample (reservoir semantics):
+    exactly k=20 docs per language, chosen by ranking on md5(doc_id) —
+    equivalent in distribution to a uniform without-replacement draw,
+    but reproducible across runs, engines, and partitionings (no RNG
+    state). Complements sample_stratified (fixed RATE) with fixed SIZE.
+    The rank is a single per-group sort; at 100 TB use the same hash as
+    a pre-filter (hash < k/n quantile estimate) to avoid sorting the
+    full group when k << group size."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "lang", "doc_id", F.row_number().over(w).cast("int").alias("rk")
+        )
+        .filter(F.col("rk") <= 20)
+    )

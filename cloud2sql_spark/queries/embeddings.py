@@ -277,3 +277,66 @@ def embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("int").alias("cluster"),
         F.round("cos", 6).alias("cosine"),
     )
+
+
+@register(
+    "embed_pq_codebook",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS sid, v AS sv FROM q WHERE vec_id IN (0, 1, 2, 3)),
+    subs AS (SELECT vec_id, g AS sub, v[g*8+1 : g*8+8] AS xs
+             FROM q, range(8) t(g)),
+    cents AS (SELECT sid, g AS sub, sv[g*8+1 : g*8+8] AS cs
+              FROM seeds, range(8) t(g)),
+    dists AS (SELECT s.vec_id, s.sub, c.sid,
+                     CAST(list_aggregate(
+                         list_transform(list_zip(s.xs, c.cs),
+                                        p -> (p[1] - p[2]) * (p[1] - p[2])),
+                         'sum') AS BIGINT) AS d
+              FROM subs s JOIN cents c ON s.sub = c.sub)
+    SELECT vec_id, sub, sid AS code, d AS sq_dist FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                   ORDER BY d, sid) AS rn
+      FROM dists)
+    WHERE rn = 1
+    """,
+)
+def embed_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: split each 64-dim vector into 8
+    contiguous 8-dim subvectors and assign each to its nearest codeword
+    from a 4-entry per-subspace codebook (here seeded from four fixed
+    vectors — a real pipeline would k-means them; the ASSIGNMENT path is
+    what PQ runs at scale, compressing 100 TB of float vectors to 8
+    bytes/vector for IVF-PQ search). All distances are exact integer
+    L2² in milli-space; argmin tie-breaks on codeword id via a struct
+    min, matching the oracle's (d, sid) row_number. Plan: codebook is
+    32 rows broadcast; one explode(×8) of the corpus, no shuffle until
+    the 8-row-per-vector groupBy."""
+    q = _quantized(spark, sf_dir)
+    seeds = q.filter(F.col("vec_id").isin(0, 1, 2, 3)).select(
+        F.col("vec_id").alias("sid"), F.col("v").alias("sv")
+    )
+    sub_ids = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("sub")
+    subs = q.select("vec_id", "v", sub_ids).select(
+        "vec_id", "sub", F.slice("v", F.col("sub") * 8 + 1, 8).alias("xs")
+    )
+    cents = seeds.select("sid", "sv", sub_ids).select(
+        "sid", "sub", F.slice("sv", F.col("sub") * 8 + 1, 8).alias("cs")
+    )
+    d = F.aggregate(
+        F.zip_with("xs", "cs", lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dists = subs.join(F.broadcast(cents), "sub").select(
+        "vec_id", "sub", F.col("sid"), d.alias("d")
+    )
+    best = dists.groupBy("vec_id", "sub").agg(
+        F.min(F.struct("d", "sid")).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        "sub",
+        F.col("m.sid").alias("code"),
+        F.col("m.d").alias("sq_dist"),
+    )

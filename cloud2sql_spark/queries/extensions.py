@@ -1026,3 +1026,54 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ).withColumn("cluster_size", F.count("*").over(wsz))
+
+
+_CONTAINMENT_PAIRS_SQL = f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sg FROM w),
+    ne AS (SELECT doc_id, sg FROM sh WHERE len(sg) > 0)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.sg, b.sg)) * 1.0 /
+           least(len(a.sg), len(b.sg)) AS containment
+    FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sg, b.sg)) * 1.0 /
+          least(len(a.sg), len(b.sg)) >= 0.8
+"""
+
+
+@register("dedup_containment", oracle=_CONTAINMENT_PAIRS_SQL)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT dedup: C(A,B) = |A∩B| / min(|A|,|B|) — catches
+    sub-document duplication (one doc embedded in a longer one) that
+    symmetric Jaccard under-scores: a doc fully contained in a 10×
+    longer doc has C = 1.0 but J ≈ 0.1. Same inverted-index candidate
+    join as the Jaccard family (shared persisted shingle cache; never
+    O(n²) — only docs sharing a shingle meet), with the denominator
+    swapped to the smaller set. At 100 TB apply the same df-cap as
+    dedup_ngram_capped to bound stop-shingle fan-out."""
+    shingled = _doc_shingles(spark, sf_dir, nonempty=True)
+    sized = shingled.withColumn("n", F.size("sg"))
+    tok = (
+        sized.select("doc_id", "n", F.explode_outer("sg").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .persist()
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    c = F.col("inter") * 1.0 / F.least("na", "nb")
+    return shared.filter(c >= 0.8).select(
+        "doc_a", "doc_b", c.alias("containment")
+    )

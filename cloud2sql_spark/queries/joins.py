@@ -502,3 +502,71 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# Price tiers for join_range_bucketed: (tier, lo, hi) with hi exclusive.
+# Bounds are multiples of the 5000 bucket step so each tier expands to an
+# exact set of covered buckets.
+_PRICE_TIERS = [
+    ("budget", 0, 10_000),
+    ("mid", 10_000, 30_000),
+    ("premium", 30_000, 60_000),
+    ("luxury", 60_000, 110_000),
+]
+
+
+@register(
+    "join_range_bucketed",
+    oracle="""
+    WITH tiers(tier, lo, hi) AS (VALUES
+        ('budget', 0, 10000), ('mid', 10000, 30000),
+        ('premium', 30000, 60000), ('luxury', 60000, 110000))
+    SELECT t.tier,
+           count(*) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l JOIN tiers t
+      ON l.l_extendedprice >= t.lo AND l.l_extendedprice < t.hi
+    GROUP BY t.tier
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join executed as a BUCKETED EQUALITY join: each tier row
+    expands to the fixed-width buckets it covers (sequence/explode on the
+    tiny dim side only), the fact side computes floor(price/step) once,
+    and the join is a broadcast hash join on the bucket id with the exact
+    range predicate as a residual filter. A raw `lo <= x < hi` theta join
+    is a broadcast nested loop — every fact row probes every tier; the
+    bucket form keeps hash-join semantics and survives a dim side too big
+    to broadcast (it shuffles on bucket). Same shape as
+    join_interval_overlap's hour binning, over numeric ranges."""
+    step = 5000
+    li = load_table(spark, sf_dir, "lineitem")
+    tiers = spark.createDataFrame(_PRICE_TIERS, "tier STRING, lo INT, hi INT")
+    # dim side: one row per covered bucket (hi is exclusive and
+    # step-aligned, so the last bucket starts at hi - step)
+    tier_buckets = tiers.select(
+        "tier",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / step),
+                F.floor((F.col("hi") - 1) / step),
+            )
+        ).alias("bucket"),
+    )
+    fact = li.select(
+        "l_extendedprice",
+        F.floor(F.col("l_extendedprice") / step).alias("bucket"),
+    )
+    joined = fact.join(F.broadcast(tier_buckets), "bucket").filter(
+        (F.col("l_extendedprice") >= F.col("lo"))
+        & (F.col("l_extendedprice") < F.col("hi"))
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

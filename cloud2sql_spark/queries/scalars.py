@@ -572,3 +572,40 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.degrees(F.atan((F.col("o_orderkey") % 5).cast("double"))), 6
         ).alias("slope_deg"),
     )
+
+
+@register(
+    "fn_datetime_bucket",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS bucket_start,
+           event_type,
+           count(*)                AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def fn_datetime_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-interval time bucketing via F.window (15-minute tumbling) —
+    the time-series rollup primitive. The window start IS the epoch
+    floor (start = floor(epoch/900)*900), which the oracle replays in
+    integer arithmetic; emitting the bucket as epoch seconds (BIGINT)
+    keeps the contract timezone-free. Partial-aggregable: the shuffle
+    carries one row per (bucket, type) per map task."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+    )

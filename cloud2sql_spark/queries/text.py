@@ -431,3 +431,58 @@ def text_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "text_diversity",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    cnt AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2),
+    st AS (SELECT doc_id,
+                  CAST(sum(c) AS BIGINT)          AS n_words,
+                  count(*)                        AS n_distinct,
+                  CAST(sum(c * (c - 1)) AS BIGINT) AS coll,
+                  count_if(c = 1)                 AS hapax
+           FROM cnt GROUP BY 1)
+    SELECT doc_id, n_words, n_distinct,
+           round(1.0 - coll * 1.0 / (n_words * (n_words - 1)), 6)
+               AS simpson_diversity,
+           round(hapax * 1.0 / n_distinct, 6) AS hapax_ratio,
+           round(n_distinct * 1.0 / n_words, 6) AS type_token_ratio
+    FROM st
+    WHERE n_words > 1
+    """,
+)
+def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals per document: Gini-Simpson
+    diversity (1 - sum c_i(c_i-1)/(N(N-1))), hapax ratio, and type-token
+    ratio — repetition/diversity filters for training-data curation
+    (low diversity = boilerplate or degenerate generation). All three
+    are EXACT rationals over integer counts (no log/float accumulation),
+    so the cross-engine hash is stable by construction. Spark plan:
+    explode -> two partial-aggregable groupBys keyed by doc; the token
+    shuffle is the corpus size, the doc shuffle is |docs| — both linear,
+    no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    cnt = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    st = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("coll"),
+        F.expr("count_if(c = 1)").alias("hapax"),
+    )
+    n = F.col("n_words")
+    return st.filter(n > 1).select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        F.round(1.0 - F.col("coll") / (n * (n - 1)), 6).alias(
+            "simpson_diversity"
+        ),
+        F.round(F.col("hapax") / F.col("n_distinct"), 6).alias("hapax_ratio"),
+        F.round(F.col("n_distinct") / n, 6).alias("type_token_ratio"),
+    )

@@ -304,3 +304,40 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("last_valid"),
     )
+
+
+@register(
+    "win_cume_dist_median",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           round(cume_dist() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice), 6) AS cd,
+           round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice), 6) AS pr,
+           round(median(o_totalprice) OVER (PARTITION BY o_orderpriority), 2)
+               AS grp_median
+    FROM orders
+    """,
+)
+def win_cume_dist_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank windows (cume_dist / percent_rank) plus a
+    whole-partition median window — each row scored against its group's
+    distribution in ONE pass (the anti-join alternative computes the
+    median per group then joins back: two shuffles and a join vs one
+    sort). cume_dist/percent_rank are exact rationals (tie-safe: equal
+    order keys share a value); the median of an even count is the mean of
+    the two middle values in both engines, rounded at 2 decimals on
+    2-decimal money."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    wp = Window.partitionBy("o_orderpriority")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.expr("median(o_totalprice)").over(wp), 2).alias(
+            "grp_median"
+        ),
+    )

@@ -74,13 +74,13 @@ _PRIORITY = [
     "embed_quantize",
     "text_histogram",
     # new in round 4 (driver signal on first exposure)
-    "dedup_minhash_containment",
+    "dedup_containment",
     "sample_reservoir",
     "embed_pq_codebook",
     "fn_datetime_bucket",
     "agg_hll_sketch",
     "join_range_bucketed",
-    "text_near_template",
+    "text_diversity",
     "events_windowed_distinct",
     "agg_count_if_distinct",
     "win_cume_dist_median",
