@@ -102,6 +102,17 @@ _R04_ADDITIONS = [
     "text_diversity",
     "dedup_containment",
     "embed_pq_codebook",
+    # second round-4 batch
+    "events_streaks",
+    "events_attribution",
+    "events_daily_fill",
+    "join_fuzzy_edit",
+    "join_spatial_grid",
+    "join_null_safe",
+    "text_chunk_split",
+    "text_lm_score",
+    "cdc_apply_upserts",
+    "embed_random_projection",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS
@@ -170,9 +181,17 @@ def main() -> None:
     # raw total is not comparable across rounds. rNN_set_total restricts to
     # the exact keys that round timed (r01: 29 keys @ 20.03s; r02: 37 keys
     # @ 22.27s recorded in BENCH_r0N.json).
-    r02_set = [k for k in HEADLINE if k not in _R03_ADDITIONS]
+    r02_set = [
+        k
+        for k in HEADLINE
+        if k not in _R03_ADDITIONS and k not in _R04_ADDITIONS
+    ]
     r02_total = round(
         sum(v for k, v in per_query.items() if k in set(r02_set)), 3
+    )
+    r03_set = [k for k in HEADLINE if k not in _R04_ADDITIONS]
+    r03_total = round(
+        sum(v for k, v in per_query.items() if k in set(r03_set)), 3
     )
     print(
         json.dumps(
@@ -184,6 +203,7 @@ def main() -> None:
                 "n_queries": len(per_query),
                 "r01_set_total": r01_total,
                 "r02_set_total": r02_total,
+                "r03_set_total": r03_total,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

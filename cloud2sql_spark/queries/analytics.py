@@ -505,3 +505,139 @@ def events_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "events_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INT) AS anchor
+      FROM days),
+    streak AS (
+      SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
+             count(*) AS streak_days
+      FROM isl GROUP BY user_id, anchor)
+    SELECT user_id, streak_start, streak_end, streak_days
+    FROM streak WHERE streak_days >= 2
+    """,
+)
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity streaks per user. The
+    island anchor is d - row_number() (consecutive days share one
+    anchor), so a streak is a plain groupBy over (user, anchor) — the
+    whole operator is one user-partitioned window plus one keyed agg
+    that reuses the same hash partitioning (single Exchange). State per
+    user is its day list, never the fact rows; at 100 TB the distinct
+    (user, day) projection shrinks map-side before any shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("anchor", F.date_sub("d", F.row_number().over(w)))
+    return (
+        isl.groupBy("user_id", "anchor")
+        .agg(
+            F.min("d").alias("streak_start"),
+            F.max("d").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= 2)
+        .drop("anchor")
+    )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+    WITH attr AS (
+      SELECT event_id, user_id, ts, value, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS attr_click_id
+      FROM events)
+    SELECT event_id AS purchase_id, user_id,
+           round(value, 2) AS value, attr_click_id
+    FROM attr WHERE event_type = 'purchase'
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most
+    recent strictly-preceding click by the same user (NULL = direct).
+    One user-partitioned window with last(..., ignorenulls=True) over a
+    1-PRECEDING frame — linear state per user, no self-join against the
+    fact table (the naive formulation is a ts-inequality self-join that
+    explodes at scale). Ordering ties break on event_id so both engines
+    see the same frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    return (
+        ev.withColumn("attr_click_id", F.last(click_id, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.round("value", 2).alias("value"),
+            "attr_click_id",
+        )
+    )
+
+
+@register(
+    "events_daily_fill",
+    oracle="""
+    WITH span AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      FROM events GROUP BY user_id),
+    cal AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                           AS DATE) AS day
+      FROM span),
+    act AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+             CAST(round(sum(value), 2) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2)
+    SELECT cal.user_id, cal.day,
+           COALESCE(act.n, 0) AS n_events,
+           COALESCE(act.v, 0.0) AS day_value
+    FROM cal LEFT JOIN act ON cal.user_id = act.user_id AND cal.day = act.day
+    """,
+)
+def events_daily_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: every user gets one row per day between
+    their first and last event, zero-filled on inactive days — the shape
+    report layers need before moving averages or streak SLAs. The
+    calendar comes from sequence()+explode over each user's [min, max]
+    span (bounded fan-out, generated map-side), and the activity join is
+    keyed on (user_id, day) — both sides hash-partition on the same key,
+    so densification costs one join shuffle regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    cal = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    act = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("v"),
+    )
+    return cal.join(act, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("v", F.lit(0.0)).alias("day_value"),
+    )

@@ -592,3 +592,51 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 20)
     )
+
+
+@register(
+    "cdc_apply_upserts",
+    oracle="""
+    WITH cdc AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'error' THEN 'delete'
+                  ELSE 'upsert' END AS op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM events)
+    SELECT user_id,
+           round(value, 2) AS final_value,
+           ts AS updated_at,
+           n_changes
+    FROM cdc WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def cdc_apply_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: treat events as a change stream keyed by user_id
+    ('error' = tombstone delete, anything else = upsert) and materialize
+    the last-writer-wins snapshot — the merge step of an incremental
+    mirror (reference cloud2sql rebuilds tables from scratch each run;
+    this is the scalable alternative). One user-partitioned window ranks
+    changes by (ts, event_id) descending; rn=1 keeps the latest change
+    and a tombstone there erases the key. Exactly one shuffle, state per
+    key is one row — the same plan compacts a 100 TB changelog, and it is
+    the batch twin of stream_stateful_custom's running state."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wall = Window.partitionBy("user_id")
+    op = F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
+    return (
+        ev.select("user_id", "ts", "event_id", "value", op.alias("op"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_changes", F.count(F.lit(1)).over(wall))
+        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .select(
+            "user_id",
+            F.round("value", 2).alias("final_value"),
+            F.col("ts").alias("updated_at"),
+            "n_changes",
+        )
+    )

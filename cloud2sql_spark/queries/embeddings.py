@@ -340,3 +340,48 @@ def embed_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.sid").alias("code"),
         F.col("m.d").alias("sq_dist"),
     )
+
+
+@register(
+    "embed_random_projection",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+    proj AS (SELECT vec_id, v, unnest(range(8)) AS j FROM q)
+    SELECT vec_id, CAST(j AS INT) AS j,
+           list_reduce(
+               list_transform(range(64), i ->
+                   v[i + 1] *
+                   (CASE WHEN (i * 2654435761 + j * 40503) % 97 < 48
+                         THEN 1 ELSE -1 END)),
+               (acc, x) -> acc + x) AS proj
+    FROM proj
+    """,
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection: 64-d embeddings down to 8
+    dims against a DETERMINISTIC +-1 matrix derived from integer hashing
+    of (i, j) -- the dimensionality-reduction pass before LSH or coarse
+    clustering, with the hash replacing RNG state so any executor (or
+    engine) regenerates the identical matrix. Components run on the
+    module's shared milli-quantized BIGINT vectors, so the 64-term fold
+    is exact integer arithmetic (bit-identical across engines, no float
+    summation order concerns). Pure narrow map: per-row JVM higher-order
+    fold, no UDF, no shuffle at any scale."""
+    q = _quantized(spark, sf_dir)
+    proj = q.select(
+        "vec_id",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"),
+    )
+    folded = F.aggregate(
+        F.sequence(F.lit(0), F.lit(63)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.element_at(F.col("v"), i + 1)
+        * F.when((i * 2654435761 + F.col("j") * 40503) % 97 < 48, 1).otherwise(-1),
+    )
+    return proj.select(
+        "vec_id",
+        F.col("j").cast("int").alias("j"),
+        folded.alias("proj"),
+    )

@@ -1003,16 +1003,36 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("u")
             .agg(F.min("nl").alias("min_neigh"))
         )
+        cand = labels.join(neigh, labels["node"] == neigh["u"], "left").select(
+            "node",
+            "label",
+            F.least(
+                F.col("label"),
+                F.coalesce(F.col("min_neigh"), F.col("label")),
+            ).alias("cl"),
+        )
+        # pointer-jumping (hash-to-min): chase one extra hop through the
+        # label table — new(u) = min(cand(u), label(cand(u))). Labels are
+        # node ids, so cand(u) always exists as a node; the jump doubles
+        # propagation reach per round, turning the worst-case path graph
+        # from O(diameter) rounds into O(log diameter) at the cost of one
+        # extra keyed join per round (noted as the scale upgrade in r3;
+        # near-dup clusters still converge in ~2 rounds either way).
         # one materialization serves both the fixpoint test and the next
         # round's labels (a separate changed-join doubled round latency)
         joined = (
-            labels.join(neigh, labels["node"] == neigh["u"], "left")
+            cand.join(
+                labels.select(
+                    F.col("node").alias("cl"), F.col("label").alias("jl")
+                ),
+                "cl",
+                "left",
+            )
             .select(
                 "node",
                 "label",
                 F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("min_neigh"), F.col("label")),
+                    F.col("cl"), F.coalesce(F.col("jl"), F.col("cl"))
                 ).alias("new_label"),
             )
             .persist()

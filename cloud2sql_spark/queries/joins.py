@@ -570,3 +570,178 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "join_fuzzy_edit",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, count(*) AS cnt,
+             string_split(p_name, ' ')[-1] AS noun
+      FROM part GROUP BY p_name),
+    pairs AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+             a.cnt * b.cnt AS n_pairs
+      FROM names a JOIN names b
+        ON a.noun = b.noun AND a.p_name < b.p_name)
+    SELECT name_a, name_b, dist, n_pairs
+    FROM pairs WHERE dist <= 2
+    """,
+)
+def join_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join on part names (edit distance <= 2) done at the
+    VOCABULARY level: names dedupe to a tiny dim first (62 distinct names
+    regardless of fact rows), candidate pairs come from an equality join
+    on a blocking key (the trailing noun token), and levenshtein runs
+    only on blocked candidates — never corpus x corpus. n_pairs = cnt_a *
+    cnt_b recovers the row-level pair count arithmetically. At 100 TB the
+    vocab stays broadcast-size while the fact side is touched once by the
+    groupBy; the naive formulation (levenshtein as a theta-join predicate
+    over facts) is a nested-loop cross product."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("cnt"))
+    names = names.withColumn(
+        "noun", F.element_at(F.split("p_name", " "), -1)
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("cnt").alias("cnt_a"),
+        "noun",
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("cnt").alias("cnt_b"),
+        "noun",
+    )
+    pairs = a.join(F.broadcast(b), "noun").filter(F.col("name_a") < F.col("name_b"))
+    dist = F.levenshtein("name_a", "name_b").cast("int")
+    return (
+        pairs.withColumn("dist", dist)
+        .filter(F.col("dist") <= 2)
+        .select(
+            "name_a",
+            "name_b",
+            "dist",
+            (F.col("cnt_a") * F.col("cnt_b")).alias("n_pairs"),
+        )
+    )
+
+
+@register(
+    "join_spatial_grid",
+    oracle="""
+    WITH cpts AS (
+      SELECT c_custkey, (c_custkey * 2654435761) % 1000 AS x,
+                        (c_custkey * 40503) % 1000 AS y
+      FROM customer),
+    spts AS (
+      SELECT s_suppkey, (s_suppkey * 2654435761) % 1000 AS x,
+                        (s_suppkey * 40503) % 1000 AS y
+      FROM supplier)
+    SELECT c.c_custkey, s.s_suppkey,
+           (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS d2
+    FROM cpts c JOIN spts s
+      ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 2500
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join (points within 50 units on a 1000x1000 integer
+    grid) executed as a GRID-CELL equality join: cell width = the radius,
+    so every partner lies in the point's own or one of its 8 neighbor
+    cells. The small side explodes to its 9 covering cells (bounded
+    fan-out, map-side), the join is a plain hash join on (cx, cy), and
+    the exact integer distance check is a residual filter — each
+    qualifying pair is produced exactly once because the probe side joins
+    only its home cell. Coordinates are synthesized by multiplicative
+    hashing of the keys (pure BIGINT arithmetic, bit-identical across
+    engines). The oracle is the brute-force theta join; the grid plan is
+    what survives when both sides are too big for a nested loop."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    cpts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 2654435761) % 1000).alias("x"),
+        ((F.col("c_custkey") * 40503) % 1000).alias("y"),
+    )
+    spts = supp.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 2654435761) % 1000).alias("x"),
+        ((F.col("s_suppkey") * 40503) % 1000).alias("y"),
+    )
+    # supplier side fans out to its 9 neighbor cells; customer probes its
+    # own cell only, so no pair dedup is needed
+    s9 = (
+        spts.withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(
+            "s_suppkey",
+            F.col("x").alias("sx"),
+            F.col("y").alias("sy"),
+            (F.floor(F.col("x") / 50) + F.col("dx")).alias("cx"),
+            (F.floor(F.col("y") / 50) + F.col("dy")).alias("cy"),
+        )
+    )
+    cgrid = cpts.select(
+        "c_custkey",
+        F.col("x").alias("px"),
+        F.col("y").alias("py"),
+        F.floor(F.col("x") / 50).alias("cx"),
+        F.floor(F.col("y") / 50).alias("cy"),
+    )
+    d2 = (F.col("px") - F.col("sx")) * (F.col("px") - F.col("sx")) + (
+        F.col("py") - F.col("sy")
+    ) * (F.col("py") - F.col("sy"))
+    return (
+        cgrid.join(F.broadcast(s9), ["cx", "cy"])
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= 2500)
+        .select("c_custkey", "s_suppkey", "d2")
+    )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH cb AS (
+      SELECT c_custkey,
+             CASE WHEN c_nationkey % 5 = 0 THEN NULL
+                  ELSE c_nationkey % 5 END AS band
+      FROM customer),
+    sb AS (
+      SELECT s_suppkey,
+             CASE WHEN s_nationkey % 5 = 0 THEN NULL
+                  ELSE s_nationkey % 5 END AS band
+      FROM supplier)
+    SELECT cb.band, count(*) AS n_pairs,
+           count(DISTINCT cb.c_custkey) AS n_cust,
+           count(DISTINCT sb.s_suppkey) AS n_supp
+    FROM cb JOIN sb ON cb.band IS NOT DISTINCT FROM sb.band
+    GROUP BY cb.band
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL bands
+    match each other instead of vanishing, the semantics ETL needs when
+    joining on optional attributes. Spark plans eqNullSafe as an ordinary
+    hash join (the key is wrapped in a null-coalescing struct), so this
+    stays a broadcast hash join — no nested loop, no NULL-row fallout to
+    reconcile afterwards. Aggregated per band to keep the contract
+    output small; the NULL row proves the semantic difference from a
+    plain equi-join, which would drop it."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    band = lambda col: F.when(col % 5 == 0, F.lit(None)).otherwise(col % 5)
+    cb = cust.select("c_custkey", band(F.col("c_nationkey")).alias("band"))
+    sb = supp.select(
+        "s_suppkey", band(F.col("s_nationkey")).alias("band_s")
+    )
+    return (
+        cb.join(F.broadcast(sb), cb["band"].eqNullSafe(sb["band_s"]))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("c_custkey").alias("n_cust"),
+            F.count_distinct("s_suppkey").alias("n_supp"),
+        )
+    )

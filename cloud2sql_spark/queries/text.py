@@ -486,3 +486,88 @@ def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("hapax") / F.col("n_distinct"), 6).alias("hapax_ratio"),
         F.round(F.col("n_distinct") / n, 6).alias("type_token_ratio"),
     )
+
+
+@register(
+    "text_chunk_split",
+    oracle="""
+    WITH starts AS (
+      SELECT doc_id, text, unnest(range(1, length(text) + 1, 150)) AS s
+      FROM documents)
+    SELECT doc_id,
+           CAST((s - 1) / 150 AS INT) AS chunk_idx,
+           CAST(s AS INT) AS chunk_start,
+           substring(text, CAST(s AS INT), 200) AS chunk_text,
+           CAST(length(substring(text, CAST(s AS INT), 200)) AS INT)
+               AS chunk_len
+    FROM starts
+    """,
+)
+def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking: 200-char windows with 50-char overlap (stride
+    150), one row per chunk. Start offsets are generated per row with
+    sequence()+explode — bounded fan-out proportional to document length,
+    no shuffle at all (the whole operator is a narrow map), so chunking
+    100 TB is embarrassingly parallel and chunk rows inherit the scan's
+    partitioning for any downstream embed/tokenize stage. Offsets are
+    1-based in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    starts = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text"), F.lit(150))
+        ).alias("s"),
+    )
+    chunk = F.substring(F.col("text"), F.col("s").cast("int"), F.lit(200))
+    return starts.select(
+        "doc_id",
+        ((F.col("s") - 1) / 150).cast("int").alias("chunk_idx"),
+        F.col("s").cast("int").alias("chunk_start"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("int").alias("chunk_len"),
+    )
+
+
+@register(
+    "text_lm_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                        t -> t <> '')) AS token
+      FROM documents),
+    vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    total AS (SELECT sum(cnt) AS t FROM vocab)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(CAST(cnt AS DOUBLE) / t)), 2) AS avg_logp
+    FROM tok JOIN vocab USING (token) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: each document's mean log-likelihood
+    under the corpus's own unigram distribution — the perplexity-proxy
+    quality filter of web-scale pipelines (low avg_logp = rare-token
+    gibberish). Two aggregations: the vocabulary (small — token types,
+    not occurrences; broadcast to the scoring join) and the per-doc mean.
+    The token explode is map-side; the vocab join is broadcast; the
+    final groupBy(doc_id) is the only big shuffle. ln() runs on
+    identically-computed doubles in both engines and the mean is rounded
+    to 2 decimals."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("t"))
+    scored = tok.join(F.broadcast(vocab), "token").join(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.avg(F.log(F.col("cnt").cast("double") / F.col("t"))), 2
+        ).alias("avg_logp"),
+    )

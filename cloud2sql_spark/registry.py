@@ -84,6 +84,17 @@ _PRIORITY = [
     "events_windowed_distinct",
     "agg_count_if_distinct",
     "win_cume_dist_median",
+    # round-4 second batch (driver signal on first exposure)
+    "events_streaks",
+    "events_attribution",
+    "events_daily_fill",
+    "join_fuzzy_edit",
+    "join_spatial_grid",
+    "join_null_safe",
+    "text_chunk_split",
+    "text_lm_score",
+    "cdc_apply_upserts",
+    "embed_random_projection",
     # stalest driver evidence: the r01 cohort (last proven two rounds
     # ago) — re-prove the core relational surface hasn't drifted.
     "agg_groupby",

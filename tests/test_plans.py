@@ -238,3 +238,44 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     plan = _physical(_QUERIES["events_sessionize"](spark, sf_dir))
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Window") == 2, plan
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "join_range_bucketed",
+        "dedup_containment",
+        "embed_pq_codebook",
+        "join_fuzzy_edit",
+        "join_spatial_grid",
+        "join_null_safe",
+        "events_daily_fill",
+        "events_streaks",
+        "events_attribution",
+        "cdc_apply_upserts",
+        "text_chunk_split",
+        "text_lm_score",
+    ],
+)
+def test_round4_keyed_queries_avoid_cartesian(key, spark, sf_dir):
+    """Round-4 operators with join/fan-out semantics stay on equality
+    joins: range-bucketed and spatial joins probe exact cells/buckets,
+    fuzzy matching blocks on a token key, densification joins on (user,
+    day). text_lm_score's corpus-total is a 1-row broadcast scalar — a
+    nested-loop by definition but bounded at one row, so only the
+    cartesian assertion applies to it."""
+    plan = _physical(_QUERIES[key](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    if key != "text_lm_score":
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "key", ["join_fuzzy_edit", "join_spatial_grid", "join_null_safe"]
+)
+def test_round4_small_side_broadcasts(key, spark, sf_dir):
+    """The bounded side (name vocab / 9-cell supplier fan-out / supplier
+    bands) must broadcast — these joins degrade to full shuffles of the
+    big probe side otherwise."""
+    plan = _physical(_QUERIES[key](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan

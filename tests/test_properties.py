@@ -150,3 +150,47 @@ def test_stratified_quota_exact(strata):
         assert q >= 1
         assert q <= n
         assert q - 1 < 0.1 * n <= q or q == 1
+
+
+def test_asof_equal_timestamp_ties(spark, tmp_path):
+    """join_asof tie semantics (SURVEY §5.2(8)): a click at EXACTLY the
+    purchase timestamp must NOT match (strict p.ts > c.ts), and when two
+    clicks tie at the latest strictly-prior timestamp the operator picks
+    the one with the largest event_id, deterministically. Runs the real
+    registry operator against an adversarial fixture written in the
+    events schema."""
+    from cloud2sql_spark.queries.joins import join_asof
+
+    rows = [
+        # user 1: two clicks tied at t=100 (ids 1, 2), a purchase AT
+        # t=100 (no strictly-prior click -> excluded), a purchase at
+        # t=200 (matches the tie, must pick event_id 2's value)
+        (1, "2024-01-01 00:01:40", 1, "click", 10.0, "{}"),
+        (2, "2024-01-01 00:01:40", 1, "click", 20.0, "{}"),
+        (3, "2024-01-01 00:01:40", 1, "purchase", 1.0, "{}"),
+        (4, "2024-01-01 00:03:20", 1, "purchase", 2.0, "{}"),
+        # user 2: purchase with no prior click -> excluded
+        (5, "2024-01-01 00:00:50", 2, "purchase", 3.0, "{}"),
+        # user 3: one click, two later purchases -> both match it
+        (6, "2024-01-01 00:00:10", 3, "click", 7.5, "{}"),
+        (7, "2024-01-01 00:00:20", 3, "purchase", 4.0, "{}"),
+        (8, "2024-01-01 00:00:30", 3, "purchase", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        [(i, __import__("datetime").datetime.fromisoformat(ts), u, et, v, p)
+         for (i, ts, u, et, v, p) in rows],
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = {
+        r["event_id"]: (r["click_value"], r["click_ts"])
+        for r in join_asof(spark, str(tmp_path)).collect()
+    }
+    # purchase 3 (ts == click ts) and purchase 5 (no prior click) excluded
+    assert set(out) == {4, 7, 8}
+    # the tie at t=100 resolves to event_id 2 (largest id), value 20
+    assert out[4][0] == 20.0
+    # both of user 3's purchases match the single prior click
+    assert out[7][0] == 7.5 and out[8][0] == 7.5
