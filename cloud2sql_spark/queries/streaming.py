@@ -247,3 +247,40 @@ def stream_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{base}/state/cur").select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+@register(
+    "stream_cdc_upsert",
+    oracle="""
+    WITH cdc AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'error' THEN 'delete'
+                  ELSE 'upsert' END AS op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM events)
+    SELECT user_id,
+           round(value, 2) AS final_value,
+           ts AS updated_at,
+           n_changes
+    FROM cdc WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of cdc_apply_upserts: the changelog replays as a
+    file stream and foreachBatch maintains a one-row-per-key snapshot
+    (last-writer-wins struct max + running change count, tombstones
+    pinned in state so late older updates cannot resurrect deletes).
+    The merge is associative/commutative, so the streamed snapshot is
+    chunking-invariant and equals the batch compaction — here it is
+    driven against the real stream and read back from the state store,
+    then hash-checked against the same oracle as the batch operator."""
+    from cloud2sql_spark.streaming import replay
+
+    base = os.path.join(_TMP_ROOT, f"stream_cdc_{os.path.basename(sf_dir)}")
+    shutil.rmtree(base, ignore_errors=True)
+    replay_dir = replay.stage_replay_dir(spark, sf_dir, f"{base}/replay", n_files=4)
+    stream = replay.read_event_stream(spark, replay_dir, files_per_trigger=2)
+    replay.run_cdc_upsert(stream, f"{base}/state", f"{base}/ckpt")
+    return replay.read_cdc_state(spark, f"{base}/state")

@@ -95,6 +95,7 @@ _PRIORITY = [
     "text_lm_score",
     "cdc_apply_upserts",
     "embed_random_projection",
+    "stream_cdc_upsert",
     # stalest driver evidence: the r01 cohort (last proven two rounds
     # ago) — re-prove the core relational surface hasn't drifted.
     "agg_groupby",

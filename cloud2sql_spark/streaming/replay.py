@@ -203,3 +203,74 @@ def run_incremental_topk(
         .start()
     )
     q.awaitTermination()
+
+
+def run_cdc_upsert(
+    stream_events: DataFrame, state_dir: str, checkpoint: str
+) -> None:
+    """Incremental CDC compaction via foreachBatch: the state is ONE row
+    per key — the latest change struct (max of (ts, event_id), which is
+    last-writer-wins) plus the running change count. Each micro-batch
+    reduces to its own per-key latest + count, unions with the persisted
+    state, and re-reduces; the merge is associative and commutative, so
+    the streamed snapshot equals the one-shot batch compaction however
+    the changelog is chunked (verified in tests/test_streaming.py).
+    Tombstones ('error' events) STAY in the state so a late-arriving
+    older update cannot resurrect a deleted key; they are filtered only
+    at read-out. State is O(live keys), never O(stream)."""
+    import os as _os
+    import shutil as _shutil
+
+    def merge_cdc(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        latest = F.max(
+            F.struct(
+                "ts",
+                "event_id",
+                "value",
+                F.when(F.col("event_type") == "error", "delete")
+                .otherwise("upsert")
+                .alias("op"),
+            )
+        ).alias("latest")
+        batch_state = batch_df.groupBy("user_id").agg(
+            latest, F.count(F.lit(1)).alias("n_changes")
+        )
+        if _os.path.isdir(_os.path.join(state_dir, "cur")):
+            prev = spark.read.parquet(_os.path.join(state_dir, "cur"))
+            batch_state = prev.unionByName(batch_state)
+        merged = batch_state.groupBy("user_id").agg(
+            F.max("latest").alias("latest"),
+            F.sum("n_changes").alias("n_changes"),
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(state_dir, "nxt")
+        )
+        _shutil.rmtree(_os.path.join(state_dir, "cur"), ignore_errors=True)
+        _os.rename(
+            _os.path.join(state_dir, "nxt"), _os.path.join(state_dir, "cur")
+        )
+
+    q = (
+        stream_events.writeStream.foreachBatch(merge_cdc)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_cdc_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Materialize the CDC snapshot: drop tombstoned keys, project the
+    batch-compaction output shape."""
+    return (
+        spark.read.parquet(os.path.join(state_dir, "cur"))
+        .filter(F.col("latest.op") != "delete")
+        .select(
+            "user_id",
+            F.round("latest.value", 2).alias("final_value"),
+            F.col("latest.ts").alias("updated_at"),
+            "n_changes",
+        )
+    )

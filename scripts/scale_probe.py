@@ -62,6 +62,18 @@ PROBE_KEYS = [
     "text_top_ngrams",
     "dedup_prefix_norm",
     "embed_kmeans_assign",
+    # round 4: fan-out / join / fold-heavy additions
+    "dedup_containment",
+    "join_range_bucketed",
+    "events_windowed_distinct",
+    "join_spatial_grid",
+    "join_fuzzy_edit",
+    "events_daily_fill",
+    "text_chunk_split",
+    "text_lm_score",
+    "cdc_apply_upserts",
+    "embed_random_projection",
+    "embed_pq_codebook",
 ]
 
 

@@ -110,3 +110,38 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, replay_dir):
         result, batch,
         ["purchase_id", "user_id", "purchase_ts", "click_id", "click_ts", "click_value"],
     )
+
+
+def test_cdc_upsert_chunking_invariant(spark, sf_dir, replay_dir):
+    """The foreachBatch CDC merge must produce the identical snapshot for
+    any micro-batch chunking (1 file vs 3 files per trigger), and that
+    snapshot must equal the one-shot batch compaction (cdc_apply_upserts),
+    including tombstone suppression."""
+    from cloud2sql_spark.queries.curation import cdc_apply_upserts
+
+    base = os.path.join(tempfile.gettempdir(), "cloud2sql_spark", "test_cdc")
+
+    def run(files_per_trigger: int):
+        state = f"{base}/state_{files_per_trigger}"
+        ckpt = f"{base}/ckpt_{files_per_trigger}"
+        import shutil
+
+        shutil.rmtree(state, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        stream = replay.read_event_stream(
+            spark, replay_dir, files_per_trigger=files_per_trigger
+        )
+        replay.run_cdc_upsert(stream, state, ckpt)
+        rows = replay.read_cdc_state(spark, state).collect()
+        return sorted(
+            (r.user_id, r.final_value, _naive(r.updated_at), r.n_changes)
+            for r in rows
+        )
+
+    fine, coarse = run(1), run(3)
+    assert fine == coarse
+    batch = sorted(
+        (r.user_id, r.final_value, _naive(r.updated_at), r.n_changes)
+        for r in cdc_apply_upserts(spark, sf_dir).collect()
+    )
+    assert fine == batch
