@@ -113,6 +113,13 @@ _R04_ADDITIONS = [
     "text_lm_score",
     "cdc_apply_upserts",
     "embed_random_projection",
+    # third round-4 batch
+    "win_range_interval",
+    "graph_bfs_levels",
+    "agg_grouping_id",
+    "fn_variant",
+    "scan_binaryfile",
+    "sample_poisson_bootstrap",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS

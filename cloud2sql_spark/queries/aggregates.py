@@ -739,3 +739,50 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_total")
         ).alias("merged_est_ok"),
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                AS BIGINT) AS gid,
+           coalesce(o_orderpriority, '(all)') AS pri,
+           coalesce(o_orderstatus, '(all)') AS status,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() subtotal labeling: gid distinguishes detail
+    rows (0), per-priority subtotals (1), and the grand total (3), and the
+    coalesced '(all)' labels make subtotal rows self-describing — the ANSI
+    idiom report writers use instead of sentinel NULLs. Composed as
+    2*grouping(a) + grouping(b) on both engines (identical to Spark's
+    grouping_id() for this column order, but engine-portable). One Expand
+    + one hash aggregate; money rides DECIMAL and renders DOUBLE per the
+    repo convention."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            (
+                F.grouping("o_orderpriority") * 2 + F.grouping("o_orderstatus")
+            )
+            .cast("long")
+            .alias("gid"),
+        )
+        .select(
+            "gid",
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("pri"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            "n_orders",
+            "revenue",
+        )
+    )

@@ -641,3 +641,74 @@ def events_daily_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_events"),
         F.coalesce("v", F.lit(0.0)).alias("day_value"),
     )
+
+
+@register(
+    "graph_bfs_levels",
+    oracle="""
+    WITH RECURSIVE
+    base AS (
+      SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS p,
+                      's' || CAST(l_suppkey AS VARCHAR) AS s
+      FROM lineitem WHERE l_quantity <= 1),
+    edges AS (
+      SELECT p AS src, s AS dst FROM base
+      UNION ALL
+      SELECT s AS src, p AS dst FROM base),
+    walk(node, hop) AS (
+      SELECT 's' || CAST(min(l_suppkey) AS VARCHAR), 0
+      FROM lineitem WHERE l_quantity <= 1
+      UNION
+      SELECT e.dst, w.hop + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.hop < 6),
+    lev AS (SELECT node, min(hop) AS hop FROM walk GROUP BY node)
+    SELECT hop, count(*) AS n_nodes FROM lev GROUP BY hop
+    """,
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first search over the sparse part--supplier bipartite graph
+    (edges = distinct (part, supplier) pairs shipped with l_quantity <= 1;
+    ~1.1k edges at sf0.01, so the frontier actually branches instead of
+    saturating in two hops). Pregel-in-DataFrame form: each round joins the
+    current frontier against the edge list on the node key, anti-joins the
+    visited set to keep FIRST arrivals only (that anti-join IS the min-hop
+    semantics), and unions into visited. Rounds are capped at 6 on both
+    engines (the oracle recursive CTE carries the same hop < 6 bound, and
+    its UNION-recursion dedups on (node, hop) so bipartite parity re-visits
+    stay bounded by nodes x hops, never path-enumeration). Each superstep
+    ends in an eager localCheckpoint: plain persist leaves the logical
+    plan growing by three shuffles per round (the optimizer replans the
+    whole nested union every superstep — observed as 400 -> 600 -> 800
+    task stages and an eventual driver OOM), while checkpointing truncates
+    lineage so every round is exactly one keyed equi-join + distinct +
+    anti-join, the same per-superstep shuffle Pregel does at cluster
+    scale. An empty frontier short-circuits the remaining rounds."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 1)
+    half = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("p"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+    ).distinct()
+    edges = half.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionByName(
+        half.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    seed = li.agg(
+        F.concat(F.lit("s"), F.min("l_suppkey").cast("string")).alias("node")
+    ).withColumn("hop", F.lit(0))
+    visited = seed.localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, 7):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("hop", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.groupBy("hop").agg(F.count(F.lit(1)).alias("n_nodes"))

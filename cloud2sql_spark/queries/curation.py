@@ -640,3 +640,62 @@ def cdc_apply_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_changes",
         )
     )
+
+
+# Poisson(1) inverse-CDF thresholds over the first 6 md5 hex digits:
+# floor(CDF(k) * 16^6) rendered as 6-char hex. Same-length lowercase hex
+# compares exactly like the underlying integer, so the CASE chain below is
+# pure string comparison — no floats anywhere, bit-identical across engines.
+_POISSON1_HEX = ("5e2d58", "bc5ab1", "eb715e", "fb2397")
+
+
+@register(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                       < '{_POISSON1_HEX[0]}' THEN 0
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                       < '{_POISSON1_HEX[1]}' THEN 1
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                       < '{_POISSON1_HEX[2]}' THEN 2
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                       < '{_POISSON1_HEX[3]}' THEN 3
+                  ELSE 4 END AS n_copies
+      FROM documents)
+    SELECT doc_id, lang, n_copies, CAST(t.copy AS INTEGER) AS copy
+    FROM keyed, unnest(generate_series(1, n_copies)) AS t(copy)
+    WHERE n_copies >= 1
+    """,
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson(1) bootstrap resampling — the bagging primitive: each
+    document is independently replicated k ~ Poisson(1) times (k=0 drops
+    it), which at corpus scale is the online equivalent of sampling n
+    rows with replacement without ever shuffling or counting the corpus.
+    The RNG is md5(doc_id)'s first 6 hex digits compared against
+    precomputed inverse-CDF thresholds (floor(CDF(k) * 16^6) as hex) —
+    the CASE chain is exact string comparison, the tail is capped at
+    k=4 (CDF 0.996), and replication is explode(sequence(1, k)): a
+    narrow per-row fan-out, zero shuffles, embarrassingly parallel at
+    any scale. Deterministic: the same doc_id draws the same k in every
+    engine, partition layout, and rerun."""
+    docs = load_table(spark, sf_dir, "documents")
+    h6 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6)
+    k = (
+        F.when(h6 < _POISSON1_HEX[0], 0)
+        .when(h6 < _POISSON1_HEX[1], 1)
+        .when(h6 < _POISSON1_HEX[2], 2)
+        .when(h6 < _POISSON1_HEX[3], 3)
+        .otherwise(4)
+    )
+    keyed = docs.select("doc_id", "lang", k.alias("n_copies")).filter(
+        F.col("n_copies") >= 1
+    )
+    return keyed.select(
+        "doc_id",
+        "lang",
+        "n_copies",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy"),
+    )

@@ -609,3 +609,42 @@ def fn_datetime_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           event_type AS vt,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS vk,
+           user_id AS vuser,
+           CAST(NULL AS BIGINT) AS vmissing
+    FROM events
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT round-trip: build a nested JSON document per event
+    (type tag, the numeric prop extracted from props, an id array), parse
+    it into the open semi-structured VARIANT type, and read typed paths
+    back out with variant_get — including an array index and a
+    try_variant_get miss that must yield NULL, not an error. VARIANT is
+    Spark's answer to schema-on-read at scale (binary-encoded, no
+    per-row JSON re-parse downstream); the oracle checks the round-trip
+    identity: every extracted path must equal the column it was built
+    from. Pure per-row projection, no shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.array("event_id", "user_id").alias("ids"),
+        )
+    )
+    v = F.parse_json(doc)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.t", "string").alias("vt"),
+        F.variant_get(v, "$.k", "long").alias("vk"),
+        F.variant_get(v, "$.ids[1]", "long").alias("vuser"),
+        F.try_variant_get(v, "$.missing", "long").alias("vmissing"),
+    )

@@ -370,3 +370,48 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", True).parquet(out).select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "scan_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    WHERE doc_id < 64
+    """,
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's binaryFile source — the ingestion format for opaque
+    image/audio/document payloads (each file becomes one row: path,
+    modificationTime, length, content BinaryType). The fixture stage
+    materializes the first 64 documents as individual .bin files (UTF-8
+    text bytes, doc_id-named; a bounded 64-row driver write, same class
+    as the sink_* fixtures), then the query under test is the binaryFile
+    read: recover doc_id from the filename, byte length from the file
+    metadata column, and an md5 over the raw content bytes. The oracle
+    recomputes all three from the documents table — a full round-trip
+    proof that payload bytes survive file materialization and binary
+    ingestion. At scale this reader partitions by file and prunes the
+    content column when unreferenced; metadata-only queries never read
+    payload bytes."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id", "text")
+        .collect()
+    )
+    path = _tmp("scan_binaryfile/blobs")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    for row in docs:
+        with open(os.path.join(path, f"{row.doc_id:05d}.bin"), "wb") as fh:
+            fh.write(row.text.encode("utf-8"))
+    blobs = spark.read.format("binaryFile").load(path)
+    name = F.element_at(F.split("path", "/"), -1)
+    return blobs.select(
+        F.regexp_extract(name, r"(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("digest"),
+    )

@@ -341,3 +341,53 @@ def win_cume_dist_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grp_median"
         ),
     )
+
+
+@register(
+    "win_range_interval",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events)
+    SELECT user_id, event_id,
+           CAST(sum(v) OVER w AS DOUBLE) AS hour_value,
+           CAST(count(*) OVER w AS BIGINT) AS hour_events
+    FROM v
+    WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per user, the trailing one-hour sum/count
+    at every event — the sensor/clickstream sliding aggregate expressed
+    as a window instead of a self-join. The frame is RANGE over exact
+    epoch MICROSECONDS (no second-truncation tie ambiguity; peers with
+    identical micros share a frame in both engines), so the inequality
+    never becomes a join: one hash Exchange on user_id + one Sort, state
+    bounded by each user's one-hour event density. The epoch conversion
+    is timestampdiff from an NTZ literal — TZ-free, so the cutoff cannot
+    shift on a non-UTC host (ts is TIMESTAMP_NTZ). Money rides
+    DECIMAL(18,2) so the trailing sums hash identically; the DuckDB
+    side renders through the repo-wide CAST(... AS DOUBLE/BIGINT)
+    convention (DuckDB widens sums to DECIMAL(38,2)/HUGEINT)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts)"
+        ).alias("tus"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return v.select(
+        "user_id",
+        "event_id",
+        F.sum("v").over(w).cast("double").alias("hour_value"),
+        F.count(F.lit(1)).over(w).cast("long").alias("hour_events"),
+    )

@@ -96,6 +96,13 @@ _PRIORITY = [
     "cdc_apply_upserts",
     "embed_random_projection",
     "stream_cdc_upsert",
+    # round-4 third batch (driver signal on first exposure)
+    "win_range_interval",
+    "graph_bfs_levels",
+    "agg_grouping_id",
+    "fn_variant",
+    "scan_binaryfile",
+    "sample_poisson_bootstrap",
     # stalest driver evidence: the r01 cohort (last proven two rounds
     # ago) — re-prove the core relational surface hasn't drifted.
     "agg_groupby",

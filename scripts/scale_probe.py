@@ -74,6 +74,10 @@ PROBE_KEYS = [
     "cdc_apply_upserts",
     "embed_random_projection",
     "embed_pq_codebook",
+    # round 4 third batch: window-frame / iterative / fan-out additions
+    "win_range_interval",
+    "graph_bfs_levels",
+    "sample_poisson_bootstrap",
 ]
 
 

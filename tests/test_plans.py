@@ -279,3 +279,40 @@ def test_round4_small_side_broadcasts(key, spark, sf_dir):
     big probe side otherwise."""
     plan = _physical(_QUERIES[key](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_range_interval_single_window_shuffle(spark, sf_dir):
+    """The trailing-hour RANGE frame is ONE Exchange + ONE Sort — if it
+    ever becomes a time-inequality self-join the plan grows a second
+    Exchange and a join node, which is the shape that melts at 100 TB."""
+    plan = _physical(_QUERIES["win_range_interval"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_poisson_bootstrap_zero_shuffles(spark, sf_dir):
+    """Bootstrap replication is a narrow map: md5 CASE + explode, no
+    Exchange anywhere. Any shuffle here is a regression — the operator
+    must stay embarrassingly parallel."""
+    plan = _physical(_QUERIES["sample_poisson_bootstrap"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_variant_projection_zero_shuffles(spark, sf_dir):
+    plan = _physical(_QUERIES["fn_variant"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+@pytest.mark.parametrize("key", ["agg_grouping_id", "graph_bfs_levels"])
+def test_round4_batch3_avoid_cartesian(key, spark, sf_dir):
+    plan = _physical(_QUERIES[key](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_grouping_id_single_expand(spark, sf_dir):
+    """ROLLUP compiles to one Expand + partial/final HashAggregate —
+    not one scan per grouping set."""
+    plan = _physical(_QUERIES["agg_grouping_id"](spark, sf_dir))
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
