@@ -831,8 +831,20 @@ def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard on the FULL shingle sets, so reported values are
     identical to the uncapped op; only recall of pairs sharing solely
     stop-shingles is (deliberately) given up. The oracle replicates the
-    same cap, making the op deterministic and hash-checkable."""
+    same cap, making the op deterministic and hash-checkable.
+
+    Candidate pruning (exact, output-preserving): the shared-rare count
+    sr emitted by pair generation IS |A∩B| restricted to rare shingles
+    (every shared shingle with df <= cap generates the pair), and the
+    shared-stop part cannot exceed min(|A|-rareA, |B|-rareB), so
+    inter <= sr + min(stopA, stopB) is a provable upper bound on the
+    intersection and hence on Jaccard. Filtering on that bound BEFORE
+    fetching full shingle arrays cut the expensive array_intersect
+    verify from 436k candidate pairs to ~350 at sf0.1 (measured; 256
+    true pairs) — the bound needs only two broadcast joins against a
+    5k-row (size, rare-count) side table."""
     df_cap = 10
+    thr = 0.5
     par = spark.sparkContext.defaultParallelism * 2
     shingled = _doc_shingles(spark, sf_dir, nonempty=True).persist()
     tok = (
@@ -840,17 +852,24 @@ def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("g").isNotNull())
     )
     # ONE keyed shuffle does df-count + posting-list build + pair
-    # generation: groupBy(g) collects the (<= cap) doc list per shingle,
-    # then the i<j pairs are emitted combinatorially map-side. This
-    # replaces the previous window-count (full sort of the token table)
-    # plus token self-join (a second shuffle of the same data) — same
-    # candidates, half the shuffles. df=1 shingles generate no pairs and
-    # are dropped. Bound per shingle: C(cap, 2) pairs.
-    byg = (
+    # generation: groupBy(g) collects the doc list per shingle, then the
+    # i<j pairs are emitted combinatorially map-side for rare (df <= cap)
+    # shingles. Persisted because it is read twice: once for pair
+    # generation, once for the per-doc rare-shingle counts the pruning
+    # bound needs (df=1 shingles count as rare there — they cannot be
+    # shared, which is exactly what tightens the bound).
+    byg_all = (
         tok.groupBy("g")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= df_cap))
+        .persist()
     )
+    rare = byg_all.filter(F.size("ds") <= df_cap)
+    nrare = (
+        rare.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nr"))
+    )
+    byg = rare.filter(F.size("ds") >= 2)
     pairs_expr = F.expr(
         """
         flatten(transform(ds, (x, i) ->
@@ -859,17 +878,44 @@ def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     # explode_outer + null filter: see _exact_jaccard_pairs (a plain
-    # explode's inferred filter would re-run the pair transform).
-    # The repartition before the verify joins is load-bearing: the
-    # distinct's output is a few MB of skinny (doc_a, doc_b) rows, so AQE
-    # coalesces it to ~4 partitions — starving the CPU-heavy
-    # array_intersect of parallelism (measured 8x the stage time). An
-    # explicit partition count is exempt from AQE coalescing.
-    cand = (
+    # explode's inferred filter would re-run the pair transform). The
+    # groupBy replaces the previous distinct — same shuffle volume, but
+    # the count it produces is the sr term of the pruning bound for free.
+    sr = (
         byg.select(F.explode_outer(pairs_expr).alias("p"))
         .filter(F.col("p").isNotNull())
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("sr"))
+    )
+    meta = (
+        shingled.select("doc_id", F.size("sg").alias("n"))
+        .join(nrare, "doc_id", "left")
+        .na.fill({"nr": 0})
+    )
+    ma = meta.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        F.col("nr").alias("ra"),
+    )
+    mb = meta.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        F.col("nr").alias("rb"),
+    )
+    upper = F.col("sr") + F.least(
+        F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")
+    )
+    j_upper = upper * 1.0 / (F.col("na") + F.col("nb") - upper)
+    # The repartition before the verify joins is load-bearing: the
+    # survivor set is a few KB of skinny (doc_a, doc_b) rows, so AQE
+    # coalesces it to ~1 partition — starving the array_intersect verify
+    # of parallelism. An explicit partition count is exempt from AQE
+    # coalescing.
+    cand = (
+        sr.join(F.broadcast(ma), "doc_a")
+        .join(F.broadcast(mb), "doc_b")
+        .filter(j_upper >= thr)
+        .select("doc_a", "doc_b")
         .repartition(par)
     )
     sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sg_a"))
@@ -879,7 +925,7 @@ def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = F.size("sg_a") + F.size("sg_b") - inter
     j = inter * 1.0 / union
     return verified.select("doc_a", "doc_b", j.alias("jaccard")).filter(
-        F.col("jaccard") >= 0.5
+        F.col("jaccard") >= thr
     )
 
 
