@@ -120,6 +120,9 @@ _R04_ADDITIONS = [
     "fn_variant",
     "scan_binaryfile",
     "sample_poisson_bootstrap",
+    "scan_csv_malformed",
+    "fn_try_arith",
+    "agg_bitmap_distinct",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS

@@ -786,3 +786,50 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH chunks AS (
+      SELECT CAST(ts AS DATE) AS day,
+             user_id // 32 AS bucket,
+             bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS bm
+      FROM events
+      GROUP BY 1, 2)
+    SELECT day,
+           CAST(sum(bit_count(bm)) AS BIGINT) AS n_users
+    FROM chunks
+    GROUP BY day
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps (roaring-bitmap
+    principle in pure SQL): users chunk into 32-bit words keyed by
+    user_id // 32, each (day, chunk) partial is a bit_or fold — fully
+    map-side combinable and, unlike count(DISTINCT), RE-AGGREGATABLE:
+    daily chunk bitmaps OR together into weekly/monthly rollups without
+    touching raw events again, and the final count is sum(bit_count).
+    32-bit chunks keep the shift below the sign bit (DuckDB raises on
+    1 << 63; Spark wraps — the portable subset is shifts < 63). For a
+    bounded id universe this beats both the exact distinct shuffle
+    (carries every id) and HLL (approximate): the shuffle carries one
+    64-bit word per 32 ids. Two keyed partial aggs, no distinct
+    expansion anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    chunks = (
+        ev.select(
+            F.col("ts").cast("date").alias("day"),
+            (F.col("user_id") / 32).cast("long").alias("bucket"),
+            # F.shiftleft only takes a literal shift; the SQL form
+            # accepts a column
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.bit_or("bit").alias("bm"))
+    )
+    return chunks.groupBy("day").agg(
+        F.sum(F.bit_count("bm")).alias("n_users")
+    )

@@ -648,3 +648,58 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.ids[1]", "long").alias("vuser"),
         F.try_variant_get(v, "$.missing", "long").alias("vmissing"),
     )
+
+
+@register(
+    "fn_try_arith",
+    oracle="""
+    SELECT event_id,
+           round(CASE WHEN user_id % 5 = 0 THEN NULL
+                      ELSE CAST(event_id AS DOUBLE) / (user_id % 5) END,
+                 6) AS td,
+           CASE WHEN event_id <= 7 THEN event_id + 2147483640
+                ELSE NULL END AS ta,
+           CAST(CASE WHEN user_id % 3 = 0 THEN NULL
+                     ELSE TRY_CAST(CAST(CAST(value AS DECIMAL(18,2))
+                                        AS VARCHAR) AS DECIMAL(18,2)) END
+                AS DOUBLE) AS tn,
+           CASE WHEN user_id % 4 = 0 THEN user_id
+                WHEN user_id % 4 = 1 THEN event_id
+                ELSE NULL END AS te
+    FROM events
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe TRY family: try_divide (division by zero →
+    NULL, never an exception), try_add (INT overflow → NULL — only
+    event_id <= 7 fits under INT_MAX with the 2147483640 addend),
+    try_to_number (unparseable string → NULL; the parseable branch
+    round-trips value through a DECIMAL(18,2) string), and
+    try_element_at (out-of-bounds index → NULL; index 0 is excluded —
+    Spark defines it as invalid even under try_, so the probe index is
+    shifted to 1..4). This is the contract that makes ANSI mode deployable on
+    dirty data at scale: a single bad row degrades to NULL instead of
+    failing a 1000-executor stage. The oracle replays each failure
+    condition explicitly with CASE. All per-row codegen expressions, no
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    num_str = F.when(
+        F.col("user_id") % 3 == 0, F.lit("n/a")
+    ).otherwise(F.col("value").cast("decimal(18,2)").cast("string"))
+    idx = (F.col("user_id") % 4 + 1).cast("int")
+    return ev.select(
+        "event_id",
+        F.round(
+            F.try_divide(F.col("event_id").cast("double"), F.col("user_id") % 5),
+            6,
+        ).alias("td"),
+        F.try_add(
+            F.col("event_id").cast("int"), F.lit(2147483640)
+        )
+        .cast("bigint")
+        .alias("ta"),
+        F.try_to_number(num_str, F.lit("999,999,999,999,999.99"))
+        .cast("double")
+        .alias("tn"),
+        F.try_element_at(F.array("user_id", "event_id"), idx).alias("te"),
+    )

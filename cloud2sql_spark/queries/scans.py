@@ -415,3 +415,58 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("digest"),
     )
+
+
+@register(
+    "scan_csv_malformed",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_rows,
+           CAST(count(*) FILTER (WHERE doc_id % 7 = 3) AS BIGINT) AS n_bad,
+           CAST(sum(n_chars) FILTER (WHERE doc_id % 7 <> 3) AS BIGINT)
+               AS sum_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingestion of a dirty feed — the posture any
+    web-scale loader needs: bad rows must neither kill the job
+    (FAILFAST) nor vanish silently (DROPMALFORMED), but land in
+    columnNameOfCorruptRecord for quarantine while every parseable
+    field is still extracted. The fixture is written DISTRIBUTED
+    (DataFrame .text sink, no driver loop): every doc_id % 7 == 3 row
+    gets a non-numeric n_chars. On read-back Spark parses doc_id and
+    lang of corrupt rows fine (per-field nulling, verified), nulls only
+    the malformed n_chars, and fills _corrupt_record — so the per-lang
+    rollup counts bad rows via the corrupt column and sums n_chars over
+    the surviving fields only. The oracle replays the mod-7 corruption
+    rule against the clean table. Scale: CSV scan splits by file/block;
+    the rollup is one keyed partial agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _tmp(f"scan_csv_malformed/{os.path.basename(sf_dir)}_dirty_csv")
+    shutil.rmtree(path, ignore_errors=True)
+    line = F.concat_ws(
+        ",",
+        F.col("doc_id"),
+        F.col("lang"),
+        F.when(
+            F.col("doc_id") % 7 == 3, F.concat(F.lit("x"), F.col("n_chars"))
+        ).otherwise(F.col("n_chars").cast("string")),
+    )
+    docs.select(line.alias("value")).write.mode("overwrite").text(path)
+    dirty = (
+        spark.read.schema(
+            "doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return dirty.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_corrupt_record").alias("n_bad"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_chars"))).alias(
+            "sum_chars"
+        ),
+    )

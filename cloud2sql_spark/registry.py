@@ -103,6 +103,9 @@ _PRIORITY = [
     "fn_variant",
     "scan_binaryfile",
     "sample_poisson_bootstrap",
+    "scan_csv_malformed",
+    "fn_try_arith",
+    "agg_bitmap_distinct",
     # stalest driver evidence: the r01 cohort (last proven two rounds
     # ago) — re-prove the core relational surface hasn't drifted.
     "agg_groupby",

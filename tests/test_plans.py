@@ -316,3 +316,18 @@ def test_grouping_id_single_expand(spark, sf_dir):
     plan = _physical(_QUERIES["agg_grouping_id"](spark, sf_dir))
     assert plan.count("Expand") == 1, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_bitmap_distinct_partial_aggregation(spark, sf_dir):
+    """Both aggregation levels must show partial+final HashAggregate
+    pairs (map-side combine), and nothing in the plan may expand a
+    distinct — the whole point is that the shuffle carries chunk words,
+    not ids."""
+    plan = _physical(_QUERIES["agg_bitmap_distinct"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "Expand" not in plan, plan
+
+
+def test_try_arith_zero_shuffles(spark, sf_dir):
+    plan = _physical(_QUERIES["fn_try_arith"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
