@@ -31,7 +31,7 @@ def _bands(sig: int) -> list[int]:
     sig=st.integers(min_value=0, max_value=MASK64),
     flip_positions=st.sets(st.integers(min_value=0, max_value=63), max_size=10),
 )
-@settings(max_examples=500)
+@settings(max_examples=500, deadline=None)
 def test_simhash_band_recall_guarantee(sig, flip_positions):
     """Any pair at hamming distance <= 10 MUST share at least one band —
     the pigeonhole guarantee that makes the equality pre-join exact."""
@@ -65,7 +65,7 @@ _PATH = st.from_regex(r"([a-z0-9]{1,8}(/[a-z0-9]{1,8}){0,3})?", fullmatch=True)
 
 
 @given(bucket=_BUCKET, path=_PATH)
-@settings(max_examples=200)
+@settings(max_examples=200, deadline=None)
 def test_s3_url_shapes_normalize_identically(bucket, path):
     """The reference accepts exactly these S3 URL shapes (collect.py:
     110-124: bare name, s3:// URI, virtual-host WITH region, path-style
@@ -194,3 +194,96 @@ def test_asof_equal_timestamp_ties(spark, tmp_path):
     assert out[4][0] == 20.0
     # both of user 3's purchases match the single prior click
     assert out[7][0] == 7.5 and out[8][0] == 7.5
+
+
+@given(
+    ids=st.sets(
+        st.integers(min_value=0, max_value=2000) | st.sampled_from(
+            [0, 31, 32, 33, 63, 64, 95, 96, 1023, 1024]
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_bitmap_distinct_chunk_math(ids):
+    """agg_bitmap_distinct's driver-side mirror: OR-ing 1<<(id%32) into
+    per-(id//32) chunk words and summing popcounts must equal the exact
+    distinct count for ANY id set — including chunk-boundary ids (31/32,
+    63/64) where an off-by-one in the split double-counts or drops."""
+    chunks: dict[int, int] = {}
+    for i in ids:
+        chunks[i // 32] = chunks.get(i // 32, 0) | (1 << (i % 32))
+    assert sum(bin(w).count("1") for w in chunks.values()) == len(set(ids))
+
+
+@given(doc_id=st.integers(min_value=0, max_value=10**12))
+@settings(max_examples=500, deadline=None)
+def test_poisson_bootstrap_hex_compare_is_numeric(doc_id):
+    """sample_poisson_bootstrap relies on 6-char lowercase hex comparing
+    lexicographically exactly like the underlying integer — that is what
+    makes the CASE chain engine-portable with zero float ops. Mirror the
+    query: k from string comparison must equal k from integer inverse-CDF
+    lookup, for the md5 of any doc_id."""
+    import hashlib
+
+    from cloud2sql_spark.queries.curation import _POISSON1_HEX
+
+    h6 = hashlib.md5(str(doc_id).encode()).hexdigest()[:6]
+    k_str = sum(1 for t in _POISSON1_HEX if h6 >= t)
+    k_num = sum(1 for t in _POISSON1_HEX if int(h6, 16) >= int(t, 16))
+    assert k_str == k_num
+    assert 0 <= k_str <= 4
+
+
+def test_poisson_bootstrap_thresholds_match_cdf():
+    """The embedded hex thresholds must be floor(CDF_Poisson(1)(k)*16^6)
+    — regenerating them from math.exp proves nobody fat-fingered a
+    constant."""
+    import math
+
+    from cloud2sql_spark.queries.curation import _POISSON1_HEX
+
+    cum = 0.0
+    for k, expect in enumerate(_POISSON1_HEX):
+        cum += math.exp(-1) / math.factorial(k)
+        assert format(int(cum * 16**6), "06x") == expect
+
+
+def test_bfs_levels_chain_graph(spark, tmp_path):
+    """graph_bfs_levels on a hand-built graph: a chain s0-p1-s1-p2-s2
+    plus a branch p3 off s0, an unreachable island s9-p9, and a parallel
+    edge (duplicate lineitem row) that must not double-count. Expected
+    levels computed by hand; the hop-6 cap must also exclude nothing
+    here (diameter 4)."""
+    from datetime import datetime
+
+    from cloud2sql_spark.queries.analytics import graph_bfs_levels
+
+    edges = [
+        (1, 0), (1, 1), (2, 1), (2, 2),   # chain p1(s0,s1), p2(s1,s2)
+        (3, 0),                            # branch p3 off s0
+        (3, 0),                            # parallel duplicate edge
+        (9, 9),                            # island p9-s9
+    ]
+    rows = [
+        (i, pk, sk, 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+         datetime(2024, 1, 1))
+        for i, (pk, sk) in enumerate(edges)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, "
+        "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, "
+        "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, "
+        "l_linestatus STRING, l_shipdate TIMESTAMP_NTZ",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = {
+        r["hop"]: r["n_nodes"]
+        for r in graph_bfs_levels(spark, str(tmp_path)).collect()
+    }
+    # seed s0 (hop 0); p1,p3 (1); s1 (2); p2 (3); s2 (4); island excluded
+    assert got == {0: 1, 1: 2, 2: 1, 3: 1, 4: 1}
