@@ -52,6 +52,12 @@ def _make_aws_mock_source(cfg: dict | None) -> tuple[SourceFn, CatalogFn]:
     return make_aws_mock_source(cfg)
 
 
+def _make_k8s_mock_source(cfg: dict | None) -> tuple[SourceFn, CatalogFn]:
+    from cloud2sql_spark.etl.k8s_mock_source import make_k8s_mock_source
+
+    return make_k8s_mock_source(cfg)
+
+
 SOURCES: dict[str, SourceFactory] = {
     "example": _make_example_source,
     # A5: ingest a graph collected elsewhere (reference RemoteGraphCollector,
@@ -62,6 +68,11 @@ SOURCES: dict[str, SourceFactory] = {
     # account -> region -> instances/volumes hierarchy the reference's
     # real cloud plugins produce (requirements.txt:14-17).
     "aws_mock": _make_aws_mock_source,
+    # Kubernetes-shaped collector against the same mock-API pattern —
+    # proves the framework generalizes: cluster/namespace context
+    # mapping, two-phase namespace listing, and a payload-derived
+    # cross-subtree reference edge (pod -> config_map).
+    "k8s_mock": _make_k8s_mock_source,
 }
 
 # Entry-point group for third-party source plugins (reference A2: the

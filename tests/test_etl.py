@@ -662,3 +662,101 @@ def test_entry_point_source_discovery(spark, monkeypatch):
     )
     counts = collect(spark, cfg, destination_from_config(cfg))
     assert counts == GOLDEN_COUNTS
+
+
+# ---------------------------------------------------------------------------
+# Kubernetes-shaped mock collector — the second cloud plugin, proving the
+# collector framework generalizes (different hierarchy, different context
+# mapping, cross-subtree reference edge)
+# ---------------------------------------------------------------------------
+
+
+def test_k8s_mock_golden_counts(spark):
+    """clusters -> namespaces -> pods/config-maps flattens to exactly the
+    expected kind + link tables with md5-determined counts, including the
+    payload-derived pod -> config_map reference edges."""
+    from cloud2sql_spark.etl.k8s_mock_source import (
+        GOLDEN_COUNTS as K8S_GOLDEN,
+        collect_k8s_mock,
+        k8s_mock_catalog,
+    )
+
+    nodes, edges = collect_k8s_mock(spark)
+    tables = flatten_graph(nodes, edges, k8s_mock_catalog())
+    assert sorted(tables) == sorted(K8S_GOLDEN)
+    assert {n: df.count() for n, df in tables.items()} == K8S_GOLDEN
+
+
+def test_k8s_mock_cross_subtree_traversal(spark):
+    """Traversal across the non-hierarchical edge: per config-map
+    mutability class, the total restart count of pods mounting it —
+    verified against the pure-python mock API. Exercises the join that a
+    real inventory query ("which pods break if this immutable config
+    changes?") performs."""
+    from cloud2sql_spark.etl.k8s_mock_source import (
+        DEFAULT_CLUSTERS,
+        DEFAULT_NAMESPACES,
+        collect_k8s_mock,
+        k8s_mock_catalog,
+        list_config_maps,
+        list_pods,
+    )
+
+    expected: dict[bool, int] = {}
+    for c in DEFAULT_CLUSTERS:
+        for ns in DEFAULT_NAMESPACES:
+            imm = {m["name"]: m["immutable"] for m in list_config_maps(c, ns)}
+            for pod in list_pods(c, ns):
+                for name in pod["config_maps"]:
+                    expected[imm[name]] = (
+                        expected.get(imm[name], 0) + pod["restart_count"]
+                    )
+
+    nodes, edges = collect_k8s_mock(spark)
+    tables = flatten_graph(nodes, edges, k8s_mock_catalog())
+    got = {
+        r["immutable"]: r["restarts"]
+        for r in (
+            tables["k8s_pod"]
+            .alias("p")
+            .join(
+                tables["link_k8s_pod_k8s_config_map"].alias("l"),
+                F.col("p.id") == F.col("l.from_id"),
+            )
+            .join(
+                tables["k8s_config_map"].alias("m"),
+                F.col("l.to_id") == F.col("m.id"),
+            )
+            .groupBy("m.immutable")
+            .agg(F.sum("p.restart_count").alias("restarts"))
+            .collect()
+        )
+    }
+    assert got == expected
+
+
+def test_multi_cloud_sources_through_pipeline(spark):
+    """aws_mock and k8s_mock collect through ONE collect() run into one
+    parquet destination — the reference's multi-collector story
+    (config-template.yaml lists several providers side by side): kind
+    tables from both clouds land in the same snapshot, counts match each
+    mock, and the typed flatten keeps each plugin's schema."""
+    from cloud2sql_spark.etl.k8s_mock_source import GOLDEN_COUNTS as K8S_GOLDEN
+
+    out = os.path.join(_TMP, "multi_cloud_out")
+    cfg = parse_config(
+        "sources:\n"
+        "  aws_mock:\n    accounts: [a1]\n    regions: [r1]\n"
+        "  k8s_mock: {}\n"
+        f"destinations:\n  file:\n    path: {out}\n    format: parquet\n"
+    )
+    counts = collect(spark, cfg, destination_from_config(cfg))
+    assert counts["aws_account"] == 1
+    assert counts["k8s_cluster"] == K8S_GOLDEN["k8s_cluster"]
+    assert counts["k8s_pod"] == K8S_GOLDEN["k8s_pod"]
+    back = spark.read.parquet(f"{out}/k8s_pod")
+    assert back.count() == K8S_GOLDEN["k8s_pod"]
+    dt = dict(back.dtypes)
+    assert dt["restart_count"] == "bigint"
+    assert dt["container_images"] == "array<string>"
+    assert dt["cpu_request"] == "double"
