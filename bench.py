@@ -123,6 +123,8 @@ _R04_ADDITIONS = [
     "scan_csv_malformed",
     "fn_try_arith",
     "agg_bitmap_distinct",
+    "events_ewma",
+    "dedup_quality_report",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS

@@ -712,3 +712,69 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited.groupBy("hop").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "events_ewma",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events)
+    SELECT user_id, event_id,
+           round(CAST(
+                  coalesce(lag(v, 0) OVER w * 128, 0)
+                + coalesce(lag(v, 1) OVER w * 64, 0)
+                + coalesce(lag(v, 2) OVER w * 32, 0)
+                + coalesce(lag(v, 3) OVER w * 16, 0)
+                + coalesce(lag(v, 4) OVER w * 8, 0)
+                + coalesce(lag(v, 5) OVER w * 4, 0)
+                + coalesce(lag(v, 6) OVER w * 2, 0)
+                + coalesce(lag(v, 7) OVER w * 1, 0) AS DOUBLE)
+             / ( CASE WHEN lag(v, 0) OVER w IS NULL THEN 0 ELSE 128 END
+               + CASE WHEN lag(v, 1) OVER w IS NULL THEN 0 ELSE 64 END
+               + CASE WHEN lag(v, 2) OVER w IS NULL THEN 0 ELSE 32 END
+               + CASE WHEN lag(v, 3) OVER w IS NULL THEN 0 ELSE 16 END
+               + CASE WHEN lag(v, 4) OVER w IS NULL THEN 0 ELSE 8 END
+               + CASE WHEN lag(v, 5) OVER w IS NULL THEN 0 ELSE 4 END
+               + CASE WHEN lag(v, 6) OVER w IS NULL THEN 0 ELSE 2 END
+               + CASE WHEN lag(v, 7) OVER w IS NULL THEN 0 ELSE 1 END),
+             6) AS ewma
+    FROM v
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded exponentially-weighted moving average (half-life = one
+    event, truncated at 8 taps) per user — the smoothing primitive
+    monitoring/trend layers apply to noisy event values. EWMA's recursive
+    definition does not distribute, but the truncated form is a finite
+    geometric kernel: eight lag() taps weighted 128..1 (exact dyadic
+    integers against DECIMAL(18,2) values — zero float accumulation until
+    one final IEEE division identical on both engines), normalized by the
+    weight mass of the taps that actually exist near partition start.
+    All eight lags share ONE (user, ts, event_id) window spec, so the
+    whole operator is a single Exchange + Sort with per-row O(8) state —
+    the same plan at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for d in range(8):
+        weight = 1 << (7 - d)
+        tap = F.lag("v", d).over(w)
+        n_term = F.coalesce(tap * weight, F.lit(0))
+        d_term = F.when(tap.isNull(), 0).otherwise(weight)
+        num = n_term if num is None else num + n_term
+        den = d_term if den is None else den + d_term
+    return v.select(
+        "user_id",
+        "event_id",
+        F.round(num.cast("double") / den, 6).alias("ewma"),
+    )

@@ -338,9 +338,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_jaccard_pairs(_doc_shingles(spark, sf_dir, nonempty=True), 0.5)
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
+_SIMHASH_PAIRS_SQL = f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sg FROM w),
     t AS (SELECT doc_id, unnest(sg) AS g FROM sh WHERE len(sg) > 0),
@@ -364,8 +362,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.s, b.s)) <= 10
-    """,
-)
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_PAIRS_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature from md5-derived shingle
     bits (md5 is identical across engines, so the oracle replicates the
@@ -1142,4 +1142,56 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = F.col("inter") * 1.0 / F.least("na", "nb")
     return shared.filter(c >= 0.8).select(
         "doc_a", "doc_b", c.alias("containment")
+    )
+
+
+@register(
+    "dedup_quality_report",
+    oracle=f"""
+    WITH truth AS ({_EXACT_JACCARD_PAIRS_SQL.format(thr=0.5)}),
+    cand AS ({_SIMHASH_PAIRS_SQL})
+    SELECT (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM truth t JOIN cand c
+              ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit,
+           round((SELECT count(*) FROM truth t JOIN cand c
+                    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) * 1.0
+                 / (SELECT count(*) FROM truth), 6) AS recall,
+           round((SELECT count(*) FROM truth t JOIN cand c
+                    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) * 1.0
+                 / (SELECT count(*) FROM cand), 6) AS precision
+    """,
+)
+def dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-quality measurement as a first-class operator: recall and
+    precision of the SimHash candidate set (hamming <= 10) against the
+    exact-Jaccard ground truth (J >= 0.5) — the report a curation team
+    runs before trusting an approximate dedup pass on a new corpus, here
+    computable end-to-end because BOTH detectors are deterministic and
+    oracle-replicable. One full-outer join on the pair key classifies
+    every pair as hit / miss / false-candidate; the single-row summary
+    aggregates globally. Cost is the two upstream detectors (which share
+    the session shingle cache) plus one keyed join over their outputs —
+    pair lists orders of magnitude smaller than the corpus."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_truth")
+    )
+    cand = dedup_simhash(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_cand")
+    )
+    both = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+    return both.agg(
+        F.count("in_truth").alias("n_truth"),
+        F.count("in_cand").alias("n_candidates"),
+        F.sum(
+            F.when(F.col("in_truth").isNotNull() & F.col("in_cand").isNotNull(), 1)
+        ).alias("n_hit"),
+    ).select(
+        "n_truth",
+        "n_candidates",
+        "n_hit",
+        F.round(F.col("n_hit") * 1.0 / F.col("n_truth"), 6).alias("recall"),
+        F.round(F.col("n_hit") * 1.0 / F.col("n_candidates"), 6).alias(
+            "precision"
+        ),
     )

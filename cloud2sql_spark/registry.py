@@ -106,6 +106,8 @@ _PRIORITY = [
     "scan_csv_malformed",
     "fn_try_arith",
     "agg_bitmap_distinct",
+    "events_ewma",
+    "dedup_quality_report",
     # stalest driver evidence: the r01 cohort (last proven two rounds
     # ago) — re-prove the core relational surface hasn't drifted.
     "agg_groupby",

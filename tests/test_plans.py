@@ -331,3 +331,12 @@ def test_bitmap_distinct_partial_aggregation(spark, sf_dir):
 def test_try_arith_zero_shuffles(spark, sf_dir):
     plan = _physical(_QUERIES["fn_try_arith"](spark, sf_dir))
     assert "Exchange" not in plan, plan
+
+
+def test_ewma_single_window_shuffle(spark, sf_dir):
+    """All eight EWMA lag taps must share one window spec: ONE Exchange,
+    ONE Window operator — a second Exchange means the taps stopped
+    sharing the (user, ts, event_id) sort."""
+    plan = _physical(_QUERIES["events_ewma"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 1, plan
