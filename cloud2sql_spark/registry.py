@@ -44,6 +44,7 @@ _QUERY_MODULES = [
     "cloud2sql_spark.queries.text",
     "cloud2sql_spark.queries.multimodal",
     "cloud2sql_spark.queries.embeddings",
+    "cloud2sql_spark.queries.etl_surface",
 ]
 
 _loaded = False
@@ -108,6 +109,7 @@ _PRIORITY = [
     "agg_bitmap_distinct",
     "events_ewma",
     "dedup_quality_report",
+    "etl_flatten_counts",
     # stalest driver evidence: the r01 cohort (last proven two rounds
     # ago) — re-prove the core relational surface hasn't drifted.
     "agg_groupby",
