@@ -125,6 +125,7 @@ _R04_ADDITIONS = [
     "agg_bitmap_distinct",
     "events_ewma",
     "dedup_quality_report",
+    "join_asof_forward",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS

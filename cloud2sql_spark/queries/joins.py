@@ -745,3 +745,70 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("s_suppkey").alias("n_supp"),
         )
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS tus,
+             CASE WHEN event_type = 'click'
+                  THEN lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
+                       lpad(CAST(event_id AS VARCHAR), 10, '0') END AS ck
+      FROM events WHERE event_type IN ('purchase', 'click'))
+    SELECT event_id, user_id,
+           CAST(substr(nxt, 22, 10) AS BIGINT) AS next_click_id,
+           CAST((CAST(substr(nxt, 1, 20) AS BIGINT) - tus) // 1000000
+                AS BIGINT) AS gap_seconds
+    FROM (
+      SELECT *, min(ck) OVER (PARTITION BY user_id ORDER BY tus
+                  RANGE BETWEEN 1 FOLLOWING AND 3600000000 FOLLOWING) AS nxt
+      FROM v)
+    WHERE event_type = 'purchase' AND nxt IS NOT NULL
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join WITH tolerance (pandas merge_asof
+    direction='forward' parity): each purchase matched to the user's
+    EARLIEST click strictly after it but within one hour. The tolerance
+    is built INTO the window frame — RANGE (1 FOLLOWING, 1h FOLLOWING)
+    over exact epoch micros — so it never becomes an inequality join;
+    like join_asof this is one shuffle + one sort with O(1) state per
+    row. The match key is a zero-padded (micros, event_id) string: min()
+    over it picks the earliest following click, ties on identical micros
+    resolving to the smallest event_id IDENTICALLY in both engines
+    (struct-min tie semantics would be Spark-private; lexicographic min
+    over fixed-width digits is engine-portable arithmetic)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    tus = F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts)")
+    ck = F.when(
+        F.col("event_type") == "click",
+        F.concat(
+            F.lpad(tus.cast("string"), 20, "0"),
+            F.lit("|"),
+            F.lpad(F.col("event_id").cast("string"), 10, "0"),
+        ),
+    )
+    v = ev.select("event_id", "user_id", "event_type", tus.alias("tus"), ck.alias("ck"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(1, 3_600_000_000)
+    )
+    return (
+        v.withColumn("nxt", F.min("ck").over(w))
+        .filter((F.col("event_type") == "purchase") & F.col("nxt").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.substring("nxt", 22, 10).cast("long").alias("next_click_id"),
+            (
+                (F.substring("nxt", 1, 20).cast("long") - F.col("tus"))
+                / 1_000_000
+            )
+            .cast("long")
+            .alias("gap_seconds"),
+        )
+    )

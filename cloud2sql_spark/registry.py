@@ -110,6 +110,7 @@ _PRIORITY = [
     "events_ewma",
     "dedup_quality_report",
     "etl_flatten_counts",
+    "join_asof_forward",
     # stalest driver evidence: the r01 cohort (last proven two rounds
     # ago) — re-prove the core relational surface hasn't drifted.
     "agg_groupby",

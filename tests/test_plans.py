@@ -340,3 +340,12 @@ def test_ewma_single_window_shuffle(spark, sf_dir):
     plan = _physical(_QUERIES["events_ewma"](spark, sf_dir))
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Window") == 1, plan
+
+
+def test_asof_forward_single_window_shuffle(spark, sf_dir):
+    """The tolerance lives in the RANGE frame, so the forward as-of is
+    ONE Exchange and no join node — the inequality-join formulation it
+    replaces shows up here as a Join operator."""
+    plan = _physical(_QUERIES["join_asof_forward"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
