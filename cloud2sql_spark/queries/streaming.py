@@ -284,3 +284,46 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = replay.read_event_stream(spark, replay_dir, files_per_trigger=2)
     replay.run_cdc_upsert(stream, f"{base}/state", f"{base}/ckpt")
     return replay.read_cdc_state(spark, f"{base}/state")
+
+
+@register(
+    "stream_exactly_once_sink",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once APPEND sink under at-least-once delivery: events
+    replay in 4 files / 2 per trigger, each micro-batch's per-type
+    partial rollup lands in its own batch=<id> directory behind a commit
+    marker — then batch 0 is REDELIVERED on purpose (the retry Structured
+    Streaming performs after a failure between user code and checkpoint
+    commit) and must be skipped by the marker. The read-back re-aggregates
+    the per-batch partials; if the redelivery had appended, every batch-0
+    count would double and the oracle hash would catch it. Per-batch
+    partial rollups re-aggregate exactly (DECIMAL sums), which is what
+    makes the append layout equivalent to the complete-mode rollup."""
+    from cloud2sql_spark.streaming import replay
+
+    base = os.path.join(_TMP_ROOT, "stream_exactly_once")
+    shutil.rmtree(base, ignore_errors=True)
+    replay_dir = replay.stage_replay_dir(spark, sf_dir, f"{base}/replay", n_files=4)
+    stream = replay.read_event_stream(spark, replay_dir, files_per_trigger=2)
+    state_dir = f"{base}/out"
+    replay.run_exactly_once_append(
+        stream, state_dir, f"{base}/ckpt",
+        batch_transform=transforms.counts_by_type,
+    )
+    # Redelivery simulation: re-run the batch-0 writer with recomputed
+    # data. The commit marker must make this a no-op.
+    first_batch = spark.read.schema(replay._STAGED_SCHEMA).parquet(
+        f"{replay_dir}/chunk_0001.parquet", f"{replay_dir}/chunk_0002.parquet"
+    )
+    replay.run_exactly_once_append.last_writer(first_batch, 0)
+    out = spark.read.parquet(f"{state_dir}/batch=*")
+    return out.groupBy("event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("total_value"), 2).cast("double").alias("total_value"),
+    )

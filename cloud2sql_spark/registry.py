@@ -111,6 +111,7 @@ _PRIORITY = [
     "dedup_quality_report",
     "etl_flatten_counts",
     "join_asof_forward",
+    "stream_exactly_once_sink",
     # stalest driver evidence: the r01 cohort (last proven two rounds
     # ago) — re-prove the core relational surface hasn't drifted.
     "agg_groupby",

@@ -274,3 +274,48 @@ def read_cdc_state(spark: SparkSession, state_dir: str) -> DataFrame:
             "n_changes",
         )
     )
+
+
+def run_exactly_once_append(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    batch_transform=None,
+) -> None:
+    """Idempotent append sink — exactly-once OUTPUT on Spark's
+    at-least-once foreachBatch delivery. Structured Streaming replays a
+    micro-batch (same batch_id, same data) after any failure between the
+    user function and checkpoint commit; a sink that blindly appends
+    duplicates that batch. This sink makes the (batch_id -> write)
+    transaction idempotent the way the Spark docs prescribe: the batch
+    lands in its own ``batch=<id>`` directory, a commit marker is
+    recorded last, and a redelivered id whose marker exists is skipped
+    wholesale. Works on any filesystem with atomic create; on a real
+    lakehouse the marker is the transaction log."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(state_dir, "_committed", str(batch_id))
+        if os.path.exists(marker):
+            return
+        if batch_transform is not None:
+            # batch-LOCAL aggregation: batch_df is a static frame inside
+            # foreachBatch, so this produces per-batch partials (the
+            # re-aggregatable layout), not a running stateful rollup
+            batch_df = batch_transform(batch_df)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch={batch_id}")
+        )
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("committed")
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # expose for redelivery simulation by callers/tests
+    run_exactly_once_append.last_writer = write_batch  # type: ignore[attr-defined]

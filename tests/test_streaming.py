@@ -145,3 +145,24 @@ def test_cdc_upsert_chunking_invariant(spark, sf_dir, replay_dir):
         for r in cdc_apply_upserts(spark, sf_dir).collect()
     )
     assert fine == batch
+
+
+def test_exactly_once_sink_commit_markers(spark, sf_dir):
+    """The idempotent append sink leaves one batch directory + one commit
+    marker per micro-batch, and the deliberate batch-0 redelivery inside
+    the operator must NOT create extra batch output — if the marker skip
+    broke, re-aggregation would double batch 0 and the oracle hash in
+    test_queries would fail; this pins the mechanism itself."""
+    import os
+
+    from cloud2sql_spark.queries.streaming import (
+        _TMP_ROOT,
+        stream_exactly_once_sink,
+    )
+
+    stream_exactly_once_sink(spark, sf_dir).collect()
+    state = os.path.join(_TMP_ROOT, "stream_exactly_once/out")
+    batches = sorted(d for d in os.listdir(state) if d.startswith("batch="))
+    markers = sorted(os.listdir(os.path.join(state, "_committed")))
+    assert batches == ["batch=0", "batch=1"]
+    assert markers == ["0", "1"]
