@@ -90,9 +90,13 @@ def _doc_shingles(
     10× sf0.1. The repartition spreads the CPU-heavy pass across all
     cores (the fixture is a single file split; on a many-split lake table
     it is a cheap rebalance)."""
-    key = (spark.sparkContext.applicationId, sf_dir, nonempty)
+    # ONE Arrow pass per (session, sf_dir): the nonempty variant is a
+    # filter over the same cached frame, not a second build (the two
+    # variants used to cost two full shingle passes per session).
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _SHINGLE_CACHE:
-        return _SHINGLE_CACHE[key]
+        full = _SHINGLE_CACHE[key]
+        return full.filter(F.size("sg") > 0) if nonempty else full
     while len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
         old = _SHINGLE_CACHE.pop(next(iter(_SHINGLE_CACHE)))
         try:
@@ -121,14 +125,13 @@ def _doc_shingles(
                     )
                 else:
                     sg = []
-                if sg or not nonempty:
-                    ids.append(doc_id)
-                    sgs.append(sg)
+                ids.append(doc_id)
+                sgs.append(sg)
             yield pd.DataFrame({"doc_id": ids, "sg": sgs})
 
-    out = base.mapInPandas(shingle, "doc_id BIGINT, sg ARRAY<STRING>").persist()
-    _SHINGLE_CACHE[key] = out
-    return out
+    full = base.mapInPandas(shingle, "doc_id BIGINT, sg ARRAY<STRING>").persist()
+    _SHINGLE_CACHE[key] = full
+    return full.filter(F.size("sg") > 0) if nonempty else full
 
 
 def _exact_jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
