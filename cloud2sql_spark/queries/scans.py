@@ -470,3 +470,75 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_chars"
         ),
     )
+
+
+def _write_snapshot_files(df: DataFrame, table_dir: str, label: str) -> list[str]:
+    """Write one snapshot's data files under data/<label>/ and return
+    their absolute paths (the manifest entries)."""
+    data_dir = os.path.join(table_dir, "data", label)
+    df.write.mode("overwrite").parquet(data_dir)
+    return sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+
+
+@register(
+    "scan_time_travel",
+    oracle="""
+    SELECT 1 AS version, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events WHERE event_id % 5 <> 0
+    UNION ALL
+    SELECT 2 AS version, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+)
+def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolated table format with time travel, Iceberg/Delta
+    principle in ~30 lines: a table is a directory of immutable data
+    files plus versioned MANIFESTS (JSON lists of file paths); a write
+    creates new files and a new manifest, never touching old ones, so
+    version N stays readable forever and readers pin a manifest, never a
+    directory listing. Here v1 lands the event_id % 5 != 0 rows, v2
+    appends the remainder (manifest v2 = v1's files + the new ones), and
+    the query reads BOTH versions through their manifests — the v1
+    aggregate must see none of v2's append. This is the mechanism behind
+    the reference's atomic-swap guarantee generalized to retained
+    history: swap keeps one version, manifests keep them all. Reads are
+    ordinary parquet scans over the manifest's file list (pushdown and
+    pruning intact); manifest size is O(files), the only driver-side
+    state."""
+    import json as _json
+
+    ev = load_table(spark, sf_dir, "events")
+    table_dir = _tmp(f"scan_time_travel/{os.path.basename(sf_dir)}_events_tt")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
+
+    v1_files = _write_snapshot_files(
+        ev.filter(F.col("event_id") % 5 != 0), table_dir, "v1"
+    )
+    with open(os.path.join(table_dir, "manifests", "1.json"), "w") as fh:
+        _json.dump({"version": 1, "files": v1_files}, fh)
+    v2_files = v1_files + _write_snapshot_files(
+        ev.filter(F.col("event_id") % 5 == 0), table_dir, "v2"
+    )
+    with open(os.path.join(table_dir, "manifests", "2.json"), "w") as fh:
+        _json.dump({"version": 2, "files": v2_files}, fh)
+
+    def read_version(version: int) -> DataFrame:
+        with open(
+            os.path.join(table_dir, "manifests", f"{version}.json")
+        ) as fh:
+            manifest = _json.load(fh)
+        snap = spark.read.schema(ev.schema).parquet(*manifest["files"])
+        return snap.agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+
+    return read_version(1).unionByName(read_version(2))

@@ -112,6 +112,7 @@ _PRIORITY = [
     "etl_flatten_counts",
     "join_asof_forward",
     "stream_exactly_once_sink",
+    "scan_time_travel",
     # stalest driver evidence: the r01 cohort (last proven two rounds
     # ago) — re-prove the core relational surface hasn't drifted.
     "agg_groupby",
