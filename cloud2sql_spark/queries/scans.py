@@ -542,3 +542,71 @@ def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return read_version(1).unionByName(read_version(2))
+
+
+@register(
+    "scan_snapshot_diff",
+    oracle="""
+    SELECT 1 AS from_v, 2 AS to_v,
+           CAST((SELECT count(*) FROM events WHERE event_id % 5 = 0)
+                AS BIGINT) AS n_inserted,
+           CAST(0 AS BIGINT) AS n_deleted
+    UNION ALL
+    SELECT 2 AS from_v, 3 AS to_v,
+           CAST(0 AS BIGINT) AS n_inserted,
+           CAST((SELECT count(*) FROM events WHERE event_id % 7 = 1)
+                AS BIGINT) AS n_deleted
+    """,
+)
+def scan_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changefeed between table snapshots — the CDC-read face of the
+    manifest format: v1 holds event_id % 5 != 0, v2 appends the rest
+    (new files + new manifest), v3 DELETES event_id % 7 == 1 by
+    copy-on-write (rewrite the surviving rows into new files; the old
+    files stay for v1/v2 readers — the manifest, not the filesystem,
+    defines membership). The diff of two versions is a pair of keyed
+    anti-joins over their manifest reads: rows in new-but-not-old are
+    inserts, old-but-not-new are deletes. That is exactly how lakehouse
+    changefeeds reconstruct CDC from snapshots when no row-level log
+    exists; both anti-joins hash-partition on the key and scale
+    linearly. The oracle replays the insert/delete arithmetic."""
+    import json as _json
+
+    ev = load_table(spark, sf_dir, "events")
+    table_dir = _tmp(f"scan_snapshot_diff/{os.path.basename(sf_dir)}_events_cdc")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
+
+    manifests: dict[int, list[str]] = {}
+    manifests[1] = _write_snapshot_files(
+        ev.filter(F.col("event_id") % 5 != 0), table_dir, "v1"
+    )
+    manifests[2] = manifests[1] + _write_snapshot_files(
+        ev.filter(F.col("event_id") % 5 == 0), table_dir, "v2"
+    )
+    # copy-on-write delete: v3 rewrites the survivors; v1/v2 files remain
+    manifests[3] = _write_snapshot_files(
+        ev.filter(F.col("event_id") % 7 != 1), table_dir, "v3"
+    )
+    for v, files in manifests.items():
+        with open(os.path.join(table_dir, "manifests", f"{v}.json"), "w") as fh:
+            _json.dump({"version": v, "files": files}, fh)
+
+    def read_version(version: int) -> DataFrame:
+        with open(
+            os.path.join(table_dir, "manifests", f"{version}.json")
+        ) as fh:
+            manifest = _json.load(fh)
+        return spark.read.schema(ev.schema).parquet(*manifest["files"])
+
+    def diff(from_v: int, to_v: int) -> DataFrame:
+        old = read_version(from_v).select("event_id")
+        new = read_version(to_v).select("event_id")
+        ins = new.join(old, "event_id", "left_anti").count()
+        del_ = old.join(new, "event_id", "left_anti").count()
+        return spark.createDataFrame(
+            [(from_v, to_v, ins, del_)],
+            "from_v INT, to_v INT, n_inserted BIGINT, n_deleted BIGINT",
+        )
+
+    return diff(1, 2).unionByName(diff(2, 3))

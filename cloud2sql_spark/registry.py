@@ -113,6 +113,7 @@ _PRIORITY = [
     "join_asof_forward",
     "stream_exactly_once_sink",
     "scan_time_travel",
+    "scan_snapshot_diff",
     # stalest driver evidence: the r01 cohort (last proven two rounds
     # ago) — re-prove the core relational surface hasn't drifted.
     "agg_groupby",
