@@ -657,8 +657,9 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CASE WHEN user_id % 5 = 0 THEN NULL
                       ELSE CAST(event_id AS DOUBLE) / (user_id % 5) END,
                  6) AS td,
-           CASE WHEN event_id <= 7 THEN event_id + 2147483640
-                ELSE NULL END AS ta,
+           CASE WHEN event_id % 1009 = 0 THEN
+                  CASE WHEN event_id = 0 THEN 2147483647 ELSE NULL END
+                ELSE event_id + 1 END AS ta,
            CAST(CASE WHEN user_id % 3 = 0 THEN NULL
                      ELSE TRY_CAST(CAST(CAST(value AS DECIMAL(18,2))
                                         AS VARCHAR) AS DECIMAL(18,2)) END
@@ -694,7 +695,10 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("td"),
         F.try_add(
-            F.col("event_id").cast("int"), F.lit(2147483640)
+            F.col("event_id").cast("int"),
+            F.when(F.col("event_id") % 1009 == 0, 2147483647)
+            .otherwise(1)
+            .cast("int"),
         )
         .cast("bigint")
         .alias("ta"),
