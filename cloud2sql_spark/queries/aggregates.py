@@ -820,7 +820,7 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = (
         ev.select(
             F.col("ts").cast("date").alias("day"),
-            (F.col("user_id") / 32).cast("long").alias("bucket"),
+            F.expr("user_id div 32").alias("bucket"),
             # F.shiftleft only takes a literal shift; the SQL form
             # accepts a column
             F.expr(

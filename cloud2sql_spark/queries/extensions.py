@@ -235,7 +235,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: shingled feeds the bucket build AND both verify-join sides;
     # buckets feed both candidate-join sides — cache each so the shingle
     # expression and the 128-hash fold run once, not 2-4×
-    shingled = _doc_shingles(spark, sf_dir, nonempty=True).persist()
+    shingled = _doc_shingles(spark, sf_dir, nonempty=True)
     # Signature pass = Arrow-batched mapInPandas: md5 base hash per
     # shingle, then a 128-salt multiply-shift family minimized in ONE
     # numpy (|sg| × 128) wrapping-uint64 broadcast per doc. The history
@@ -849,7 +849,7 @@ def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_cap = 10
     thr = 0.5
     par = spark.sparkContext.defaultParallelism * 2
-    shingled = _doc_shingles(spark, sf_dir, nonempty=True).persist()
+    shingled = _doc_shingles(spark, sf_dir, nonempty=True)
     tok = (
         shingled.select("doc_id", F.explode_outer("sg").alias("g"))
         .filter(F.col("g").isNotNull())

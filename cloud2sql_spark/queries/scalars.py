@@ -672,8 +672,12 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-mode error-safe TRY family: try_divide (division by zero →
-    NULL, never an exception), try_add (INT overflow → NULL — only
-    event_id <= 7 fits under INT_MAX with the 2147483640 addend),
+    NULL, never an exception), try_add (INT overflow → NULL; the
+    2147483647 addend fires only on the rare event_id % 1009 == 0 rows —
+    Spark's try_ functions catch a JVM ArithmeticException per
+    overflowing row, ~20µs/row, so rare overflow is both the realistic
+    shape and the fast one; event_id 0 pins the exact INT_MAX boundary
+    as the non-overflow case),
     try_to_number (unparseable string → NULL; the parseable branch
     round-trips value through a DECIMAL(18,2) string), and
     try_element_at (out-of-bounds index → NULL; index 0 is excluded —
@@ -702,7 +706,7 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("ta"),
-        F.try_to_number(num_str, F.lit("999,999,999,999,999.99"))
+        F.try_to_number(num_str, F.lit("999999999999999.99"))
         .cast("double")
         .alias("tn"),
         F.try_element_at(F.array("user_id", "event_id"), idx).alias("te"),

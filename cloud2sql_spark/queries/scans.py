@@ -402,7 +402,7 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .collect()
     )
-    path = _tmp("scan_binaryfile/blobs")
+    path = _tmp(f"scan_binaryfile/{os.path.basename(sf_dir)}_blobs")
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     for row in docs:

@@ -307,12 +307,14 @@ def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the append layout equivalent to the complete-mode rollup."""
     from cloud2sql_spark.streaming import replay
 
-    base = os.path.join(_TMP_ROOT, "stream_exactly_once")
+    base = os.path.join(
+        _TMP_ROOT, f"stream_exactly_once/{os.path.basename(sf_dir)}"
+    )
     shutil.rmtree(base, ignore_errors=True)
     replay_dir = replay.stage_replay_dir(spark, sf_dir, f"{base}/replay", n_files=4)
     stream = replay.read_event_stream(spark, replay_dir, files_per_trigger=2)
     state_dir = f"{base}/out"
-    replay.run_exactly_once_append(
+    writer = replay.run_exactly_once_append(
         stream, state_dir, f"{base}/ckpt",
         batch_transform=transforms.counts_by_type,
     )
@@ -321,7 +323,7 @@ def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_batch = spark.read.schema(replay._STAGED_SCHEMA).parquet(
         f"{replay_dir}/chunk_0001.parquet", f"{replay_dir}/chunk_0002.parquet"
     )
-    replay.run_exactly_once_append.last_writer(first_batch, 0)
+    writer(first_batch, 0)
     out = spark.read.parquet(f"{state_dir}/batch=*")
     return out.groupBy("event_type").agg(
         F.sum("n_events").alias("n_events"),

@@ -281,7 +281,7 @@ def run_exactly_once_append(
     state_dir: str,
     checkpoint: str,
     batch_transform=None,
-) -> None:
+):
     """Idempotent append sink — exactly-once OUTPUT on Spark's
     at-least-once foreachBatch delivery. Structured Streaming replays a
     micro-batch (same batch_id, same data) after any failure between the
@@ -317,5 +317,5 @@ def run_exactly_once_append(
         .start()
     )
     q.awaitTermination()
-    # expose for redelivery simulation by callers/tests
-    run_exactly_once_append.last_writer = write_batch  # type: ignore[attr-defined]
+    # returned for redelivery simulation by callers/tests
+    return write_batch

@@ -161,7 +161,9 @@ def test_exactly_once_sink_commit_markers(spark, sf_dir):
     )
 
     stream_exactly_once_sink(spark, sf_dir).collect()
-    state = os.path.join(_TMP_ROOT, "stream_exactly_once/out")
+    state = os.path.join(
+        _TMP_ROOT, f"stream_exactly_once/{os.path.basename(sf_dir)}/out"
+    )
     batches = sorted(d for d in os.listdir(state) if d.startswith("batch="))
     markers = sorted(os.listdir(os.path.join(state, "_committed")))
     assert batches == ["batch=0", "batch=1"]
