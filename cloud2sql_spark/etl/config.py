@@ -163,17 +163,26 @@ def destination_from_config(cfg: dict) -> FileDestination | JdbcDestination:
 
 
 def default_config() -> str:
-    """Emit a config template for the registered sources (reference A3:
-    default_config(), collect.py:37-45)."""
-    return (
-        "sources:\n"
-        "  example:\n"
-        "    # the synthetic example source needs no configuration\n"
-        "  # remote_graph:           # ingest a pre-collected graph export\n"
-        "  #   path: /data/graph     # dir with nodes/, edges/, kinds.json\n"
+    """Emit a config template covering EVERY discovered source (reference
+    A3: default_config() instantiates each plugin's config section,
+    collect.py:37-45) — built-ins and entry-point plugins alike. Only the
+    zero-config example source is active; the rest are commented
+    templates the user uncommments, matching the reference's generated
+    config-template.yaml shape."""
+    from cloud2sql_spark.etl.pipeline import CONFIG_TEMPLATES, discover_sources
+
+    parts = ["sources:\n"]
+    for name in sorted(discover_sources()):
+        parts.append(
+            CONFIG_TEMPLATES.get(
+                name, f"  # {name}: {{}}              # (no template provided)\n"
+            )
+        )
+    parts.append(
         "destinations:\n"
         "  file:\n"
         "    path: /tmp/cloud2sql_spark_out\n"
         "    format: parquet\n"
         "    batch_size: 100000\n"
     )
+    return "".join(parts)

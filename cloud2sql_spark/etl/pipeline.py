@@ -83,6 +83,28 @@ SOURCES: dict[str, SourceFactory] = {
 # and the factory has the SourceFactory signature above.
 ENTRY_POINT_GROUP = "cloud2sql_spark.sources"
 
+# Per-source config template snippets for ``--create-config`` (reference
+# A3: default_config() instantiates every plugin's config section,
+# collect.py:37-45). Sources discovered via entry points that have no
+# snippet get a generic commented stub.
+CONFIG_TEMPLATES: dict[str, str] = {
+    "example": "  example:\n    # the synthetic example source needs no configuration\n",
+    "remote_graph": (
+        "  # remote_graph:           # ingest a pre-collected graph export\n"
+        "  #   path: /data/graph     # dir with nodes/, edges/, kinds.json\n"
+    ),
+    "aws_mock": (
+        "  # aws_mock:               # AWS-shaped mock collector\n"
+        "  #   accounts: [acct-01, acct-02]\n"
+        "  #   regions: [us-east-1, us-west-2, eu-central-1]\n"
+    ),
+    "k8s_mock": (
+        "  # k8s_mock:               # Kubernetes-shaped mock collector\n"
+        "  #   clusters: [prod-cluster, staging-cluster]\n"
+        "  #   namespaces: [default, kube-system, payments, ml-serving]\n"
+    ),
+}
+
 
 def discover_sources() -> dict[str, SourceFactory]:
     """Built-in sources merged with ``importlib.metadata`` entry points.

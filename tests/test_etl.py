@@ -760,3 +760,19 @@ def test_multi_cloud_sources_through_pipeline(spark):
     assert dt["restart_count"] == "bigint"
     assert dt["container_images"] == "array<string>"
     assert dt["cpu_request"] == "double"
+
+
+def test_default_config_covers_every_discovered_source():
+    """--create-config must emit a section (active or commented template)
+    for EVERY discovered source — the reference's default_config
+    instantiates each plugin's config (collect.py:37-45), so a new
+    collector that forgets a template still shows up as a stub. The
+    emitted YAML must also parse with the example source active."""
+    from cloud2sql_spark.etl.config import default_config, parse_config
+    from cloud2sql_spark.etl.pipeline import discover_sources
+
+    text = default_config()
+    for name in discover_sources():
+        assert name in text, f"source {name} missing from template"
+    cfg = parse_config(text)
+    assert "example" in cfg["sources"]
