@@ -287,3 +287,82 @@ def test_bfs_levels_chain_graph(spark, tmp_path):
     }
     # seed s0 (hop 0); p1,p3 (1); s1 (2); p2 (3); s2 (4); island excluded
     assert got == {0: 1, 1: 2, 2: 1, 3: 1, 4: 1}
+
+
+def _write_events(spark, tmp_path, rows):
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [
+            (i, datetime.fromisoformat(ts), u, et, v, "{}")
+            for (i, ts, u, et, v) in rows
+        ],
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+
+def test_time_travel_row_level_isolation(spark, tmp_path):
+    """Version 1 must stay byte-identical after version 2's append: read
+    manifest 1's files directly after the operator ran and assert the
+    exact event_id set — stronger than the aggregate oracle, which could
+    mask an offsetting add+drop."""
+    import json
+    import os
+
+    from cloud2sql_spark.queries.scans import _TMP_ROOT, scan_time_travel
+
+    rows = [
+        (i, f"2024-01-01 00:00:{i:02d}", 1, "view", float(i)) for i in range(1, 11)
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r["version"]: r["n_events"]
+        for r in scan_time_travel(spark, str(tmp_path)).collect()
+    }
+    # ids 5 and 10 are the %5==0 append; v1 holds the other eight
+    assert got == {1: 8, 2: 10}
+    table_dir = os.path.join(
+        _TMP_ROOT, f"scan_time_travel/{os.path.basename(tmp_path)}_events_tt"
+    )
+    with open(os.path.join(table_dir, "manifests", "1.json")) as fh:
+        v1_files = json.load(fh)["files"]
+    v1_ids = {
+        r["event_id"] for r in spark.read.parquet(*v1_files).collect()
+    }
+    assert v1_ids == {1, 2, 3, 4, 6, 7, 8, 9}
+
+
+def test_ewma_matches_reference_implementation(spark, tmp_path):
+    """events_ewma against a driver-side reference: one user, ten known
+    values — the 8-tap dyadic kernel result is computed independently in
+    python and must match to 1e-6 (the op's declared rounding)."""
+    from cloud2sql_spark.queries.analytics import events_ewma
+
+    vals = [10.0, 20.0, 5.0, 40.0, 2.5, 80.0, 1.25, 7.5, 160.0, 0.75]
+    rows = [
+        (i, f"2024-01-01 00:00:{i:02d}", 7, "view", vals[i])
+        for i in range(len(vals))
+    ]
+    _write_events(spark, tmp_path, rows)
+
+    def ref(i: int) -> float:
+        num = den = 0.0
+        for d in range(8):
+            j = i - d
+            if j < 0:
+                break
+            w = 1 << (7 - d)
+            num += vals[j] * w
+            den += w
+        return round(num / den, 6)
+
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in events_ewma(spark, str(tmp_path)).collect()
+    }
+    for i in range(len(vals)):
+        assert abs(got[i] - ref(i)) < 1e-6, (i, got[i], ref(i))
