@@ -63,15 +63,17 @@ _SHINGLE_CACHE_MAX = 8
 
 
 def clear_shingle_cache() -> None:
-    """Unpersist and drop every cached shingle frame (test/ops hook; also
-    the escape hatch when fixture files under a cached path are rewritten
-    mid-session and would otherwise serve stale shingles)."""
-    for df in _SHINGLE_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    _SHINGLE_CACHE.clear()
+    """Unpersist and drop every cached shared frame — shingles AND
+    quantized embeddings (test/ops hook; also the escape hatch when
+    fixture files under a cached path are rewritten mid-session and
+    would otherwise serve stale data)."""
+    for cache in (_SHINGLE_CACHE, _QUANT_CACHE):
+        for df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        cache.clear()
 
 
 def _doc_shingles(
@@ -169,13 +171,32 @@ def _exact_jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+# Same session-scoped memo pattern as _SHINGLE_CACHE: a dozen embedding
+# ops (and several branches WITHIN ops — centroids, probes, candidate
+# sides) each re-derive the quantized frame from the parquet scan
+# otherwise; persisting it serves them all from one materialization.
+_QUANT_CACHE: dict = {}
+
+
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings quantized to integer milli-units (exact arithmetic)."""
+    """Embeddings quantized to integer milli-units (exact arithmetic);
+    persisted per (session, sf_dir) and shared across the embed family."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _QUANT_CACHE:
+        return _QUANT_CACHE[key]
+    while len(_QUANT_CACHE) >= _SHINGLE_CACHE_MAX:
+        old = _QUANT_CACHE.pop(next(iter(_QUANT_CACHE)))
+        try:
+            old.unpersist()
+        except Exception:
+            pass
     emb = load_table(spark, sf_dir, "embeddings")
     qv = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * 1000, 0).cast("long")
     )
-    return emb.select("vec_id", "label", qv.alias("v"))
+    out = emb.select("vec_id", "label", qv.alias("v")).persist()
+    _QUANT_CACHE[key] = out
+    return out
 
 
 def _int_dot(a: Column | str, b: Column | str) -> Column:
