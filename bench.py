@@ -126,6 +126,20 @@ _R04_ADDITIONS = [
     "events_ewma",
     "dedup_quality_report",
     "join_asof_forward",
+    # fourth round-4 batch: composed TPC-H decision-support queries
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    # fifth round-4 batch: curation + iterative graph
+    "text_repetition",
+    "sample_temperature",
+    "sample_dedup_weighted",
+    "graph_pagerank",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS

@@ -778,3 +778,80 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(num.cast("double") / den, 6).alias("ewma"),
     )
+
+
+@register(
+    "graph_pagerank",
+    oracle="""
+    WITH e0 AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+    edges AS (SELECT 'p' || pk AS src, 's' || sk AS dst FROM e0
+              UNION ALL
+              SELECT 's' || sk AS src, 'p' || pk AS dst FROM e0),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r FROM deg),
+    c1 AS (SELECT e.dst AS node, CAST(sum(r.r // g.d) AS BIGINT) AS c
+           FROM edges e JOIN r0 r ON e.src = r.node
+           JOIN deg g ON e.src = g.src GROUP BY e.dst),
+    r1 AS (SELECT node, 150000000 + (85 * c) // 100 AS r FROM c1),
+    c2 AS (SELECT e.dst AS node, CAST(sum(r.r // g.d) AS BIGINT) AS c
+           FROM edges e JOIN r1 r ON e.src = r.node
+           JOIN deg g ON e.src = g.src GROUP BY e.dst),
+    r2 AS (SELECT node, 150000000 + (85 * c) // 100 AS r FROM c2),
+    c3 AS (SELECT e.dst AS node, CAST(sum(r.r // g.d) AS BIGINT) AS c
+           FROM edges e JOIN r2 r ON e.src = r.node
+           JOIN deg g ON e.src = g.src GROUP BY e.dst),
+    r3 AS (SELECT node, 150000000 + (85 * c) // 100 AS r FROM c3)
+    SELECT node, r AS rank_nano FROM r3
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three damped PageRank iterations over the undirected part–supplier
+    graph, in fixed-point integer arithmetic.
+
+    Float PageRank is not oracle-checkable: double sums are
+    addition-order-dependent, and Spark's partial aggregation order never
+    matches DuckDB's. Ranks therefore live in integer nano-units
+    (init 10^9 per node; contribution = rank div degree; damping =
+    150e6 + (85*contrib) div 100) — every step is exact int64 math, so
+    the result is bit-identical regardless of partitioning or engine.
+    Headroom: total mass is |V|*10^9, so the 85* multiply stays inside
+    int64 up to ~10^8 nodes; shrink the unit for larger graphs.
+
+    Plan shape per iteration: one keyed join (ranks onto the persisted
+    degree-annotated edge list) + one keyed aggregate on dst — the
+    standard scalable formulation; no driver-side state at any |V|. Three
+    static iterations keep lineage shallow (no checkpoint needed); the
+    iterative-convergence variant would localCheckpoint per superstep."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = li.select("l_partkey", "l_suppkey").distinct()
+    fwd = e0.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # The degree-annotated edge list is the one reused dataset: persisted,
+    # because the returned lazy plan scans it once per superstep (plus once
+    # for the initial ranks) — without the cache every scan re-distincts
+    # the fact table. Deliberately not unpersisted here: execution happens
+    # after return, so the cache must outlive this frame; it is one
+    # distinct-edge list, far smaller than the fact table.
+    edges_d = edges.join(deg, "src").persist()
+    # Initial ranks read from the SAME cache (groupBy src over edges_d)
+    # rather than from deg directly — deg's plan would re-run the whole
+    # distinct+union+aggregate chain a second time outside the cache.
+    ranks = edges_d.groupBy("src").agg(F.first("d").alias("d")).select(
+        F.col("src").alias("node"), F.lit(1000000000).cast("long").alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            edges_d.join(ranks, edges_d.src == ranks.node)
+            .select("dst", F.expr("r div d").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("c"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit(150000000).cast("long") + F.expr("(85 * c) div 100")).alias("r"),
+        )
+    return ranks.select("node", F.col("r").alias("rank_nano"))

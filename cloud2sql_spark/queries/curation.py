@@ -699,3 +699,94 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_copies",
         F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy"),
     )
+
+
+@register(
+    "sample_temperature",
+    oracle="""
+    WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    t AS (SELECT sum(n_docs) AS total FROM n),
+    w AS (SELECT lang, n_docs,
+                 CAST(round(sqrt(CAST(n_docs AS DOUBLE)
+                                 / (SELECT total FROM t)), 8)
+                      AS DECIMAL(18,8)) AS w_dec
+          FROM n),
+    s AS (SELECT sum(w_dec) AS w_sum FROM w)
+    SELECT lang, n_docs,
+           round(CAST(w_dec AS DOUBLE) / CAST((SELECT w_sum FROM s) AS DOUBLE),
+                 6) AS sample_weight,
+           CAST(floor(100000 * CAST(w_dec AS DOUBLE)
+                      / CAST((SELECT w_sum FROM s) AS DOUBLE)) AS BIGINT)
+               AS budget_docs
+    FROM w
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (the multilingual-sampling
+    alpha of public LM pipelines, alpha = 0.5): upweight tail languages
+    by sampling proportionally to p^0.5 instead of p, and allocate a
+    100k-doc budget accordingly.
+
+    Cross-engine determinism: sqrt is exactly rounded under IEEE 754 (the
+    one transcendental that is), so both engines compute identical
+    doubles; the weights are then quantized to DECIMAL(18,8) so the
+    normalizing sum is exact and order-independent before the final
+    double division. Plan: one tiny keyed aggregate (|langs| rows), a
+    1-row broadcast total, all map-side at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = n.agg(F.sum("n_docs").alias("total"))
+    w = n.join(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        F.round(
+            F.sqrt(F.col("n_docs").cast("double") / F.col("total")), 8
+        ).cast("decimal(18,8)").alias("w_dec"),
+    )
+    s = w.agg(F.sum("w_dec").alias("w_sum"))
+    share = F.col("w_dec").cast("double") / F.col("w_sum").cast("double")
+    return w.join(F.broadcast(s)).select(
+        "lang",
+        "n_docs",
+        F.round(share, 6).alias("sample_weight"),
+        F.floor(F.lit(100000) * share).alias("budget_docs"),
+    )
+
+
+@register(
+    "sample_dedup_weighted",
+    oracle="""
+    WITH fp AS (SELECT doc_id, lang,
+                       md5(lower(trim(text))) AS fingerprint
+                FROM documents),
+    c AS (SELECT fingerprint, count(*) AS n_copies
+          FROM fp GROUP BY fingerprint)
+    SELECT f.doc_id, f.lang, f.fingerprint, c.n_copies,
+           round(1.0 / c.n_copies, 6) AS train_weight
+    FROM fp f JOIN c USING (fingerprint)
+    """,
+)
+def sample_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of dropping exact duplicates, keep
+    every copy but downweight it to 1/n_copies so each distinct text
+    contributes unit mass to training (the documented alternative to hard
+    dedup when provenance diversity matters).
+
+    The copy count is a keyed aggregate on the md5 fingerprint; joining
+    it back is fingerprint-keyed, so both shuffles share one key and AQE
+    plans them as one exchange reuse. 1/n is the same IEEE double in both
+    engines and round(.,6) is stable off the half-way grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+    )
+    c = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n_copies"))
+    return fp.join(c, "fingerprint").select(
+        "doc_id",
+        "lang",
+        "fingerprint",
+        "n_copies",
+        F.round(F.lit(1.0) / F.col("n_copies"), 6).alias("train_weight"),
+    )

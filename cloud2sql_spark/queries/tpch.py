@@ -1,0 +1,430 @@
+"""Composed TPC-H-style analytics queries (SURVEY.md §2 Part B, composition).
+
+The reference delegates whole-query analytics to its SQL destinations
+(reference README.md:221-224 shows users running multi-join SQL over the
+loaded tables); these keys prove the engine end-to-end on the classic
+decision-support shapes — multi-join star/snowflake plans, correlated
+having, top-k with deterministic tie-breaks — adapted to the driver's
+TPC-H-lite schema (no partsupp table, no l_commitdate/l_receiptdate/
+l_shipmode columns, generic NATION_N names).
+
+Scale posture: every query keeps dims (region/nation, filtered part set)
+broadcast, pushes date/flag filters into the parquet scan, and shuffles the
+fact tables only on their join keys — the same plans Catalyst picks at
+TPC-H sf100k. Money math follows the repo-wide DECIMAL(18,2) convention
+(see agg_groupby) so multiset hashes match the oracle bit-for-bit.
+
+Top-k queries (q3/q10/q18) order by a DECIMAL-exact measure with a unique
+key tie-break, so LIMIT selects a deterministic set in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloud2sql_spark.catalog import load_table
+from cloud2sql_spark.registry import register
+
+
+def _dec(col: str) -> Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+def _one() -> Column:
+    return F.lit(1).cast("decimal(18,2)")
+
+
+def _revenue() -> Column:
+    return _dec("l_extendedprice") * (_one() - _dec("l_discount"))
+
+
+_REVENUE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+@register(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY sum({_REVENUE_SQL}) DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping-priority: unshipped-revenue top-10.
+
+    o_shippriority does not exist in the lite schema; o_orderpriority
+    stands in. The date filters reach both parquet scans (pushed), so the
+    orders⋈lineitem shuffle carries only the surviving slice; the LIMIT
+    runs as TakeOrderedAndProject — no global sort materializes. The
+    revenue sort key is DECIMAL-exact and l_orderkey breaks ties, so the
+    top-10 set is deterministic across engines.
+    """
+    cutoff = F.lit("1997-03-15")
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue()).alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "tpch_q5",
+    oracle=f"""
+    SELECT n.n_name, CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+                   AND s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: revenue where the supplier and the
+    ordering customer share a nation, per ASIA nation, one order-year.
+
+    Distinct from join_multiway_star (Q5-shaped but unconstrained): the
+    c_nationkey = s_nationkey co-location predicate is the defining Q5
+    twist. supplier and the region-filtered nation list broadcast; the
+    only large shuffles are lineitem⋈orders and ⋈customer on their keys.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            nation,
+            (customer.c_nationkey == nation.n_nationkey)
+            & (supplier.s_nationkey == nation.n_nationkey),
+        )
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q6",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting-revenue-change: a pure scan-filter-aggregate.
+
+    All three predicates push to the parquet scan; the aggregate is a
+    partial+final sum with no group keys — at 100 TB this is the
+    bandwidth-bound lower bound every other query is judged against.
+    The 0.05/0.07 literals hit the same 2-decimal doubles both engines
+    read from parquet, so the comparison set is identical.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "tpch_q7",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2')
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume-shipping: bilateral trade between two nations by
+    ship-year — the two-role dimension pattern (nation joined twice under
+    different aliases).
+
+    Both nation copies broadcast; the disjunctive pair predicate applies
+    after the second nation join, and Catalyst pushes the derivable
+    IN ('NATION_2','NATION_7') halves onto each broadcast side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    pair = ["NATION_2", "NATION_7"]
+    n1 = F.broadcast(
+        nation.filter(F.col("n_name").isin(pair)).select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        nation.filter(F.col("n_name").isin(pair)).select(
+            F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    return (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nkey"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q9",
+    oracle=f"""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit, adapted: the lite schema has no
+    partsupp, so profit omits the ps_supplycost * l_quantity term and is
+    pure discounted revenue over parts whose name matches '%red%'.
+
+    The filtered part set (~1/6 of 2k-per-sf rows) broadcasts, turning the
+    selective part⋈lineitem step into a semi-filter before the orders
+    shuffle; supplier and nation broadcast as usual.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "tpch_q10",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY sum({_REVENUE_SQL}) DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: top-20 customers by revenue lost
+    to returns in one quarter.
+
+    The returnflag and date filters push to the scans; grouping carries
+    the customer attribute columns as grouping keys (they are functionally
+    dependent on c_custkey, which Spark cannot infer — same shape the
+    spec mandates). DECIMAL revenue + c_custkey tie-break keeps the
+    LIMIT 20 deterministic.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_revenue()).alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+@register(
+    "tpch_q14",
+    oracle=f"""
+    SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN {_REVENUE_SQL} ELSE 0 END) AS DOUBLE)
+                 / CAST(sum({_REVENUE_SQL}) AS DOUBLE), 2) AS promo_pct,
+           CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN {_REVENUE_SQL} ELSE 0 END) AS DOUBLE) AS promo_revenue,
+           CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS total_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: share of one month's revenue from
+    PROMO-type parts (the lite p_type is a single word, so the spec's
+    ``LIKE 'PROMO%%'`` degenerates to equality).
+
+    part broadcasts (it is per-part metadata, always ≪ lineitem), the
+    month filter pushes to the lineitem scan, and the conditional sums
+    are one pass. Both component sums are DECIMAL-exact and emitted
+    alongside the rounded ratio so the comparison never rests on the
+    float quotient alone.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    part = F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(zero))
+    total = F.sum(_revenue())
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * promo.cast("double") / total.cast("double"), 2)
+            .alias("promo_pct"),
+            promo.cast("double").alias("promo_revenue"),
+            total.cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q18",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 270
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customer: orders whose total quantity tops
+    270 (the lite data's ~99.7th percentile), with their customers.
+
+    The qualifying-orderkey aggregate runs first and semi-joins back into
+    lineitem — at scale the qualifier output is tiny (0.3% of orders), so
+    AQE converts the semi-join to broadcast; the outer aggregate then
+    regroups only qualifying rows. o_totalprice DESC with o_orderkey
+    tie-break keeps LIMIT 100 deterministic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qual = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 270)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(qual.withColumnRenamed("l_orderkey", "q_orderkey"),
+                li.l_orderkey == F.col("q_orderkey"), "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )

@@ -45,6 +45,7 @@ _QUERY_MODULES = [
     "cloud2sql_spark.queries.multimodal",
     "cloud2sql_spark.queries.embeddings",
     "cloud2sql_spark.queries.etl_surface",
+    "cloud2sql_spark.queries.tpch",
 ]
 
 _loaded = False
@@ -114,6 +115,20 @@ _PRIORITY = [
     "stream_exactly_once_sink",
     "scan_time_travel",
     "scan_snapshot_diff",
+    # round-4 fourth batch: composed TPC-H-style decision-support queries
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    # round-4 fifth batch: corpus-curation + iterative-graph additions
+    "text_repetition",
+    "sample_temperature",
+    "sample_dedup_weighted",
+    "graph_pagerank",
     # stalest driver evidence: the r01 cohort (last proven two rounds
     # ago) — re-prove the core relational surface hasn't drifted.
     "agg_groupby",

@@ -349,3 +349,71 @@ def test_asof_forward_single_window_shuffle(spark, sf_dir):
     plan = _physical(_QUERIES["join_asof_forward"](spark, sf_dir))
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q9", "tpch_q10",
+     "tpch_q14", "tpch_q18"],
+)
+def test_tpch_no_cartesian(key, spark, sf_dir):
+    """Every composed TPC-H query stays on equality joins end-to-end —
+    the snowflake predicates (incl. Q5's two-column nation join and Q7's
+    disjunctive nation-pair filter) must all resolve to hash joins."""
+    plan = _physical(_QUERIES[key](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+@pytest.mark.parametrize("key", ["tpch_q5", "tpch_q7", "tpch_q9", "tpch_q14"])
+def test_tpch_dims_broadcast(key, spark, sf_dir):
+    """Dimension sides (supplier/nation/region/filtered part) broadcast —
+    at 100 TB these queries otherwise shuffle the fact table once per
+    dim instead of streaming it through map-side hash joins."""
+    plan = _physical(_QUERIES[key](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+@pytest.mark.parametrize("key", ["tpch_q3", "tpch_q10", "tpch_q18"])
+def test_tpch_topk_no_global_sort(key, spark, sf_dir):
+    """The LIMIT-k queries run TakeOrderedAndProject (per-partition heap +
+    driver merge of k rows) — a global Sort before the limit would be a
+    full shuffle of the aggregate output at scale."""
+    plan = _physical(_QUERIES[key](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q6_filters_reach_scan(spark, sf_dir):
+    """Q6 is the scan-bound lower bound: all three predicates must appear
+    as PushedFilters on the parquet scan, and the plan is scan → filter →
+    partial agg → single Exchange → final agg."""
+    plan = _physical(_QUERIES["tpch_q6"](spark, sf_dir))
+    assert "PushedFilters: [" in plan, plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["text_repetition", "sample_dedup_weighted", "sample_temperature",
+     "graph_pagerank"],
+)
+def test_round4_batch5_no_cartesian(key, spark, sf_dir):
+    """Curation/graph batch stays on keyed plans. sample_temperature's
+    1-row totals join is a bounded broadcast scalar (nested-loop by
+    definition, like text_lm_score), so only the cartesian assertion
+    applies; the others must not nested-loop at all."""
+    plan = _physical(_QUERIES[key](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    if key not in ("sample_temperature",):
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pagerank_caches_edge_list(spark, sf_dir):
+    """The degree-annotated edge list must be a reused InMemoryRelation —
+    without it every PageRank superstep rescans and re-distincts the
+    fact table (3× the IO at any scale)."""
+    plan = _physical(_QUERIES["graph_pagerank"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan, plan
