@@ -140,6 +140,7 @@ _R04_ADDITIONS = [
     "sample_temperature",
     "sample_dedup_weighted",
     "graph_pagerank",
+    "sim_search_pq_adc",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS

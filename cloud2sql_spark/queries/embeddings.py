@@ -279,10 +279,13 @@ def embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embed_pq_codebook",
-    oracle=f"""
-    WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+# Shared PQ CTE chain: milli-quantized vectors, the 4-codeword-per-subspace
+# codebook seeded from four fixed vectors, per-(vector, subspace) exact
+# integer L2² to every codeword, and the (d, sid)-argmin code assignment.
+# Used by embed_pq_codebook (emits the codes) and sim_search_pq_adc
+# (searches through them).
+_PQ_CODES_SQL = f"""
+    q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
     seeds AS (SELECT vec_id AS sid, v AS sv FROM q WHERE vec_id IN (0, 1, 2, 3)),
     subs AS (SELECT vec_id, g AS sub, v[g*8+1 : g*8+8] AS xs
              FROM q, range(8) t(g)),
@@ -293,25 +296,18 @@ def embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                          list_transform(list_zip(s.xs, c.cs),
                                         p -> (p[1] - p[2]) * (p[1] - p[2])),
                          'sum') AS BIGINT) AS d
-              FROM subs s JOIN cents c ON s.sub = c.sub)
-    SELECT vec_id, sub, sid AS code, d AS sq_dist FROM (
-      SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-                                   ORDER BY d, sid) AS rn
-      FROM dists)
-    WHERE rn = 1
-    """,
-)
-def embed_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization encoding: split each 64-dim vector into 8
-    contiguous 8-dim subvectors and assign each to its nearest codeword
-    from a 4-entry per-subspace codebook (here seeded from four fixed
-    vectors — a real pipeline would k-means them; the ASSIGNMENT path is
-    what PQ runs at scale, compressing 100 TB of float vectors to 8
-    bytes/vector for IVF-PQ search). All distances are exact integer
-    L2² in milli-space; argmin tie-breaks on codeword id via a struct
-    min, matching the oracle's (d, sid) row_number. Plan: codebook is
-    32 rows broadcast; one explode(×8) of the corpus, no shuffle until
-    the 8-row-per-vector groupBy."""
+              FROM subs s JOIN cents c ON s.sub = c.sub),
+    codes AS (SELECT vec_id, sub, sid AS code, d AS sq_dist FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                             ORDER BY d, sid) AS rn
+                FROM dists)
+              WHERE rn = 1)
+"""
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sub, code, sq_dist): each vector's 8 nearest-codeword
+    assignments against the fixed 4-entry-per-subspace codebook."""
     q = _quantized(spark, sf_dir)
     seeds = q.filter(F.col("vec_id").isin(0, 1, 2, 3)).select(
         F.col("vec_id").alias("sid"), F.col("v").alias("sv")
@@ -340,6 +336,27 @@ def embed_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.sid").alias("code"),
         F.col("m.d").alias("sq_dist"),
     )
+
+
+@register(
+    "embed_pq_codebook",
+    oracle=f"""
+    WITH {_PQ_CODES_SQL}
+    SELECT vec_id, sub, code, sq_dist FROM codes
+    """,
+)
+def embed_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: split each 64-dim vector into 8
+    contiguous 8-dim subvectors and assign each to its nearest codeword
+    from a 4-entry per-subspace codebook (here seeded from four fixed
+    vectors — a real pipeline would k-means them; the ASSIGNMENT path is
+    what PQ runs at scale, compressing 100 TB of float vectors to 8
+    bytes/vector for IVF-PQ search). All distances are exact integer
+    L2² in milli-space; argmin tie-breaks on codeword id via a struct
+    min, matching the oracle's (d, sid) row_number. Plan: codebook is
+    32 rows broadcast; one explode(×8) of the corpus, no shuffle until
+    the 8-row-per-vector groupBy."""
+    return _pq_codes(spark, sf_dir)
 
 
 @register(
@@ -384,4 +401,79 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("j").cast("int").alias("j"),
         folded.alias("proj"),
+    )
+
+
+@register(
+    "sim_search_pq_adc",
+    oracle=f"""
+    WITH {_PQ_CODES_SQL},
+    qv AS (SELECT vec_id AS qid, v AS qvec FROM q WHERE vec_id IN (10, 11, 12)),
+    qsubs AS (SELECT qid, g AS sub, qvec[g*8+1 : g*8+8] AS qs
+              FROM qv, range(8) t(g)),
+    lut AS (SELECT s.qid, s.sub, c.sid,
+                   CAST(list_aggregate(
+                       list_transform(list_zip(s.qs, c.cs),
+                                      p -> (p[1] - p[2]) * (p[1] - p[2])),
+                       'sum') AS BIGINT) AS ld
+            FROM qsubs s JOIN cents c ON s.sub = c.sub),
+    adc AS (SELECT l.qid, k.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc_dist
+            FROM codes k JOIN lut l ON k.sub = l.sub AND k.code = l.sid
+            GROUP BY l.qid, k.vec_id)
+    SELECT qid, vec_id, adc_dist FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY adc_dist, vec_id) AS rn
+      FROM adc)
+    WHERE rn <= 5
+    """,
+)
+def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (the lookup half of IVF-PQ): top-5
+    neighbors per query where each corpus vector is represented ONLY by
+    its 8 PQ codes and the query-to-codeword distances come from a
+    per-query lookup table.
+
+    This is the design that makes billion-vector search feasible: the
+    corpus compresses to 8 codes/vector (embed_pq_codebook), the LUT is
+    |queries|×8×4 = 96 integer cells broadcast to every executor, and
+    scoring is a code→LUT equality join plus a (query, vector) keyed sum
+    — a linear scan of the code table, never of the float vectors. The
+    top-5 cut is a bounded per-query window with (dist, vec_id)
+    tie-break. All distances are exact integer L2² in milli-space, so
+    Spark and DuckDB agree bit-for-bit."""
+    q = _quantized(spark, sf_dir)
+    codes = _pq_codes(spark, sf_dir)
+    sub_ids = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("sub")
+    seeds = q.filter(F.col("vec_id").isin(0, 1, 2, 3)).select(
+        F.col("vec_id").alias("sid"), F.col("v").alias("sv")
+    )
+    cents = seeds.select("sid", "sv", sub_ids).select(
+        "sid", "sub", F.slice("sv", F.col("sub") * 8 + 1, 8).alias("cs")
+    )
+    qsubs = (
+        q.filter(F.col("vec_id").isin(10, 11, 12))
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qvec"), sub_ids)
+        .select("qid", "sub", F.slice("qvec", F.col("sub") * 8 + 1, 8).alias("qs"))
+    )
+    ld = F.aggregate(
+        F.zip_with("qs", "cs", lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lut = qsubs.join(F.broadcast(cents), "sub").select(
+        "qid", "sub", "sid", ld.alias("ld")
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.sub == lut.sub) & (codes.code == lut.sid),
+        )
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("ld").alias("adc_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id", "adc_dist")
     )

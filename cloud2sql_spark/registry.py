@@ -129,6 +129,7 @@ _PRIORITY = [
     "sample_temperature",
     "sample_dedup_weighted",
     "graph_pagerank",
+    "sim_search_pq_adc",
     # stalest driver evidence: the r01 cohort (last proven two rounds
     # ago) — re-prove the core relational surface hasn't drifted.
     "agg_groupby",

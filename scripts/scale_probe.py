@@ -78,6 +78,19 @@ PROBE_KEYS = [
     "win_range_interval",
     "graph_bfs_levels",
     "sample_poisson_bootstrap",
+    # round 4 fourth/fifth batch: composed TPC-H + curation/graph
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "text_repetition",
+    "sample_dedup_weighted",
+    "graph_pagerank",
+    "sim_search_pq_adc",
 ]
 
 

@@ -417,3 +417,12 @@ def test_pagerank_caches_edge_list(spark, sf_dir):
     fact table (3× the IO at any scale)."""
     plan = _physical(_QUERIES["graph_pagerank"](spark, sf_dir))
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_pq_adc_scores_codes_not_vectors(spark, sf_dir):
+    """ADC search must join the code table against a broadcast LUT — a
+    BroadcastHashJoin with no cartesian/nested-loop — so the scoring scan
+    touches 8 small ints per vector, never the float arrays."""
+    plan = _physical(_QUERIES["sim_search_pq_adc"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
