@@ -141,6 +141,8 @@ _R04_ADDITIONS = [
     "sample_dedup_weighted",
     "graph_pagerank",
     "sim_search_pq_adc",
+    "fn_ip_parse",
+    "join_cidr_contains",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS

@@ -78,9 +78,14 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    # Fact-first join order: lineitem is always the probe side, so the
+    # optimizer's build-side choice falls on the genuinely smaller
+    # filtered orders/customer inputs — never on the fact table (a
+    # broadcast-the-fact plan is what melts first at scale; observed in
+    # the 10x probe with the customer-first ordering).
     return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_revenue()).alias("rev_dec"))
         .orderBy(F.col("rev_dec").desc(), "o_orderdate", "l_orderkey")
@@ -317,9 +322,13 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    # Fact-first: lineitem probes; the one-quarter orders slice is the
+    # natural build side (the customer-first ordering made the optimizer
+    # broadcast the R-filtered FACT table at 10x — 2M-row hash relation,
+    # 14x probe ratio).
     return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(nation, customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(_revenue()).alias("rev_dec"))

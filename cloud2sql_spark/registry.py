@@ -46,6 +46,7 @@ _QUERY_MODULES = [
     "cloud2sql_spark.queries.embeddings",
     "cloud2sql_spark.queries.etl_surface",
     "cloud2sql_spark.queries.tpch",
+    "cloud2sql_spark.queries.network",
 ]
 
 _loaded = False
@@ -130,6 +131,8 @@ _PRIORITY = [
     "sample_dedup_weighted",
     "graph_pagerank",
     "sim_search_pq_adc",
+    "fn_ip_parse",
+    "join_cidr_contains",
     # stalest driver evidence: the r01 cohort (last proven two rounds
     # ago) — re-prove the core relational surface hasn't drifted.
     "agg_groupby",

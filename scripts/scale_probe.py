@@ -91,6 +91,7 @@ PROBE_KEYS = [
     "sample_dedup_weighted",
     "graph_pagerank",
     "sim_search_pq_adc",
+    "join_cidr_contains",
 ]
 
 

@@ -426,3 +426,21 @@ def test_pq_adc_scores_codes_not_vectors(spark, sf_dir):
     plan = _physical(_QUERIES["sim_search_pq_adc"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ip_parse_pure_projection(spark, sf_dir):
+    """IP parsing is integer bit math in whole-stage codegen: no Exchange,
+    no UDF nodes — a narrow map at any scale."""
+    plan = _physical(_QUERIES["fn_ip_parse"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "*(1)" in plan, plan  # whole-stage-codegen stage marker
+
+
+def test_cidr_join_is_bucketed_broadcast(spark, sf_dir):
+    """CIDR containment must run as the /16-bucket EQUALITY hash join with
+    the prefix mask as a residual filter — an inequality/nested-loop
+    formulation is the shape that melts at scale."""
+    plan = _physical(_QUERIES["join_cidr_contains"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
