@@ -366,3 +366,115 @@ def test_ewma_matches_reference_implementation(spark, tmp_path):
     }
     for i in range(len(vals)):
         assert abs(got[i] - ref(i)) < 1e-6, (i, got[i], ref(i))
+
+
+def test_pagerank_matches_integer_reference(spark, tmp_path):
+    """graph_pagerank on a hand-built bipartite graph must equal a pure-
+    Python replay of the SAME fixed-point recurrence (init 1e9; share =
+    rank // degree; next = 150e6 + 85*contrib // 100, 3 rounds) — pinning
+    the exact integer semantics the cross-engine determinism rests on."""
+    from datetime import datetime
+
+    from cloud2sql_spark.queries.analytics import graph_pagerank
+
+    edges = [(1, 0), (1, 1), (2, 1), (3, 1), (3, 0), (3, 0)]  # dup edge
+    rows = [
+        (i, pk, sk, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 1))
+        for i, (pk, sk) in enumerate(edges)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, "
+        "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, "
+        "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, "
+        "l_linestatus STRING, l_shipdate TIMESTAMP_NTZ",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+
+    adj: dict[str, set[str]] = {}
+    for pk, sk in set(edges):
+        a, b = f"p{pk}", f"s{sk}"
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ranks = {n: 10**9 for n in adj}
+    for _ in range(3):
+        contrib = {n: 0 for n in adj}
+        for u, nbrs in adj.items():
+            share = ranks[u] // len(nbrs)
+            for v in nbrs:
+                contrib[v] += share
+        ranks = {n: 150_000_000 + (85 * c) // 100 for n, c in contrib.items()}
+
+    got = {
+        r["node"]: r["rank_nano"]
+        for r in graph_pagerank(spark, str(tmp_path)).collect()
+    }
+    assert got == ranks
+
+
+@given(c=st.integers(min_value=1, max_value=10**7),
+       s=st.integers(min_value=1, max_value=10**5))
+@settings(max_examples=500, deadline=None)
+def test_cidr_bucket_join_equals_range_membership(c, s):
+    """The /16-bucket equality + prefix-mask residual used by
+    join_cidr_contains must decide membership identically to the naive
+    range check [net, net + 2^(32-plen)) for every derived (ip, net)."""
+    ip = (10 * 16777216 + ((c * 2654435761) % 64) * 65536
+          + ((c * 97) % 256) * 256 + (c * 31) % 256)
+    plen = 24 if s % 2 == 1 else 16
+    net = (10 * 16777216 + (s % 64) * 65536
+           + (((s * 13) % 256) * 256 if s % 2 == 1 else 0))
+    bucketed = (ip >> 16) == (net >> 16) and (
+        ip >> (32 - plen)) == (net >> (32 - plen))
+    naive = net <= ip < net + (1 << (32 - plen))
+    assert bucketed == naive
+
+
+def test_text_repetition_edge_docs_match_oracle(spark, tmp_path):
+    """Edge shapes — empty text, lone word (no bigrams), all-one-word doc,
+    doc made of one repeated bigram — must agree with the DuckDB oracle
+    and trip the integer-threshold flags exactly as designed."""
+    import duckdb
+    import pandas as pd
+
+    from cloud2sql_spark.registry import oracle_sql, queries
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "",
+                "word",
+                "spam spam spam spam spam spam",
+                "tick tock tick tock tick tock tick tock",
+                "all the words here are fully distinct tokens",
+            ],
+            "lang": ["en"] * 5,
+            "source": ["web"] * 5,
+            "n_chars": [0, 4, 29, 39, 44],
+        }
+    )
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    df = queries()["text_repetition"](spark, sf)
+    got = {r["doc_id"]: r.asDict() for r in df.collect()}
+    # empty doc vanishes (no tokens); lone word has no bigram but a
+    # 100%-frequency word; the spam doc trips the word rule; the
+    # tick-tock doc trips the bigram rule; the distinct doc trips nothing
+    assert 1 not in got
+    assert got[2]["top_bigram_freq"] == 0 and got[2]["is_repetitive"]
+    assert got[3]["is_repetitive"] and got[3]["top_word_freq"] == 6
+    assert got[4]["is_repetitive"] and got[4]["top_bigram_freq"] == 4
+    assert not got[5]["is_repetitive"] and got[5]["n_distinct"] == 8
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    try:
+        from tests.oracle import compare
+
+        compare(df, con, oracle_sql()["text_repetition"], key="text_repetition_edge")
+    finally:
+        con.close()
