@@ -143,6 +143,8 @@ _R04_ADDITIONS = [
     "sim_search_pq_adc",
     "fn_ip_parse",
     "join_cidr_contains",
+    "multimodal_audio_window",
+    "text_pmi_bigrams",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS

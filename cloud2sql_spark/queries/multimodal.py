@@ -256,3 +256,77 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.mapInPandas(
         sample, "doc_id BIGINT, frame_idx BIGINT, n_bytes INT, byte_sum BIGINT"
     )
+
+
+@register(
+    "multimodal_audio_window",
+    oracle="""
+    WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+               FROM documents),
+    s AS (SELECT doc_id, text, n,
+                 CASE WHEN n >= 32 THEN (n - 32) // 16 + 1 ELSE 0 END AS nw
+          FROM b),
+    w AS (SELECT doc_id, text, unnest(range(0, nw)) AS win_idx FROM s),
+    seg AS (SELECT doc_id, win_idx,
+                   substr(text, win_idx * 16 + 1, 32) AS chunk
+            FROM w)
+    SELECT doc_id, win_idx,
+           CAST(list_aggregate(
+                    list_transform(string_split(chunk, ''), c -> ascii(c)),
+                    'sum') AS BIGINT) AS energy,
+           md5(chunk) AS checksum
+    FROM seg
+    """,
+)
+def multimodal_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Audio windowing' over binary payloads: fixed 32-byte windows with
+    a 16-byte hop (50% overlap) — the STFT / feature-frame shape every
+    audio pipeline runs before spectral features (a real pipeline would
+    np.fft each window; the byte-sum 'energy' and md5 checksum stand in,
+    per the codec-stub mandate — see decode_image).
+
+    Window fan-out happens inside the Arrow batch via numpy
+    sliding-window views: one input row becomes ~n/16 output rows with
+    no shuffle, the same in-batch multiplication multimodal_frames uses.
+    Energy is an exact integer sum; the checksum is hashlib.md5 over the
+    raw window bytes, byte-identical to SQL md5 (corpus is ASCII, so the
+    oracle's char slicing sees the same bytes). Embarrassingly parallel
+    at any corpus size."""
+    mm = (
+        _with_payload(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "payload")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        size, hop = 32, 16
+        for pdf in batches:
+            ids, idxs, energies, sums = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(b, dtype=np.uint8)
+                n = arr.size
+                if n < size:
+                    continue
+                view = np.lib.stride_tricks.sliding_window_view(arr, size)[::hop]
+                e = view.sum(axis=1, dtype=np.int64)
+                for wi in range(view.shape[0]):
+                    ids.append(doc_id)
+                    idxs.append(wi)
+                    energies.append(int(e[wi]))
+                    sums.append(hashlib.md5(view[wi].tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "win_idx": pd.array(idxs, dtype="int64"),
+                    "energy": pd.array(energies, dtype="int64"),
+                    "checksum": sums,
+                }
+            )
+
+    return mm.mapInPandas(
+        windows, "doc_id BIGINT, win_idx BIGINT, energy BIGINT, checksum STRING"
+    )

@@ -653,3 +653,81 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("top_word_freq") * 5 > F.col("n_words"))
         | (F.col("top_bigram_freq") * 8 > F.col("n_words")),
     )
+
+
+@register(
+    "text_pmi_bigrams",
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), t -> t <> '') AS ws
+               FROM documents),
+    tok AS (SELECT unnest(ws) AS token FROM w),
+    wc AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    t AS (SELECT sum(c) AS total_w FROM wc),
+    bg AS (SELECT unnest([{'w1': ws[i], 'w2': ws[i+1]}
+                          for i in range(1, len(ws))]) AS b
+           FROM w WHERE len(ws) >= 2),
+    bc AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS cab
+           FROM bg GROUP BY b.w1, b.w2),
+    bt AS (SELECT sum(cab) AS total_b FROM bc)
+    SELECT bc.w1, bc.w2, bc.cab,
+           round(ln((CAST(bc.cab AS DOUBLE) / (SELECT total_b FROM bt))
+                    / ((CAST(a.c AS DOUBLE) / (SELECT total_w FROM t))
+                       * (CAST(b.c AS DOUBLE) / (SELECT total_w FROM t)))),
+                 4) AS pmi
+    FROM bc
+    JOIN wc a ON bc.w1 = a.token
+    JOIN wc b ON bc.w2 = b.token
+    WHERE bc.cab >= 5
+    """,
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level collocation mining: pointwise mutual information of
+    adjacent word pairs (PMI = ln(p(ab) / p(a)p(b))), support-filtered at
+    5 occurrences — the phrase-detection pass (word2vec-style phrasing,
+    tokenizer-merge candidates) of text pipelines.
+
+    Counting is two keyed aggregates (unigrams, bigrams) with map-side
+    combine; the PMI join attaches vocabulary counts to bigram rows on
+    the word keys (vocab ≪ bigram occurrences, and both tables shrink
+    with the type counts, not the corpus). Totals are 1-row broadcast
+    scalars. All counts are exact integers; ln runs once per OUTPUT row
+    on identically-derived doubles and is rounded to 4 decimals — the
+    text_lm_score determinism posture."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("ws"),
+    )
+    tok = w.select(F.explode("ws").alias("token"))
+    wc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total_w = wc.agg(F.sum("c").alias("total_w"))
+    bg = w.filter(F.size("ws") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+            )
+        ).alias("b")
+    )
+    bc = bg.groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")).agg(
+        F.count(F.lit(1)).alias("cab")
+    )
+    total_b = bc.agg(F.sum("cab").alias("total_b"))
+    a = wc.select(F.col("token").alias("w1"), F.col("c").alias("ca"))
+    b = wc.select(F.col("token").alias("w2"), F.col("c").alias("cb"))
+    pmi = F.log(
+        (F.col("cab").cast("double") / F.col("total_b"))
+        / (
+            (F.col("ca").cast("double") / F.col("total_w"))
+            * (F.col("cb").cast("double") / F.col("total_w"))
+        )
+    )
+    return (
+        bc.filter(F.col("cab") >= 5)
+        .join(a, "w1")
+        .join(b, "w2")
+        .join(F.broadcast(total_w))
+        .join(F.broadcast(total_b))
+        .select("w1", "w2", "cab", F.round(pmi, 4).alias("pmi"))
+    )

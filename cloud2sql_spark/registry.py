@@ -133,6 +133,8 @@ _PRIORITY = [
     "sim_search_pq_adc",
     "fn_ip_parse",
     "join_cidr_contains",
+    "multimodal_audio_window",
+    "text_pmi_bigrams",
     # stalest driver evidence: the r01 cohort (last proven two rounds
     # ago) — re-prove the core relational surface hasn't drifted.
     "agg_groupby",

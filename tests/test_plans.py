@@ -444,3 +444,21 @@ def test_cidr_join_is_bucketed_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_audio_window_fanout_stays_in_batch(spark, sf_dir):
+    """Window fan-out multiplies rows inside the Arrow batch: exactly the
+    one repartition Exchange, no join, no aggregate — the operator is a
+    narrow map like the other multimodal ops."""
+    plan = _physical(_QUERIES["multimodal_audio_window"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_pmi_joins_on_type_counts_no_cartesian(spark, sf_dir):
+    """PMI attaches vocabulary counts to bigram TYPES (post-aggregation),
+    so join volume tracks type counts, not corpus occurrences; the 1-row
+    totals are bounded broadcast scalars (nested-loop by definition),
+    and nothing may be a cartesian product."""
+    plan = _physical(_QUERIES["text_pmi_bigrams"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
