@@ -145,6 +145,7 @@ _R04_ADDITIONS = [
     "join_cidr_contains",
     "multimodal_audio_window",
     "text_pmi_bigrams",
+    "join_asof_nearest",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS

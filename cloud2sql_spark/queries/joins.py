@@ -812,3 +812,95 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gap_seconds"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS tus,
+             CASE WHEN event_type = 'click'
+                  THEN lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
+                       lpad(CAST(event_id AS VARCHAR), 10, '0') END AS ck
+      FROM events WHERE event_type IN ('purchase', 'click')),
+    w AS (
+      SELECT *,
+             max(ck) OVER (PARTITION BY user_id ORDER BY tus
+                 RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING) AS bk,
+             min(ck) OVER (PARTITION BY user_id ORDER BY tus
+                 RANGE BETWEEN 1 FOLLOWING AND 3600000000 FOLLOWING) AS fw
+      FROM v),
+    g AS (
+      SELECT event_id, user_id, tus, bk, fw,
+             CASE WHEN bk IS NOT NULL
+                  THEN tus - CAST(substr(bk, 1, 20) AS BIGINT) END AS bgap,
+             CASE WHEN fw IS NOT NULL
+                  THEN CAST(substr(fw, 1, 20) AS BIGINT) - tus END AS fgap
+      FROM w WHERE event_type = 'purchase' AND (bk IS NOT NULL OR fw IS NOT NULL))
+    SELECT event_id, user_id,
+           CASE WHEN fgap IS NULL OR (bgap IS NOT NULL AND bgap <= fgap)
+                THEN CAST(substr(bk, 22, 10) AS BIGINT)
+                ELSE CAST(substr(fw, 22, 10) AS BIGINT) END AS click_id,
+           CASE WHEN fgap IS NULL OR (bgap IS NOT NULL AND bgap <= fgap)
+                THEN 'backward' ELSE 'forward' END AS direction,
+           CAST((CASE WHEN fgap IS NULL OR (bgap IS NOT NULL AND bgap <= fgap)
+                      THEN bgap ELSE fgap END) // 1000000 AS BIGINT)
+               AS gap_seconds
+    FROM g
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (pandas merge_asof direction='nearest' parity,
+    ±1h tolerance): each purchase matched to the user's temporally
+    CLOSEST click in either direction, ties resolved backward (the
+    strictly-prior click wins an equal-distance race).
+
+    Completes the as-of family (backward join_asof, forward
+    join_asof_forward) with the same scale shape: both direction frames
+    ride ONE (user_id, ts) sort — RANGE (1h PRECEDING, -1) for the
+    latest prior and RANGE (+1, 1h FOLLOWING) for the earliest next —
+    so Spark plans a single Exchange with two Window aggregates and O(1)
+    state per row; no inequality join at any scale. Gap comparison and
+    the tie rule are exact integer microsecond arithmetic, identical in
+    both engines; candidate keys are the zero-padded (micros, event_id)
+    strings join_asof_forward uses for engine-portable tie-breaks."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    tus = F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts)")
+    ck = F.when(
+        F.col("event_type") == "click",
+        F.concat(
+            F.lpad(tus.cast("string"), 20, "0"),
+            F.lit("|"),
+            F.lpad(F.col("event_id").cast("string"), 10, "0"),
+        ),
+    )
+    v = ev.select("event_id", "user_id", "event_type", tus.alias("tus"), ck.alias("ck"))
+    hour = 3_600_000_000
+    wb = Window.partitionBy("user_id").orderBy("tus").rangeBetween(-hour, -1)
+    wf = Window.partitionBy("user_id").orderBy("tus").rangeBetween(1, hour)
+    g = (
+        v.withColumn("bk", F.max("ck").over(wb))
+        .withColumn("fw", F.min("ck").over(wf))
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("bk").isNotNull() | F.col("fw").isNotNull())
+        )
+        .withColumn("bgap", F.col("tus") - F.substring("bk", 1, 20).cast("long"))
+        .withColumn("fgap", F.substring("fw", 1, 20).cast("long") - F.col("tus"))
+    )
+    take_back = F.col("fgap").isNull() | (
+        F.col("bgap").isNotNull() & (F.col("bgap") <= F.col("fgap"))
+    )
+    chosen = F.when(take_back, F.col("bk")).otherwise(F.col("fw"))
+    gap = F.when(take_back, F.col("bgap")).otherwise(F.col("fgap"))
+    return g.select(
+        "event_id",
+        "user_id",
+        F.substring(chosen, 22, 10).cast("long").alias("click_id"),
+        F.when(take_back, F.lit("backward")).otherwise(F.lit("forward")).alias(
+            "direction"
+        ),
+        (gap / 1_000_000).cast("long").alias("gap_seconds"),
+    )

@@ -135,6 +135,7 @@ _PRIORITY = [
     "join_cidr_contains",
     "multimodal_audio_window",
     "text_pmi_bigrams",
+    "join_asof_nearest",
     # stalest driver evidence: the r01 cohort (last proven two rounds
     # ago) — re-prove the core relational surface hasn't drifted.
     "agg_groupby",

@@ -462,3 +462,12 @@ def test_pmi_joins_on_type_counts_no_cartesian(spark, sf_dir):
     and nothing may be a cartesian product."""
     plan = _physical(_QUERIES["text_pmi_bigrams"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_asof_nearest_single_shuffle_no_join(spark, sf_dir):
+    """Both direction frames share one (user_id, ts) sort: exactly ONE
+    Exchange, no Join node — the inequality-join formulation this
+    replaces would shuffle candidate pairs."""
+    plan = _physical(_QUERIES["join_asof_nearest"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
