@@ -745,11 +745,17 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = w.agg(F.sum("w_dec").alias("w_sum"))
     share = F.col("w_dec").cast("double") / F.col("w_sum").cast("double")
+    # budget mirrors the oracle's association exactly — (100000*w)/s, not
+    # 100000*(w/s): the two round differently at the last ulp and floor()
+    # would amplify that to an off-by-one budget.
+    budget = (F.lit(100000) * F.col("w_dec").cast("double")) / F.col(
+        "w_sum"
+    ).cast("double")
     return w.join(F.broadcast(s)).select(
         "lang",
         "n_docs",
         F.round(share, 6).alias("sample_weight"),
-        F.floor(F.lit(100000) * share).alias("budget_docs"),
+        F.floor(budget).alias("budget_docs"),
     )
 
 

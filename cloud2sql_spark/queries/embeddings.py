@@ -305,20 +305,31 @@ _PQ_CODES_SQL = f"""
 """
 
 
+def _pq_sub_ids():
+    return F.explode(F.sequence(F.lit(0), F.lit(7))).alias("sub")
+
+
+def _pq_cents(q: DataFrame) -> DataFrame:
+    """(sid, sub, cs): the 4-codeword-per-subspace codebook, seeded from
+    four fixed vectors — the ONE definition both the code assignment and
+    the ADC lookup table must share (a drifted copy would score codes
+    against a different codebook than the one that produced them)."""
+    seeds = q.filter(F.col("vec_id").isin(0, 1, 2, 3)).select(
+        F.col("vec_id").alias("sid"), F.col("v").alias("sv")
+    )
+    return seeds.select("sid", "sv", _pq_sub_ids()).select(
+        "sid", "sub", F.slice("sv", F.col("sub") * 8 + 1, 8).alias("cs")
+    )
+
+
 def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, sub, code, sq_dist): each vector's 8 nearest-codeword
     assignments against the fixed 4-entry-per-subspace codebook."""
     q = _quantized(spark, sf_dir)
-    seeds = q.filter(F.col("vec_id").isin(0, 1, 2, 3)).select(
-        F.col("vec_id").alias("sid"), F.col("v").alias("sv")
-    )
-    sub_ids = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("sub")
-    subs = q.select("vec_id", "v", sub_ids).select(
+    subs = q.select("vec_id", "v", _pq_sub_ids()).select(
         "vec_id", "sub", F.slice("v", F.col("sub") * 8 + 1, 8).alias("xs")
     )
-    cents = seeds.select("sid", "sv", sub_ids).select(
-        "sid", "sub", F.slice("sv", F.col("sub") * 8 + 1, 8).alias("cs")
-    )
+    cents = _pq_cents(q)
     d = F.aggregate(
         F.zip_with("xs", "cs", lambda x, c: (x - c) * (x - c)),
         F.lit(0).cast("long"),
@@ -443,16 +454,10 @@ def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark and DuckDB agree bit-for-bit."""
     q = _quantized(spark, sf_dir)
     codes = _pq_codes(spark, sf_dir)
-    sub_ids = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("sub")
-    seeds = q.filter(F.col("vec_id").isin(0, 1, 2, 3)).select(
-        F.col("vec_id").alias("sid"), F.col("v").alias("sv")
-    )
-    cents = seeds.select("sid", "sv", sub_ids).select(
-        "sid", "sub", F.slice("sv", F.col("sub") * 8 + 1, 8).alias("cs")
-    )
+    cents = _pq_cents(q)
     qsubs = (
         q.filter(F.col("vec_id").isin(10, 11, 12))
-        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qvec"), sub_ids)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qvec"), _pq_sub_ids())
         .select("qid", "sub", F.slice("qvec", F.col("sub") * 8 + 1, 8).alias("qs"))
     )
     ld = F.aggregate(

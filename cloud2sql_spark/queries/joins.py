@@ -850,10 +850,13 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest as-of join (pandas merge_asof direction='nearest' parity,
-    ±1h tolerance): each purchase matched to the user's temporally
-    CLOSEST click in either direction, ties resolved backward (the
-    strictly-prior click wins an equal-distance race).
+    """Nearest as-of join (pandas merge_asof direction='nearest' shape,
+    ±1h tolerance, but with STRICT exclusive bounds like join_asof: a
+    click at the exact purchase microsecond is excluded, where pandas'
+    allow_exact_matches=True default would take it at distance 0): each
+    purchase matched to the user's temporally closest click in either
+    direction, ties resolved backward (the strictly-prior click wins an
+    equal-distance race).
 
     Completes the as-of family (backward join_asof, forward
     join_asof_forward) with the same scale shape: both direction frames

@@ -192,7 +192,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q7",
     oracle=f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           year(l.l_shipdate) AS l_year,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
            CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -245,7 +245,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q9",
     oracle=f"""
-    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
            CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS profit
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey
