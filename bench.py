@@ -146,6 +146,7 @@ _R04_ADDITIONS = [
     "multimodal_audio_window",
     "text_pmi_bigrams",
     "join_asof_nearest",
+    "sample_interleave",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS

@@ -796,3 +796,58 @@ def sample_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_copies",
         F.round(F.lit(1.0) / F.col("n_copies"), 6).alias("train_weight"),
     )
+
+
+@register(
+    "sample_interleave",
+    oracle="""
+    WITH r AS (SELECT doc_id, source,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                                  doc_id) AS rk
+               FROM documents),
+    s AS (SELECT source,
+                 row_number() OVER (ORDER BY source) - 1 AS src_idx,
+                 (SELECT count(DISTINCT source) FROM documents) AS n_src
+          FROM (SELECT DISTINCT source FROM documents))
+    SELECT r.doc_id, r.source, r.rk AS within_rank,
+           (r.rk - 1) * s.n_src + s.src_idx + 1 AS train_pos
+    FROM r JOIN s USING (source)
+    """,
+)
+def sample_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source interleave: a global training order where
+    consecutive positions round-robin across sources (pos = (rank-1) *
+    n_sources + source_index) after an md5-shuffled within-source order —
+    the batch-diversity guarantee streaming loaders want, computed as a
+    position COLUMN instead of a materialized ordering.
+
+    One window shuffle on source for the within-source rank; the source
+    index table is |sources| rows broadcast. Position arithmetic is
+    exact integers, and the md5 shuffle makes the order reproducible
+    across engines, partitionings, and reruns. Sources of unequal size
+    leave gaps at the tail of the position space — harmless for loader
+    striding and far cheaper than the exact gapless interleave (a global
+    merge) at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    wr = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    r = docs.select(
+        "doc_id", "source", F.row_number().over(wr).alias("within_rank")
+    )
+    srcs = docs.select("source").distinct()
+    ws = Window.orderBy("source")
+    # n_src rides along as a broadcast column instead of a driver-side
+    # count() — the plan stays fully lazy and the source table is tiny.
+    s = srcs.select(
+        "source", (F.row_number().over(ws) - 1).alias("src_idx")
+    ).join(F.broadcast(srcs.agg(F.count(F.lit(1)).alias("n_src"))))
+    return r.join(F.broadcast(s), "source").select(
+        "doc_id",
+        "source",
+        "within_rank",
+        (
+            (F.col("within_rank") - 1) * F.col("n_src") + F.col("src_idx") + 1
+        ).alias("train_pos"),
+    )

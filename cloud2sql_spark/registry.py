@@ -136,6 +136,7 @@ _PRIORITY = [
     "multimodal_audio_window",
     "text_pmi_bigrams",
     "join_asof_nearest",
+    "sample_interleave",
     # stalest driver evidence: the r01 cohort (last proven two rounds
     # ago) — re-prove the core relational surface hasn't drifted.
     "agg_groupby",

@@ -471,3 +471,14 @@ def test_asof_nearest_single_shuffle_no_join(spark, sf_dir):
     plan = _physical(_QUERIES["join_asof_nearest"](spark, sf_dir))
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_interleave_corpus_never_shuffles_for_joins(spark, sf_dir):
+    """The corpus shuffles once (the per-source rank window); the source
+    index attaches via broadcast joins (its own tiny exchanges are over
+    the |sources|-row distinct table). A SortMergeJoin or cartesian here
+    means the position join regressed to shuffling the corpus."""
+    plan = _physical(_QUERIES["sample_interleave"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
