@@ -678,7 +678,7 @@ def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT CASE WHEN l_quantity >= 30 THEN l_partkey END)
                AS bulk_parts,
            count(DISTINCT l_suppkey) AS n_supps,
-           count_if(l_discount = 0)  AS n_no_discount,
+           CAST(count_if(l_discount = 0) AS BIGINT) AS n_no_discount,
            count(*)                  AS n_rows
     FROM lineitem
     GROUP BY l_linestatus

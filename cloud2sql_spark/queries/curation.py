@@ -564,7 +564,7 @@ def pipeline_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sample_reservoir",
     oracle="""
-    SELECT lang, doc_id, rk FROM (
+    SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM (
       SELECT lang, doc_id,
              row_number() OVER (
                  PARTITION BY lang
@@ -834,7 +834,9 @@ def sample_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
     r = docs.select(
-        "doc_id", "source", F.row_number().over(wr).alias("within_rank")
+        "doc_id",
+        "source",
+        F.row_number().over(wr).cast("long").alias("within_rank"),
     )
     srcs = docs.select("source").distinct()
     ws = Window.orderBy("source")

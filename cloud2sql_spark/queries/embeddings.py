@@ -353,7 +353,7 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embed_pq_codebook",
     oracle=f"""
     WITH {_PQ_CODES_SQL}
-    SELECT vec_id, sub, code, sq_dist FROM codes
+    SELECT vec_id, CAST(sub AS INT) AS sub, code, sq_dist FROM codes
     """,
 )
 def embed_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
