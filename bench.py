@@ -147,6 +147,7 @@ _R04_ADDITIONS = [
     "text_pmi_bigrams",
     "join_asof_nearest",
     "sample_interleave",
+    "sort_zorder_cluster",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS

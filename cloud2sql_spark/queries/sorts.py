@@ -87,3 +87,61 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .select("n_name", "s_suppkey", "s_acctbal")
     )
+
+
+@register(
+    "sort_zorder_cluster",
+    oracle="""
+    WITH xy AS (SELECT l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+                FROM lineitem),
+    z AS (SELECT x, y,
+                 CAST(list_sum(
+                     [((x >> i) & 1) * (CAST(1 AS BIGINT) << (2*i))
+                      + ((y >> i) & 1) * (CAST(1 AS BIGINT) << (2*i + 1))
+                      for i in range(0, 16)]) AS BIGINT) AS zval
+          FROM xy)
+    SELECT zval >> 22 AS z_bucket,
+           count(*) AS n_rows,
+           CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+           CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+    FROM z
+    GROUP BY zval >> 22
+    """,
+)
+def sort_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering: interleave the bits of two sort keys
+    into one value so range-partitioning on it gives every bucket
+    LOCALITY IN BOTH dimensions — the lakehouse layout trick (Delta
+    OPTIMIZE ZORDER BY, Hudi clustering) that lets min/max file stats
+    prune scans on either column. Emitted per top-10-bit bucket:
+    row count and both key ranges, which show each bucket covering a
+    small tile of the (partkey, suppkey) plane rather than a full
+    stripe of one dimension.
+
+    The interleave is an exact integer fold (bit shifts and adds —
+    bit-identical in both engines); the bucket aggregate is one keyed
+    groupBy with map-side combine over ≤1024 keys. At 100 TB the same
+    zval feeds repartitionByRange before the write, and the bucket
+    stats here are exactly the file-level min/max a reader would prune
+    on."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xy = li.select(
+        (F.col("l_partkey") % 65536).alias("x"),
+        (F.col("l_suppkey") % 65536).alias("y"),
+    )
+    zval = F.expr(
+        "aggregate(sequence(0, 15), cast(0 as bigint), (acc, i) -> acc"
+        " + ((x >> i) & 1) * shiftleft(cast(1 as bigint), 2*i)"
+        " + ((y >> i) & 1) * shiftleft(cast(1 as bigint), 2*i + 1))"
+    )
+    z = xy.select("x", "y", zval.alias("zval"))
+    return (
+        z.groupBy(F.shiftright("zval", 22).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )

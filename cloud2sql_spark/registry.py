@@ -137,6 +137,7 @@ _PRIORITY = [
     "text_pmi_bigrams",
     "join_asof_nearest",
     "sample_interleave",
+    "sort_zorder_cluster",
     # stalest driver evidence: the r01 cohort (last proven two rounds
     # ago) — re-prove the core relational surface hasn't drifted.
     "agg_groupby",

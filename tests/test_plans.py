@@ -482,3 +482,13 @@ def test_interleave_corpus_never_shuffles_for_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_zorder_single_aggregate_shuffle(spark, sf_dir):
+    """The Morton interleave is a codegen'd projection; the only Exchange
+    is the ≤1024-key bucket aggregate (with a partial HashAggregate
+    before it)."""
+    plan = _physical(_QUERIES["sort_zorder_cluster"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Join" not in plan, plan
