@@ -148,6 +148,7 @@ _R04_ADDITIONS = [
     "join_asof_nearest",
     "sample_interleave",
     "sort_zorder_cluster",
+    "scan_vacuum_retention",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS

@@ -610,3 +610,79 @@ def scan_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return diff(1, 2).unionByName(diff(2, 3))
+
+
+@register(
+    "scan_vacuum_retention",
+    oracle="""
+    SELECT 'keep' AS action, CAST(count(*) AS BIGINT) AS n_rows
+    FROM events WHERE event_id % 5 IN (1, 2)
+       OR (event_id % 5 IN (3, 4) AND event_id % 7 <> 1)
+    UNION ALL
+    SELECT 'delete' AS action, CAST(count(*) AS BIGINT) AS n_rows
+    FROM events WHERE event_id % 5 IN (3, 4)
+    """,
+)
+def scan_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vacuum for the manifest table format (scan_time_travel /
+    scan_snapshot_diff's missing lifecycle half): after a copy-on-write
+    rewrite, files referenced only by expired versions are garbage.
+    With retention = latest-version-only, vacuum = (files in any
+    manifest or on disk) minus (files in the live manifest).
+
+    The fixture: v1 = two file groups (event_id%5 in (1,2) and in
+    (3,4)); v2 copy-on-write deletes the %7==1 rows by REWRITING the
+    second group, so v2 references group A + the rewrite and group B
+    becomes unreferenced. The operator reads the actual parquet files in
+    each class and reports kept vs deletable row volumes — the same
+    accounting `VACUUM` dry-runs print. Orphan discovery is a set
+    difference over manifest file lists (O(files), driver-side like the
+    manifests themselves); row counting is an ordinary distributed scan
+    of each class."""
+    import json as _json
+
+    ev = load_table(spark, sf_dir, "events")
+    table_dir = _tmp(f"scan_vacuum/{os.path.basename(sf_dir)}_events_vac")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
+
+    ga = _write_snapshot_files(
+        ev.filter(F.col("event_id") % 5 == 1), table_dir, "ga"
+    ) + _write_snapshot_files(
+        ev.filter(F.col("event_id") % 5 == 2), table_dir, "ga2"
+    )
+    gb = _write_snapshot_files(
+        ev.filter((F.col("event_id") % 5).isin(3, 4)), table_dir, "gb"
+    )
+    with open(os.path.join(table_dir, "manifests", "1.json"), "w") as fh:
+        _json.dump({"version": 1, "files": ga + gb}, fh)
+    gb_rewrite = _write_snapshot_files(
+        ev.filter(
+            (F.col("event_id") % 5).isin(3, 4) & (F.col("event_id") % 7 != 1)
+        ),
+        table_dir,
+        "gb_rw",
+    )
+    with open(os.path.join(table_dir, "manifests", "2.json"), "w") as fh:
+        _json.dump({"version": 2, "files": ga + gb_rewrite}, fh)
+
+    manifests_dir = os.path.join(table_dir, "manifests")
+    all_refs: set[str] = set()
+    for mf in os.listdir(manifests_dir):
+        with open(os.path.join(manifests_dir, mf)) as fh:
+            all_refs.update(_json.load(fh)["files"])
+    with open(os.path.join(manifests_dir, "2.json")) as fh:
+        live = set(_json.load(fh)["files"])
+    orphans = sorted(all_refs - live)
+    kept = sorted(live)
+
+    schema = ev.schema
+
+    def rows(files: list[str], action: str) -> DataFrame:
+        return (
+            spark.read.schema(schema)
+            .parquet(*files)
+            .agg(F.lit(action).alias("action"), F.count(F.lit(1)).alias("n_rows"))
+        )
+
+    return rows(kept, "keep").unionByName(rows(orphans, "delete"))

@@ -138,6 +138,7 @@ _PRIORITY = [
     "join_asof_nearest",
     "sample_interleave",
     "sort_zorder_cluster",
+    "scan_vacuum_retention",
     # stalest driver evidence: the r01 cohort (last proven two rounds
     # ago) — re-prove the core relational surface hasn't drifted.
     "agg_groupby",
