@@ -129,11 +129,19 @@ def sort_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") % 65536).alias("x"),
         (F.col("l_suppkey") % 65536).alias("y"),
     )
-    zval = F.expr(
-        "aggregate(sequence(0, 15), cast(0 as bigint), (acc, i) -> acc"
-        " + ((x >> i) & 1) * shiftleft(cast(1 as bigint), 2*i)"
-        " + ((y >> i) & 1) * shiftleft(cast(1 as bigint), 2*i + 1))"
-    )
+
+    def spread(col):
+        # Magic-number bit spread (abcd -> 0a0b0c0d), the standard Morton
+        # encoding: 8 shift/mask ops fully inside whole-stage codegen. The
+        # equivalent 16-round higher-order fold is interpreted per row and
+        # measured 7x slower at sf0.1.
+        v = F.col(col).cast("long")
+        for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                            (2, 0x33333333), (1, 0x55555555)):
+            v = v.bitwiseOR(F.shiftleft(v, shift)).bitwiseAND(F.lit(mask))
+        return v
+
+    zval = spread("x").bitwiseOR(F.shiftleft(spread("y"), 1))
     z = xy.select("x", "y", zval.alias("zval"))
     return (
         z.groupBy(F.shiftright("zval", 22).alias("z_bucket"))
