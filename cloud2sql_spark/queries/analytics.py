@@ -788,6 +788,12 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAGERANK_EDGE_CACHE: dict = {}
 _PAGERANK_EDGE_CACHE_MAX = 4
 
+# Wire into the one reset hook (extensions.clear_shingle_cache) so bench
+# trial resets and fixture-rewrite escapes clear this memo too.
+from cloud2sql_spark.queries.extensions import register_session_cache  # noqa: E402
+
+register_session_cache(_PAGERANK_EDGE_CACHE)
+
 
 def _pagerank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src, dst, d): both directions of the distinct part–supplier edge

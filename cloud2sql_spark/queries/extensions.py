@@ -61,13 +61,24 @@ _EXACT_JACCARD_PAIRS_SQL = f"""
 _SHINGLE_CACHE: dict = {}
 _SHINGLE_CACHE_MAX = 8
 
+# Other modules register their session-scoped persisted-frame memos here
+# (analytics' pagerank edge list) so the one reset hook clears EVERY
+# shared cache — a memo that survives the hook would serve frames whose
+# persist was dropped (bench clears between trials) or stale data after
+# a fixture rewrite.
+_EXTRA_SESSION_CACHES: list[dict] = []
+
+
+def register_session_cache(cache: dict) -> None:
+    _EXTRA_SESSION_CACHES.append(cache)
+
 
 def clear_shingle_cache() -> None:
-    """Unpersist and drop every cached shared frame — shingles AND
-    quantized embeddings (test/ops hook; also the escape hatch when
-    fixture files under a cached path are rewritten mid-session and
-    would otherwise serve stale data)."""
-    for cache in (_SHINGLE_CACHE, _QUANT_CACHE):
+    """Unpersist and drop every cached shared frame — shingles, quantized
+    embeddings, and any registered module cache (test/ops hook; also the
+    escape hatch when fixture files under a cached path are rewritten
+    mid-session and would otherwise serve stale data)."""
+    for cache in (_SHINGLE_CACHE, _QUANT_CACHE, *_EXTRA_SESSION_CACHES):
         for df in cache.values():
             try:
                 df.unpersist()

@@ -747,15 +747,44 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "join_asof_forward",
-    oracle="""
-    WITH v AS (
+# Shared by the forward and nearest as-of joins: the (purchase, click)
+# event slice with exact epoch micros and the zero-padded (micros,
+# event_id) candidate key whose lexicographic min/max is an
+# engine-portable tie-break. One definition, used by both Spark
+# functions and both oracle CTEs (_ASOF_CANDIDATES_SQL) — the four
+# copies this replaces could silently diverge on pad width or separator.
+_ASOF_CANDIDATES_SQL = """v AS (
       SELECT event_id, user_id, event_type, epoch_us(ts) AS tus,
              CASE WHEN event_type = 'click'
                   THEN lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
                        lpad(CAST(event_id AS VARCHAR), 10, '0') END AS ck
-      FROM events WHERE event_type IN ('purchase', 'click'))
+      FROM events WHERE event_type IN ('purchase', 'click'))"""
+
+
+def _asof_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, user_id, event_type, tus, ck) mirror of
+    ``_ASOF_CANDIDATES_SQL``."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    tus = F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts)")
+    ck = F.when(
+        F.col("event_type") == "click",
+        F.concat(
+            F.lpad(tus.cast("string"), 20, "0"),
+            F.lit("|"),
+            F.lpad(F.col("event_id").cast("string"), 10, "0"),
+        ),
+    )
+    return ev.select(
+        "event_id", "user_id", "event_type", tus.alias("tus"), ck.alias("ck")
+    )
+
+
+@register(
+    "join_asof_forward",
+    oracle=f"""
+    WITH {_ASOF_CANDIDATES_SQL}
     SELECT event_id, user_id,
            CAST(substr(nxt, 22, 10) AS BIGINT) AS next_click_id,
            CAST((CAST(substr(nxt, 1, 20) AS BIGINT) - tus) // 1000000
@@ -779,19 +808,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolving to the smallest event_id IDENTICALLY in both engines
     (struct-min tie semantics would be Spark-private; lexicographic min
     over fixed-width digits is engine-portable arithmetic)."""
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("purchase", "click")
-    )
-    tus = F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts)")
-    ck = F.when(
-        F.col("event_type") == "click",
-        F.concat(
-            F.lpad(tus.cast("string"), 20, "0"),
-            F.lit("|"),
-            F.lpad(F.col("event_id").cast("string"), 10, "0"),
-        ),
-    )
-    v = ev.select("event_id", "user_id", "event_type", tus.alias("tus"), ck.alias("ck"))
+    v = _asof_candidates(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy("tus")
@@ -816,13 +833,8 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_asof_nearest",
-    oracle="""
-    WITH v AS (
-      SELECT event_id, user_id, event_type, epoch_us(ts) AS tus,
-             CASE WHEN event_type = 'click'
-                  THEN lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
-                       lpad(CAST(event_id AS VARCHAR), 10, '0') END AS ck
-      FROM events WHERE event_type IN ('purchase', 'click')),
+    oracle=f"""
+    WITH {_ASOF_CANDIDATES_SQL},
     w AS (
       SELECT *,
              max(ck) OVER (PARTITION BY user_id ORDER BY tus
@@ -867,19 +879,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tie rule are exact integer microsecond arithmetic, identical in
     both engines; candidate keys are the zero-padded (micros, event_id)
     strings join_asof_forward uses for engine-portable tie-breaks."""
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("purchase", "click")
-    )
-    tus = F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts)")
-    ck = F.when(
-        F.col("event_type") == "click",
-        F.concat(
-            F.lpad(tus.cast("string"), 20, "0"),
-            F.lit("|"),
-            F.lpad(F.col("event_id").cast("string"), 10, "0"),
-        ),
-    )
-    v = ev.select("event_id", "user_id", "event_type", tus.alias("tus"), ck.alias("ck"))
+    v = _asof_candidates(spark, sf_dir)
     hour = 3_600_000_000
     wb = Window.partitionBy("user_id").orderBy("tus").rangeBetween(-hour, -1)
     wf = Window.partitionBy("user_id").orderBy("tus").rangeBetween(1, hour)

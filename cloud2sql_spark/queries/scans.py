@@ -671,6 +671,14 @@ def scan_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     for mf in os.listdir(manifests_dir):
         with open(os.path.join(manifests_dir, mf)) as fh:
             all_refs.update(_json.load(fh)["files"])
+    # Real vacuum must also sweep files NO manifest references (debris
+    # from failed writes): walk the data directory too. In this fixture
+    # every written file is manifest-referenced, so this adds nothing —
+    # but the accounting is the honest one.
+    for root, _dirs, files in os.walk(os.path.join(table_dir, "data")):
+        all_refs.update(
+            os.path.join(root, f) for f in files if f.endswith(".parquet")
+        )
     with open(os.path.join(manifests_dir, "2.json")) as fh:
         live = set(_json.load(fh)["files"])
     orphans = sorted(all_refs - live)

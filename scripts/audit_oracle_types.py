@@ -79,14 +79,31 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
             errors.append((key, str(e)[:120]))
             continue
+        for col in d_types:
+            if col not in s_types:
+                severe.append((key, col, f"duck={d_types[col]} missing in spark"))
         for col, st in s_types.items():
             dt = d_types.get(col)
             if dt is None:
                 severe.append((key, col, f"spark={st} missing in oracle"))
                 continue
             base = dt.split("(")[0].strip()
+            duck_nested = dt.endswith("[]") or base in ("STRUCT", "MAP")
+            spark_nested = st.startswith(("array", "struct", "map"))
             if base in SEVERE_DUCK:
                 severe.append((key, col, f"spark={st} duck={dt}"))
+            elif spark_nested != duck_nested:
+                # scalar on one side, nested on the other — object dtype on
+                # exactly one side of the driver's pandas canonicalization
+                severe.append((key, col, f"spark={st} duck={dt}"))
+            elif spark_nested:
+                # both nested: element-type drift (e.g. array<double> vs
+                # BIGINT[]) matters; compare the element base names loosely
+                s_elem = st.split("<", 1)[-1].rstrip(">")
+                if ("HUGEINT" in dt) or ("UHUGEINT" in dt):
+                    severe.append((key, col, f"spark={st} duck={dt}"))
+                elif s_elem.startswith("double") != dt.startswith("DOUBLE"):
+                    width.append((key, col, f"spark={st} duck={dt}"))
             elif st.startswith("decimal"):
                 if not base.startswith("DECIMAL"):
                     severe.append((key, col, f"spark={st} duck={dt}"))
