@@ -149,6 +149,7 @@ _R04_ADDITIONS = [
     "sample_interleave",
     "sort_zorder_cluster",
     "scan_vacuum_retention",
+    "events_concurrency_sweep",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS

@@ -882,3 +882,79 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(150000000).cast("long") + F.expr("(85 * c) div 100")).alias("r"),
         )
     return ranks.select("node", F.col("r").alias("rank_nano"))
+
+
+@register(
+    "events_concurrency_sweep",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(value * 60000000 AS BIGINT) AS e
+      FROM events),
+    b AS (
+      SELECT event_id, s AS tus, 1 AS delta FROM iv
+      UNION ALL
+      SELECT event_id, e AS tus, -1 AS delta FROM iv),
+    d AS (SELECT *, tus // 86400000000 AS day FROM b),
+    run AS (
+      SELECT day, tus, delta,
+             sum(delta) OVER (PARTITION BY day
+                              ORDER BY tus, delta, event_id) AS running
+      FROM d),
+    day_tot AS (
+      SELECT day, CAST(sum(delta) AS BIGINT) AS tot FROM d GROUP BY day),
+    carry AS (
+      SELECT day,
+             CAST(coalesce(sum(tot) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS carry_in
+      FROM day_tot)
+    SELECT r.day,
+           CAST(max(r.running + c.carry_in) AS BIGINT) AS max_concurrent,
+           CAST(count(*) AS BIGINT) AS n_boundaries
+    FROM run r JOIN carry c USING (day)
+    GROUP BY r.day
+    """,
+)
+def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum concurrent sessions per day via the sweep-line algorithm,
+    distributed the two-phase way: each event is an interval [ts,
+    ts + value minutes); boundaries become +1/-1 deltas; a per-day
+    window computes local running sums, and a tiny per-day total table
+    (|days| rows) provides the cross-partition carry — the standard
+    trick that turns a globally-ordered prefix sum into one keyed window
+    plus one bounded single-partition window, so no day ever sees
+    another day's rows. At 100 TB the partition key widens (day →
+    day×shard with a second carry level) but the shape is identical.
+
+    Determinism: boundaries order by (tus, delta, event_id) with end
+    markers (-1) processed before same-instant starts (end-exclusive
+    intervals); all arithmetic is exact integer microseconds (value is
+    2-decimal money, so value*60000000 is an exact integer cast in both
+    engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    tus = F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts)")
+    iv = ev.select(
+        "event_id",
+        tus.alias("s"),
+        (tus + (F.col("value") * 60000000).cast("long")).alias("e"),
+    )
+    b = iv.select("event_id", F.col("s").alias("tus"), F.lit(1).alias("delta")).union(
+        iv.select("event_id", F.col("e").alias("tus"), F.lit(-1).alias("delta"))
+    )
+    d = b.withColumn("day", F.expr("tus div 86400000000"))
+    wrun = Window.partitionBy("day").orderBy("tus", "delta", "event_id")
+    run = d.withColumn("running", F.sum("delta").over(wrun))
+    day_tot = d.groupBy("day").agg(F.sum("delta").alias("tot"))
+    wcarry = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    carry = day_tot.select(
+        "day", F.coalesce(F.sum("tot").over(wcarry), F.lit(0)).alias("carry_in")
+    )
+    return (
+        run.join(F.broadcast(carry), "day")
+        .groupBy("day")
+        .agg(
+            F.max(F.col("running") + F.col("carry_in")).alias("max_concurrent"),
+            F.count(F.lit(1)).alias("n_boundaries"),
+        )
+    )

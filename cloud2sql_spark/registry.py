@@ -139,6 +139,7 @@ _PRIORITY = [
     "sample_interleave",
     "sort_zorder_cluster",
     "scan_vacuum_retention",
+    "events_concurrency_sweep",
     # stalest driver evidence: the r01 cohort (last proven two rounds
     # ago) — re-prove the core relational surface hasn't drifted.
     "agg_groupby",

@@ -492,3 +492,15 @@ def test_zorder_single_aggregate_shuffle(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     assert plan.count("HashAggregate") >= 2, plan
     assert "Join" not in plan, plan
+
+
+def test_concurrency_sweep_two_phase(spark, sf_dir):
+    """The sweep line is one day-keyed window over the boundary rows plus
+    a bounded |days|-row carry table attached by broadcast — never a
+    globally-ordered window over the fact-sized boundary set (the
+    SinglePartition exchange must only feed the tiny carry side)."""
+    plan = _physical(_QUERIES["events_concurrency_sweep"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the day-partitioned running-sum window exists
+    assert "windowspecdefinition(day" in plan, plan
