@@ -92,6 +92,12 @@ PROBE_KEYS = [
     "graph_pagerank",
     "sim_search_pq_adc",
     "join_cidr_contains",
+    "multimodal_audio_window",
+    "text_pmi_bigrams",
+    "join_asof_nearest",
+    "sample_interleave",
+    "sort_zorder_cluster",
+    "events_concurrency_sweep",
 ]
 
 
