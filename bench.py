@@ -150,6 +150,13 @@ _R04_ADDITIONS = [
     "sort_zorder_cluster",
     "scan_vacuum_retention",
     "events_concurrency_sweep",
+    "tpch_q4",
+    "tpch_q8",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q22",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS

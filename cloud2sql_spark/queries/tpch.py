@@ -437,3 +437,329 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking: orders in one quarter with at
+    least one qualifying lineitem, counted per priority. The lite schema
+    has no commit/receipt dates, so the spec's late-line EXISTS becomes
+    a quantity predicate — the PLAN is the point: Catalyst rewrites the
+    correlated EXISTS into a semi join on l_orderkey, so lineitem is
+    touched once (filtered, then semi-joined), never per outer row."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    qual = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(qual, orders.o_orderkey == qual.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q8",
+    oracle=f"""
+    WITH all_nations AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             {_REVENUE_SQL} AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD')
+    SELECT CAST(o_year AS INT) AS o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_2'
+                          THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+           CAST(sum(volume) AS DOUBLE) AS total_volume
+    FROM all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: NATION_2 suppliers' slice of
+    STANDARD-part revenue sold to ASIA customers, per order year. The
+    two-role nation dimension appears again (customer region path and
+    supplier nation path); all dims broadcast, lineitem probes through
+    the whole snowflake, and both conditional sums are DECIMAL-exact
+    before the one rounded double division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+        )
+    )
+    n2 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    vol = _revenue()
+    an = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(n1, customer.c_nationkey == F.col("c_nkey"))
+        .join(region, F.col("c_rkey") == region.r_regionkey)
+        .join(n2, supplier.s_nationkey == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    nat = F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(zero))
+    tot = F.sum("volume")
+    return an.groupBy("o_year").agg(
+        F.round(nat.cast("double") / tot.cast("double"), 6).alias("mkt_share"),
+        tot.cast("double").alias("total_volume"),
+    )
+
+
+@register(
+    "tpch_q13",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer distribution: how many customers placed how
+    many (non-urgent) orders — including zero (the LEFT join is the
+    point: count(o_orderkey) over the null-extended rows yields 0, an
+    inner join would lose those customers). Two keyed aggregations; the
+    second one's key space is the max order count, a few dozen."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    c_orders = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy(customer.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no,
+             sum({_REVENUE_SQL}) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue0 r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue0)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: the supplier(s) whose quarter revenue
+    equals the maximum — the view-plus-scalar-subquery shape. The
+    revenue aggregate feeds BOTH the max and the equality filter, so it
+    is persisted (one materialization, exchange-reuse does not span the
+    scalar-subquery boundary); the max is a 1-row broadcast and the
+    equality is DECIMAL-exact, so 'ties at the top' are found
+    identically in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    revenue0 = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_revenue()).alias("total_revenue"))
+        .persist()
+    )
+    mx = revenue0.agg(F.max("total_revenue").alias("mx"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue0.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(supplier, F.col("supplier_no") == supplier.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q17",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+      FROM lineitem GROUP BY l_partkey)
+    SELECT round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 7.0, 2)
+               AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa    ON pa.l_partkey = l.l_partkey
+    WHERE p.p_type = 'SMALL' AND l.l_quantity < pa.half_avg
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: lines of SMALL-type parts
+    whose quantity is under half that part's average. The correlated
+    scalar subquery decorrelates into one per-part aggregate joined back
+    on l_partkey — lineitem is read twice but shuffled on the same key
+    both times. half_avg is a double from exact integer-ish inputs via
+    one division, computed identically in both engines; the money sum is
+    DECIMAL then one rounded division by 7."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "SMALL")
+        .select("p_partkey")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice")) / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q19",
+    oracle=f"""
+    SELECT CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1'
+           AND l.l_quantity BETWEEN 1 AND 15 AND p.p_size BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#12'
+           AND l.l_quantity BETWEEN 10 AND 25 AND p.p_size BETWEEN 1 AND 25)
+       OR (p.p_brand = 'Brand#23'
+           AND l.l_quantity BETWEEN 20 AND 35 AND p.p_size BETWEEN 1 AND 35)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue: the disjunction-of-conjunctions
+    predicate (three brand/quantity/size bands). The optimizer derives
+    the implied disjunctions per side — brand IN (...) reaches the part
+    scan and the quantity envelope reaches the lineitem scan — so both
+    scans are cut before the join even though no single conjunct spans
+    them."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    )
+    def band(brand, qlo, qhi, shi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("l_quantity").between(qlo, qhi)
+            & F.col("p_size").between(1, shi)
+        )
+    pred = (
+        band("Brand#1", 1, 15, 15)
+        | band("Brand#12", 10, 25, 25)
+        | band("Brand#23", 20, 35, 35)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(pred)
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q22",
+    oracle="""
+    SELECT CAST(c.c_custkey % 7 AS VARCHAR) AS cntrycode,
+           count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_custkey % 7
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity: well-funded customers with no
+    recent orders, grouped by a derived country code (the lite schema
+    has no phone column; custkey mod 7 stands in). Shape: a 1-row scalar
+    average broadcast into the filter, then an ANTI join against the
+    recent-order keys — the NOT EXISTS decorrelation — then a tiny keyed
+    aggregate. Balance sums round identically (2-decimal money)."""
+    customer = load_table(spark, sf_dir, "customer")
+    pos_avg = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    return (
+        customer.join(F.broadcast(pos_avg))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy((F.col("c_custkey") % 7).cast("string").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

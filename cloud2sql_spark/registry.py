@@ -140,6 +140,13 @@ _PRIORITY = [
     "sort_zorder_cluster",
     "scan_vacuum_retention",
     "events_concurrency_sweep",
+    "tpch_q4",
+    "tpch_q8",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q22",
     # stalest driver evidence: the r01 cohort (last proven two rounds
     # ago) — re-prove the core relational surface hasn't drifted.
     "agg_groupby",

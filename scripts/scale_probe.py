@@ -98,6 +98,13 @@ PROBE_KEYS = [
     "sample_interleave",
     "sort_zorder_cluster",
     "events_concurrency_sweep",
+    "tpch_q4",
+    "tpch_q8",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q22",
 ]
 
 

@@ -504,3 +504,38 @@ def test_concurrency_sweep_two_phase(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     # the day-partitioned running-sum window exists
     assert "windowspecdefinition(day" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["tpch_q4", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q19",
+     "tpch_q22"],
+)
+def test_tpch_batch2_no_cartesian(key, spark, sf_dir):
+    """Second TPC-H batch: correlated EXISTS decorrelates to a semi join,
+    NOT EXISTS to an anti join, scalar subqueries to bounded broadcasts —
+    nothing may plan a cartesian or an unbounded nested loop. (q15/q22
+    carry 1-row broadcast scalars, legitimate nested loops of size 1.)"""
+    plan = _physical(_QUERIES[key](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    if key not in ("tpch_q15", "tpch_q22"):
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tpch_q4_semi_join(spark, sf_dir):
+    plan = _physical(_QUERIES["tpch_q4"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+
+
+def test_tpch_q22_anti_join(spark, sf_dir):
+    plan = _physical(_QUERIES["tpch_q22"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+
+
+def test_tpch_q19_pushes_brand_disjunction(spark, sf_dir):
+    """The OR-of-ANDs must cut the part scan: the brand disjunction
+    appears in the part side's pushed/data filters rather than only
+    post-join."""
+    plan = _physical(_QUERIES["tpch_q19"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Brand#") >= 3, plan
