@@ -889,7 +889,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH iv AS (
       SELECT event_id, epoch_us(ts) AS s,
-             epoch_us(ts) + CAST(value * 60000000 AS BIGINT) AS e
+             epoch_us(ts)
+             + CAST(round(value * 100, 0) AS BIGINT) * 600000 AS e
       FROM events),
     b AS (
       SELECT event_id, s AS tus, 1 AS delta FROM iv
@@ -929,15 +930,20 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: boundaries order by (tus, delta, event_id) with end
     markers (-1) processed before same-instant starts (end-exclusive
-    intervals); all arithmetic is exact integer microseconds (value is
-    2-decimal money, so value*60000000 is an exact integer cast in both
-    engines)."""
+    intervals). Durations quantize through the money contract —
+    round(value*100) recovers the exact cent count despite the double
+    representation, THEN scales to micros in integer space. A direct
+    cast of value*60000000 is NOT portable: the product carries fp error
+    (17.31 → 1038599999.9999999) and DuckDB's CAST rounds where Spark's
+    cast truncates, so the two engines would disagree by 1µs on ~4% of
+    rows."""
     ev = load_table(spark, sf_dir, "events")
     tus = F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts)")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     iv = ev.select(
         "event_id",
         tus.alias("s"),
-        (tus + (F.col("value") * 60000000).cast("long")).alias("e"),
+        (tus + cents * 600000).alias("e"),
     )
     b = iv.select("event_id", F.col("s").alias("tus"), F.lit(1).alias("delta")).union(
         iv.select("event_id", F.col("e").alias("tus"), F.lit(-1).alias("delta"))

@@ -604,19 +604,20 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 top supplier: the supplier(s) whose quarter revenue
     equals the maximum — the view-plus-scalar-subquery shape. The
-    revenue aggregate feeds BOTH the max and the equality filter, so it
-    is persisted (one materialization, exchange-reuse does not span the
-    scalar-subquery boundary); the max is a 1-row broadcast and the
-    equality is DECIMAL-exact, so 'ties at the top' are found
-    identically in both engines."""
+    revenue aggregate feeds BOTH the max and the equality filter; it is
+    deliberately NOT persisted: each recompute is one pushed-down
+    quarter-slice scan plus a keyed aggregate (cheap), while an
+    unmanaged persist inside a lazily-returned plan leaks a cached frame
+    per invocation (the session-memo pattern exists for genuinely
+    expensive shared frames — extensions._QUANT_CACHE). The max is a
+    1-row broadcast and the equality is DECIMAL-exact, so 'ties at the
+    top' are found identically in both engines."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
-    revenue0 = (
-        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_revenue()).alias("total_revenue"))
-        .persist()
+    revenue0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue()).alias("total_revenue")
     )
     mx = revenue0.agg(F.max("total_revenue").alias("mx"))
     supplier = load_table(spark, sf_dir, "supplier")
@@ -727,10 +728,12 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(c.c_custkey % 7 AS VARCHAR) AS cntrycode,
            count(*) AS numcust,
-           round(sum(c.c_acctbal), 2) AS totacctbal
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS totacctbal
     FROM customer c
-    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                         WHERE c_acctbal > 0)
+    WHERE c.c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                                     AS DOUBLE) / count(*)
+                         FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
@@ -743,10 +746,16 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no phone column; custkey mod 7 stands in). Shape: a 1-row scalar
     average broadcast into the filter, then an ANTI join against the
     recent-order keys — the NOT EXISTS decorrelation — then a tiny keyed
-    aggregate. Balance sums round identically (2-decimal money)."""
+    aggregate. The threshold average is DECIMAL-sum / count with ONE
+    double division (a raw double avg depends on partial-merge order and
+    could flip a strict > at the boundary), and the balance totals ride
+    DECIMAL per the module convention."""
     customer = load_table(spark, sf_dir, "customer")
-    pos_avg = customer.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+    pos = customer.filter(F.col("c_acctbal") > 0)
+    pos_avg = pos.agg(
+        (
+            F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_bal")
     )
     recent = (
         load_table(spark, sf_dir, "orders")
@@ -760,6 +769,6 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("c_custkey") % 7).cast("string").alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )

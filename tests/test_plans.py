@@ -504,6 +504,15 @@ def test_concurrency_sweep_two_phase(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     # the day-partitioned running-sum window exists
     assert "windowspecdefinition(day" in plan, plan
+    # exactly ONE SinglePartition exchange, and it must sit over the
+    # |days|-row per-day aggregate (its subtree contains the day-keyed
+    # HashAggregate), never over the fact-sized boundary rows directly
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    below_single = plan.split("Exchange SinglePartition", 1)[1]
+    assert "HashAggregate(keys=[day" in below_single, plan
+    assert below_single.find("HashAggregate(keys=[day") < below_single.find(
+        "FileScan"
+    ), plan
 
 
 @pytest.mark.parametrize(
@@ -533,9 +542,21 @@ def test_tpch_q22_anti_join(spark, sf_dir):
 
 
 def test_tpch_q19_pushes_brand_disjunction(spark, sf_dir):
-    """The OR-of-ANDs must cut the part scan: the brand disjunction
-    appears in the part side's pushed/data filters rather than only
-    post-join."""
+    """The OR-of-ANDs must cut the part SCAN: the derived brand
+    disjunction has to appear inside a FileScan's PushedFilters — the
+    three literals in the join condition alone don't prove pushdown
+    (they exist even when derivation regresses)."""
     plan = _physical(_QUERIES["tpch_q19"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
-    assert plan.count("Brand#") >= 3, plan
+    # the plan printer truncates long PushedFilters lists before the
+    # brand literal, so assert the derived Or(...p_brand...) disjunction
+    # (and the quantity envelope on the fact side) reached the scans
+    pushed_segments = [
+        seg.split("]", 1)[0] for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any(
+        "Or(" in seg and "p_brand" in seg for seg in pushed_segments
+    ), plan
+    assert any(
+        "Or(" in seg and "l_quantity" in seg for seg in pushed_segments
+    ), plan
