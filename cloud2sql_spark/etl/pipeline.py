@@ -58,6 +58,12 @@ def _make_k8s_mock_source(cfg: dict | None) -> tuple[SourceFn, CatalogFn]:
     return make_k8s_mock_source(cfg)
 
 
+def _make_gcp_mock_source(cfg: dict | None) -> tuple[SourceFn, CatalogFn]:
+    from cloud2sql_spark.etl.gcp_mock_source import make_gcp_mock_source
+
+    return make_gcp_mock_source(cfg)
+
+
 SOURCES: dict[str, SourceFactory] = {
     "example": _make_example_source,
     # A5: ingest a graph collected elsewhere (reference RemoteGraphCollector,
@@ -73,6 +79,10 @@ SOURCES: dict[str, SourceFactory] = {
     # mapping, two-phase namespace listing, and a payload-derived
     # cross-subtree reference edge (pod -> config_map).
     "k8s_mock": _make_k8s_mock_source,
+    # GCP-shaped collector — adds the mixed-scope child pattern (zonal
+    # instances, project-scoped buckets with the project-level API swept
+    # by one zone task) and a cross-scope instance -> bucket reference.
+    "gcp_mock": _make_gcp_mock_source,
 }
 
 # Entry-point group for third-party source plugins (reference A2: the
@@ -102,6 +112,11 @@ CONFIG_TEMPLATES: dict[str, str] = {
         "  # k8s_mock:               # Kubernetes-shaped mock collector\n"
         "  #   clusters: [prod-cluster, staging-cluster]\n"
         "  #   namespaces: [default, kube-system, payments, ml-serving]\n"
+    ),
+    "gcp_mock": (
+        "  # gcp_mock:               # GCP-shaped mock collector\n"
+        "  #   projects: [proj-alpha, proj-beta]\n"
+        "  #   zones: [us-central1-a, us-central1-b, europe-west1-b]\n"
     ),
 }
 

@@ -776,3 +776,78 @@ def test_default_config_covers_every_discovered_source():
         assert name in text, f"source {name} missing from template"
     cfg = parse_config(text)
     assert "example" in cfg["sources"]
+
+
+def test_gcp_mock_golden_counts(spark):
+    """projects -> zones -> instances plus project-scoped buckets flatten
+    to exactly the expected kind + link tables with md5-determined
+    counts (incl. the cross-scope instance -> bucket link)."""
+    from cloud2sql_spark.etl.gcp_mock_source import (
+        GOLDEN_COUNTS as GCP_GOLDEN,
+        collect_gcp_mock,
+        gcp_mock_catalog,
+    )
+
+    nodes, edges = collect_gcp_mock(spark)
+    tables = flatten_graph(nodes, edges, gcp_mock_catalog())
+    assert sorted(tables) == sorted(GCP_GOLDEN)
+    assert {n: df.count() for n, df in tables.items()} == GCP_GOLDEN
+
+
+def test_gcp_mock_cross_scope_traversal(spark):
+    """Traversal across scopes: instances per logs-bucket storage class,
+    verified against the pure-python mock API — the zonal child joins a
+    project-scoped child through the link table."""
+    from cloud2sql_spark.etl.gcp_mock_source import (
+        DEFAULT_PROJECTS,
+        DEFAULT_ZONES,
+        collect_gcp_mock,
+        gcp_mock_catalog,
+        list_buckets,
+        list_instances,
+    )
+
+    expected: dict[str, int] = {}
+    for p in DEFAULT_PROJECTS:
+        cls = {b["id"]: b["storage_class"] for b in list_buckets(p)}
+        for z in DEFAULT_ZONES:
+            for inst in list_instances(p, z):
+                c = cls[inst["logs_bucket"]]
+                expected[c] = expected.get(c, 0) + 1
+
+    nodes, edges = collect_gcp_mock(spark)
+    tables = flatten_graph(nodes, edges, gcp_mock_catalog())
+    link = tables["link_gcp_gce_instance_gcp_gcs_bucket"]
+    got = {
+        r["storage_class"]: r["n_instances"]
+        for r in (
+            link.alias("l")
+            .join(
+                tables["gcp_gcs_bucket"].alias("b"),
+                F.col("l.to_id") == F.col("b.id"),
+            )
+            .groupBy("b.storage_class")
+            .agg(F.count(F.lit(1)).alias("n_instances"))
+            .collect()
+        )
+    }
+    assert got == expected
+
+
+def test_gcp_mock_collects_through_registry(spark):
+    """The gcp_mock source resolves through discover_sources and collects
+    via the standard factory contract."""
+    from cloud2sql_spark.etl.pipeline import discover_sources
+
+    collect, catalog_fn = discover_sources()["gcp_mock"](
+        {"projects": ["solo-proj"], "zones": ["zone-a", "zone-b"]}
+    )
+    nodes, edges = collect(spark)
+    kinds = {r["kind"] for r in nodes.select("kind").distinct().collect()}
+    assert kinds == {
+        "gcp_project",
+        "gcp_zone",
+        "gcp_gce_instance",
+        "gcp_gcs_bucket",
+    }
+    assert nodes.filter(F.col("kind") == "gcp_zone").count() == 2
