@@ -157,6 +157,7 @@ _R04_ADDITIONS = [
     "tpch_q17",
     "tpch_q19",
     "tpch_q22",
+    "udtf_table_arg",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS

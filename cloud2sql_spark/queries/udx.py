@@ -227,3 +227,57 @@ def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT e.event_id, t.prop_key, t.prop_value "
         "FROM udtf_events_v e, LATERAL explode_props(e.props) t"
     )
+
+
+@register(
+    "udtf_table_arg",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE argument and PARTITION BY (the Spark 4
+    table-function API): the planner feeds the UDTF one partition per
+    lang, ordered rows streaming through eval() with terminate() emitting
+    the partition summary — arbitrary per-group streaming logic with
+    state bounded by one group, the API that subsumes applyInPandas when
+    the group does not fit one pandas frame.
+
+    Scale shape: PARTITION BY lang is one keyed shuffle; each UDTF
+    instance holds O(1) state (count/sum/max), never the partition's
+    rows. The summary math is exact integers, so the oracle is a plain
+    GROUP BY."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang STRING, n_docs BIGINT, total_chars BIGINT,"
+                     " max_chars BIGINT")
+    class LangSummary:
+        def __init__(self):
+            self._lang = None
+            self._n = 0
+            self._sum = 0
+            self._max = 0
+
+        def eval(self, row):
+            self._lang = row["lang"]
+            self._n += 1
+            n = int(row["n_chars"])
+            self._sum += n
+            self._max = max(self._max, n)
+
+        def terminate(self):
+            if self._n:
+                yield self._lang, self._n, self._sum, self._max
+
+    spark.udtf.register("lang_summary", LangSummary)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_docs_v"
+    )
+    return spark.sql(
+        "SELECT * FROM lang_summary(TABLE(udtf_docs_v) PARTITION BY lang)"
+    )

@@ -147,6 +147,7 @@ _PRIORITY = [
     "tpch_q17",
     "tpch_q19",
     "tpch_q22",
+    "udtf_table_arg",
     # stalest driver evidence: the r01 cohort (last proven two rounds
     # ago) — re-prove the core relational surface hasn't drifted.
     "agg_groupby",
