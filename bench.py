@@ -158,6 +158,7 @@ _R04_ADDITIONS = [
     "tpch_q19",
     "tpch_q22",
     "udtf_table_arg",
+    "agg_weighted_percentile",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cloud2sql_spark.catalog import load_table
 from cloud2sql_spark.registry import register
@@ -832,4 +833,77 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return chunks.groupBy("day").agg(
         F.sum(F.bit_count("bm")).alias("n_users")
+    )
+
+
+@register(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem),
+    c AS (
+      SELECT l_returnflag, price_c, wt,
+             sum(wt) OVER (PARTITION BY l_returnflag
+                           ORDER BY price_c, wt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_wt,
+             sum(wt) OVER (PARTITION BY l_returnflag) AS tot_wt
+      FROM w),
+    m AS (
+      SELECT l_returnflag, min(price_c) AS med_c
+      FROM c WHERE cum_wt * 2 >= tot_wt GROUP BY l_returnflag)
+    SELECT m.l_returnflag,
+           CAST(m.med_c AS DOUBLE) / 100 AS weighted_median_price,
+           CAST(t.tot AS BIGINT) AS total_weight
+    FROM m JOIN (SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT))
+                                           AS BIGINT) AS tot
+                 FROM lineitem GROUP BY l_returnflag) t
+      USING (l_returnflag)
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (the 50th weighted percentile): the price at which
+    half the QUANTITY mass sits at-or-below, per return flag — the
+    measure behind volume-weighted medians and fair-value marks, which
+    no built-in percentile covers (they weight rows equally).
+
+    Exactness: prices quantize to integer cents through the money
+    contract and weights are integral quantities, so the cumulative
+    weight is exact int64 and the `cum*2 >= total` lower-median rule
+    picks the identical row in both engines (ordering ties broken by
+    (price, weight); equal prices make the choice value-identical
+    anyway). One keyed window per flag + a 3-row aggregate; partitions
+    bound state like every windowed operator here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("price_c"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    flag = Window.partitionBy("l_returnflag")
+    cum = (
+        flag.orderBy("price_c", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = w.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("wt").over(cum).alias("cum_wt"),
+        F.sum("wt").over(flag).alias("tot_wt"),
+    )
+    m = (
+        c.filter(F.col("cum_wt") * 2 >= F.col("tot_wt"))
+        .groupBy("l_returnflag")
+        .agg(F.min("price_c").alias("med_c"))
+    )
+    tot = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("total_weight")
+    )
+    return m.join(tot, "l_returnflag").select(
+        "l_returnflag",
+        (F.col("med_c").cast("double") / 100).alias("weighted_median_price"),
+        "total_weight",
     )
