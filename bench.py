@@ -159,6 +159,7 @@ _R04_ADDITIONS = [
     "tpch_q22",
     "udtf_table_arg",
     "agg_weighted_percentile",
+    "sample_balanced",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS

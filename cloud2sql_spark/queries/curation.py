@@ -853,3 +853,39 @@ def sample_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("within_rank") - 1) * F.col("n_src") + F.col("src_idx") + 1
         ).alias("train_pos"),
     )
+
+
+@register(
+    "sample_balanced",
+    oracle="""
+    WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    k AS (SELECT min(n_docs) AS k FROM n),
+    r AS (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents)
+    SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk
+    FROM r, k
+    WHERE r.rk <= k.k
+    """,
+)
+def sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class balancing: downsample every language to the MINORITY class
+    size (min per-lang count), the standard rebalance before training a
+    classifier on skewed labels. Selection is the md5(doc_id) rank
+    (deterministic uniform draw, same as sample_stratified/reservoir);
+    the cutoff k is a 1-row broadcast scalar computed from the per-class
+    counts, so the corpus shuffles once for the rank window and the
+    class-size aggregate rides the same partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    k = n.agg(F.min("n_docs").alias("k"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    r = docs.select(
+        "doc_id", "lang", F.row_number().over(w).cast("long").alias("rk")
+    )
+    return r.join(F.broadcast(k)).filter(F.col("rk") <= F.col("k")).select(
+        "doc_id", "lang", "rk"
+    )

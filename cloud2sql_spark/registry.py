@@ -149,6 +149,7 @@ _PRIORITY = [
     "tpch_q22",
     "udtf_table_arg",
     "agg_weighted_percentile",
+    "sample_balanced",
     # stalest driver evidence: the r01 cohort (last proven two rounds
     # ago) — re-prove the core relational surface hasn't drifted.
     "agg_groupby",
