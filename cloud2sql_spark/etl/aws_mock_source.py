@@ -27,15 +27,18 @@ stable across runs, partitionings, and hosts (no RNG state, no time).
 
 from __future__ import annotations
 
-import hashlib
 import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cloud2sql_spark.etl.mock_common import (
+    CTIME as _CTIME,
+    NODES_SCHEMA,
+    det_hash,
+    envelope as _envelope,
+)
 from cloud2sql_spark.etl.model import Kind, KindCatalog
-
-_CTIME = "2023-06-01T00:00:00"
 
 AWS_MOCK_KINDS = [
     Kind("aws_account"),
@@ -77,16 +80,7 @@ GOLDEN_COUNTS = {
     "link_aws_ec2_instance_aws_ebs_volume": 28,
 }
 
-NODES_SCHEMA = (
-    "node_id STRING, kind STRING, payload STRING, "
-    "cloud STRING, account STRING, region STRING"
-)
-
-
-def _h(*parts: object) -> int:
-    """Deterministic 64-bit value from the md5 of the joined parts."""
-    raw = hashlib.md5("|".join(str(p) for p in parts).encode()).digest()
-    return int.from_bytes(raw[:8], "big")
+_h = det_hash
 
 
 def describe_instances(account: str, region: str) -> list[dict]:
@@ -155,14 +149,7 @@ def _fetch_region(account: str, region: str) -> list[dict]:
     function that runs executor-side; a real plugin would page boto3 here."""
 
     def envelope(kind: str, payload: dict) -> dict:
-        return {
-            "node_id": payload["id"],
-            "kind": kind,
-            "payload": json.dumps(payload),
-            "cloud": "aws",
-            "account": account,
-            "region": region,
-        }
+        return _envelope(kind, payload, "aws", account, region)
 
     rows = [
         envelope(

@@ -21,15 +21,18 @@ Determinism: all counts/attributes are md5-derived from
 
 from __future__ import annotations
 
-import hashlib
 import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cloud2sql_spark.etl.mock_common import (
+    CTIME as _CTIME,
+    NODES_SCHEMA,
+    det_hash as _h,
+    envelope as _envelope,
+)
 from cloud2sql_spark.etl.model import Kind, KindCatalog
-
-_CTIME = "2023-06-01T00:00:00"
 
 GCP_MOCK_KINDS = [
     Kind("gcp_project"),
@@ -56,11 +59,6 @@ GCP_MOCK_KINDS = [
 DEFAULT_PROJECTS = ["proj-alpha", "proj-beta"]
 DEFAULT_ZONES = ["us-central1-a", "us-central1-b", "europe-west1-b"]
 
-NODES_SCHEMA = (
-    "node_id STRING, kind STRING, payload STRING, "
-    "cloud STRING, account STRING, region STRING"
-)
-
 # Golden row counts for the default 2-project x 3-zone config — fully
 # determined by the md5-derived mock (stable across runs/hosts).
 GOLDEN_COUNTS = {
@@ -73,11 +71,6 @@ GOLDEN_COUNTS = {
     "link_gcp_project_gcp_gcs_bucket": 5,
     "link_gcp_gce_instance_gcp_gcs_bucket": 11,
 }
-
-
-def _h(*parts: object) -> int:
-    raw = hashlib.md5("|".join(str(p) for p in parts).encode()).digest()
-    return int.from_bytes(raw[:8], "big")
 
 
 def list_buckets(project: str) -> list[dict]:
@@ -128,14 +121,7 @@ def _fetch_zone(project: str, zone: str, zones: list[str]) -> list[dict]:
     the project-scoped bucket sweep — one worker per project-level API."""
 
     def envelope(kind: str, payload: dict, region: str | None) -> dict:
-        return {
-            "node_id": payload["id"],
-            "kind": kind,
-            "payload": json.dumps(payload),
-            "cloud": "gcp",
-            "account": project,
-            "region": region,
-        }
+        return _envelope(kind, payload, "gcp", project, region)
 
     rows = [
         envelope(

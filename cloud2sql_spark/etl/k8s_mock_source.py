@@ -28,15 +28,18 @@ are exact and stable across runs, partitionings, and hosts.
 
 from __future__ import annotations
 
-import hashlib
 import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cloud2sql_spark.etl.mock_common import (
+    CTIME as _CTIME,
+    NODES_SCHEMA,
+    det_hash as _h,
+    envelope as _envelope,
+)
 from cloud2sql_spark.etl.model import Kind, KindCatalog
-
-_CTIME = "2023-06-01T00:00:00"
 
 K8S_MOCK_KINDS = [
     Kind("k8s_cluster", {"server_version": "string"}),
@@ -74,18 +77,6 @@ GOLDEN_COUNTS = {
     "link_k8s_namespace_k8s_config_map": 14,
     "link_k8s_pod_k8s_config_map": 18,
 }
-
-NODES_SCHEMA = (
-    "node_id STRING, kind STRING, payload STRING, "
-    "cloud STRING, account STRING, region STRING"
-)
-
-
-def _h(*parts: object) -> int:
-    """Deterministic 64-bit value from the md5 of the joined parts."""
-    raw = hashlib.md5("|".join(str(p) for p in parts).encode()).digest()
-    return int.from_bytes(raw[:8], "big")
-
 
 def list_config_maps(cluster: str, namespace: str) -> list[dict]:
     """Mock CoreV1 list_namespaced_config_map: 1-3 per namespace."""
@@ -143,14 +134,7 @@ def _fetch_namespace(cluster: str, namespace: str) -> list[dict]:
     kubernetes.client here with the cluster's kubeconfig."""
 
     def envelope(kind: str, payload: dict) -> dict:
-        return {
-            "node_id": payload["id"],
-            "kind": kind,
-            "payload": json.dumps(payload),
-            "cloud": "k8s",
-            "account": cluster,
-            "region": namespace,
-        }
+        return _envelope(kind, payload, "k8s", cluster, namespace)
 
     rows = [
         envelope(

@@ -853,15 +853,13 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(wt) OVER (PARTITION BY l_returnflag) AS tot_wt
       FROM w),
     m AS (
-      SELECT l_returnflag, min(price_c) AS med_c
+      SELECT l_returnflag, min(price_c) AS med_c,
+             CAST(max(tot_wt) AS BIGINT) AS total_weight
       FROM c WHERE cum_wt * 2 >= tot_wt GROUP BY l_returnflag)
-    SELECT m.l_returnflag,
-           CAST(m.med_c AS DOUBLE) / 100 AS weighted_median_price,
-           CAST(t.tot AS BIGINT) AS total_weight
-    FROM m JOIN (SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT))
-                                           AS BIGINT) AS tot
-                 FROM lineitem GROUP BY l_returnflag) t
-      USING (l_returnflag)
+    SELECT l_returnflag,
+           CAST(med_c AS DOUBLE) / 100 AS weighted_median_price,
+           total_weight
+    FROM m
     """,
 )
 def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -894,15 +892,18 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wt").over(cum).alias("cum_wt"),
         F.sum("wt").over(flag).alias("tot_wt"),
     )
+    # total_weight rides along from the window frame (tot_wt is constant
+    # per flag) — a second lineitem aggregate + join would double the
+    # table scan just to recover a value every row already carries.
     m = (
         c.filter(F.col("cum_wt") * 2 >= F.col("tot_wt"))
         .groupBy("l_returnflag")
-        .agg(F.min("price_c").alias("med_c"))
+        .agg(
+            F.min("price_c").alias("med_c"),
+            F.max("tot_wt").alias("total_weight"),
+        )
     )
-    tot = li.groupBy("l_returnflag").agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("total_weight")
-    )
-    return m.join(tot, "l_returnflag").select(
+    return m.select(
         "l_returnflag",
         (F.col("med_c").cast("double") / 100).alias("weighted_median_price"),
         "total_weight",
