@@ -32,6 +32,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="progress rendering mode",
     )
     p.add_argument("--debug", action="store_true")
+    # Flag parity with the reference CLI (__main__.py:38-43): accepted so
+    # reference-shaped invocations parse. Usage analytics itself is out of
+    # scope (SURVEY A18) — there is no sender, so the flag is a no-op and
+    # opted-out is the only behavior either way.
+    p.add_argument(
+        "--analytics-opt-out",
+        action="store_true",
+        help="Do not send anonymized analytics data (always off here; "
+        "accepted for reference CLI parity)",
+    )
     p.add_argument("--version", action="store_true")
     p.add_argument(
         "--create-config",

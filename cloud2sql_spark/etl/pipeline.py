@@ -64,6 +64,12 @@ def _make_gcp_mock_source(cfg: dict | None) -> tuple[SourceFn, CatalogFn]:
     return make_gcp_mock_source(cfg)
 
 
+def _make_do_mock_source(cfg: dict | None) -> tuple[SourceFn, CatalogFn]:
+    from cloud2sql_spark.etl.do_mock_source import make_do_mock_source
+
+    return make_do_mock_source(cfg)
+
+
 SOURCES: dict[str, SourceFactory] = {
     "example": _make_example_source,
     # A5: ingest a graph collected elsewhere (reference RemoteGraphCollector,
@@ -83,6 +89,10 @@ SOURCES: dict[str, SourceFactory] = {
     # instances, project-scoped buckets with the project-level API swept
     # by one zone task) and a cross-scope instance -> bucket reference.
     "gcp_mock": _make_gcp_mock_source,
+    # DigitalOcean-shaped collector — completes the reference's
+    # four-plugin registry (requirements.txt:14-17); adds the
+    # nullable-reference sibling edge (volume attachment may be NULL).
+    "do_mock": _make_do_mock_source,
 }
 
 # Entry-point group for third-party source plugins (reference A2: the
@@ -117,6 +127,11 @@ CONFIG_TEMPLATES: dict[str, str] = {
         "  # gcp_mock:               # GCP-shaped mock collector\n"
         "  #   projects: [proj-alpha, proj-beta]\n"
         "  #   zones: [us-central1-a, us-central1-b, europe-west1-b]\n"
+    ),
+    "do_mock": (
+        "  # do_mock:                # DigitalOcean-shaped mock collector\n"
+        "  #   teams: [team-ocean, team-reef]\n"
+        "  #   regions: [nyc3, ams3, sgp1]\n"
     ),
 }
 

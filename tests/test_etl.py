@@ -851,3 +851,103 @@ def test_gcp_mock_collects_through_registry(spark):
         "gcp_gcs_bucket",
     }
     assert nodes.filter(F.col("kind") == "gcp_zone").count() == 2
+
+
+def test_do_mock_golden_counts(spark):
+    """teams -> regions -> droplets + volumes flatten to exactly the
+    expected kind + link tables with md5-determined counts; the
+    droplet -> volume attachment link is SMALLER than the volume table
+    (detached volumes emit no edge — the nullable-reference shape)."""
+    from cloud2sql_spark.etl.do_mock_source import (
+        GOLDEN_COUNTS as DO_GOLDEN,
+        collect_do_mock,
+        do_mock_catalog,
+    )
+
+    nodes, edges = collect_do_mock(spark)
+    tables = flatten_graph(nodes, edges, do_mock_catalog())
+    assert sorted(tables) == sorted(DO_GOLDEN)
+    assert {n: df.count() for n, df in tables.items()} == DO_GOLDEN
+    assert (
+        DO_GOLDEN["link_digitalocean_droplet_digitalocean_volume"]
+        < DO_GOLDEN["digitalocean_volume"]
+    )
+
+
+def test_do_mock_attachment_traversal(spark):
+    """Sibling-edge traversal: attached storage GB per droplet status,
+    verified against the pure-python mock API."""
+    from cloud2sql_spark.etl.do_mock_source import (
+        DEFAULT_REGIONS,
+        DEFAULT_TEAMS,
+        collect_do_mock,
+        do_mock_catalog,
+        list_droplets,
+        list_volumes,
+    )
+
+    expected: dict[str, int] = {}
+    for t in DEFAULT_TEAMS:
+        for r in DEFAULT_REGIONS:
+            status = {d["id"]: d["droplet_status"] for d in list_droplets(t, r)}
+            for v in list_volumes(t, r):
+                if v["attached_droplet"]:
+                    s = status[v["attached_droplet"]]
+                    expected[s] = expected.get(s, 0) + v["size_gigabytes"]
+
+    nodes, edges = collect_do_mock(spark)
+    tables = flatten_graph(nodes, edges, do_mock_catalog())
+    link = tables["link_digitalocean_droplet_digitalocean_volume"]
+    got = {
+        r["droplet_status"]: r["gb"]
+        for r in (
+            link.alias("l")
+            .join(
+                tables["digitalocean_droplet"].alias("d"),
+                F.col("l.from_id") == F.col("d.id"),
+            )
+            .join(
+                tables["digitalocean_volume"].alias("v"),
+                F.col("l.to_id") == F.col("v.id"),
+            )
+            .groupBy("d.droplet_status")
+            .agg(F.sum("v.size_gigabytes").alias("gb"))
+            .collect()
+        )
+    }
+    assert got == expected
+
+
+def test_do_mock_collects_through_registry(spark):
+    """The do_mock source resolves through discover_sources and collects
+    via the standard factory contract, completing the reference's
+    four-plugin registry (aws/do/gcp/k8s)."""
+    from cloud2sql_spark.etl.pipeline import discover_sources
+
+    sources = discover_sources()
+    assert {"aws_mock", "do_mock", "gcp_mock", "k8s_mock"} <= set(sources)
+    collect, catalog_fn = sources["do_mock"](
+        {"teams": ["solo-team"], "regions": ["nyc1", "fra1"]}
+    )
+    nodes, edges = collect(spark)
+    kinds = {r["kind"] for r in nodes.select("kind").distinct().collect()}
+    assert kinds == {
+        "digitalocean_team",
+        "digitalocean_region",
+        "digitalocean_droplet",
+        "digitalocean_volume",
+    }
+    assert nodes.filter(F.col("kind") == "digitalocean_region").count() == 2
+
+
+def test_cli_analytics_opt_out_parity():
+    """Reference-shaped invocations carrying --analytics-opt-out
+    (reference __main__.py:38-43) parse; the flag is a no-op here
+    (no analytics sender exists — SURVEY A18)."""
+    from cloud2sql_spark.cli import parse_args
+
+    args = parse_args(
+        ["--config", "c.yaml", "--analytics-opt-out", "--show", "none"]
+    )
+    assert args.analytics_opt_out is True
+    assert parse_args(["--config", "c.yaml"]).analytics_opt_out is False

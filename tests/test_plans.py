@@ -510,9 +510,11 @@ def test_concurrency_sweep_two_phase(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") == 1, plan
     below_single = plan.split("Exchange SinglePartition", 1)[1]
     assert "HashAggregate(keys=[day" in below_single, plan
-    assert below_single.find("HashAggregate(keys=[day") < below_single.find(
-        "FileScan"
-    ), plan
+    # a cached/InMemory scan may leave no FileScan below the exchange —
+    # that's fine (find() == -1 must not fail the ordering check)
+    scan_pos = below_single.find("FileScan")
+    if scan_pos != -1:
+        assert below_single.find("HashAggregate(keys=[day") < scan_pos, plan
 
 
 @pytest.mark.parametrize(

@@ -172,3 +172,21 @@ def test_cluster_cc_distributed_path_matches_oracle(spark, duck, sf_dir, monkeyp
     monkeypatch.setattr(extensions, "_CC_UNION_FIND_MAX_EDGES", 0)
     df = _QUERIES["dedup_cluster_cc"](spark, sf_dir)
     compare(df, duck, _ORACLES["dedup_cluster_cc"], key="dedup_cluster_cc_loop")
+
+
+def test_cluster_cc_path_graph_log_rounds(spark):
+    """Adversarial path graph (the worst case for label propagation):
+    hash-to-min's pointer jump must (a) label every node with the global
+    min and (b) converge in O(log d) rounds — a 200-node path has
+    diameter 199, so plain one-hop propagation needs ~199 rounds while
+    the doubling scheme needs ~log2(200) + fixpoint-detection slack."""
+    from cloud2sql_spark.queries.extensions import _min_label_propagate
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    labels, rounds = _min_label_propagate(spark, pairs, max_rounds=n)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 12, f"not logarithmic: {rounds} rounds for diameter {n - 1}"
