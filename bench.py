@@ -162,7 +162,18 @@ _R04_ADDITIONS = [
     "sample_balanced",
 ]
 
-HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS
+_R05_ADDITIONS = [
+    "tpch_q1",
+    "tpch_q12",
+    "tpch_q21",
+    "dedup_url_canonical",
+    "text_boilerplate_lines",
+    "sample_curriculum",
+    "events_ab_lift",
+    "multimodal_patchify",
+]
+
+HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS + _R05_ADDITIONS
 
 
 def main() -> None:

@@ -970,3 +970,111 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_boundaries"),
         )
     )
+
+
+@register(
+    "events_ab_lift",
+    oracle="""
+    WITH p AS (
+      SELECT CAST(user_id % 2 = 1 AS INT) AS treat,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN treat = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_c,
+             CAST(sum(CASE WHEN treat = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_t,
+             CAST(sum(CASE WHEN treat = 0 THEN cents * cents ELSE 0 END)
+                  AS BIGINT) AS q_c,
+             CAST(sum(CASE WHEN treat = 1 THEN cents * cents ELSE 0 END)
+                  AS BIGINT) AS q_t
+      FROM p),
+    m AS (
+      SELECT n_c, n_t,
+             CAST(s_c AS DOUBLE) / 100.0 / n_c AS mean_c,
+             CAST(s_t AS DOUBLE) / 100.0 / n_t AS mean_t,
+             (CAST(q_c AS DOUBLE) - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE)
+                 / n_c) / (n_c - 1) / 10000.0 AS var_c,
+             (CAST(q_t AS DOUBLE) - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE)
+                 / n_t) / (n_t - 1) / 10000.0 AS var_t
+      FROM agg)
+    SELECT n_c, n_t, mean_c, mean_t,
+           ((mean_t - mean_c) / mean_c) * 100.0 AS lift_pct,
+           (mean_t - mean_c) / sqrt(var_c / n_c + var_t / n_t) AS t_stat
+    FROM m
+    """,
+)
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: treatment lift and Welch t-statistic on
+    purchase value, variants assigned by user_id parity. The full
+    analysis is ONE partial-aggregable global aggregate (six conditional
+    integer sums — counts, cent sums, squared-cent sums per arm) followed
+    by scalar arithmetic on the 1-row result: the ideal 100 TB shape,
+    a map-side-combined scan with a 6-integer shuffle payload.
+
+    Determinism: events.value is exact 2-decimal money (FIXTURES.md), so
+    cents and cents² are exact BIGINT sums (cents² sums reach ~1e15 at
+    sf0.1; a 100 TB run would move q_c/q_t to DECIMAL(38,0)). Every
+    derived double (means, Welch variance, t) is computed with IDENTICAL
+    association on both engines from identical integers, and sqrt is
+    correctly rounded under IEEE 754 — bit-equal results, no rounding
+    contract needed."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    treat = (F.col("user_id") % 2 == 1).cast("int")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    p = ev.select(treat.alias("treat"), cents.alias("cents"))
+    is_c = F.col("treat") == 0
+    is_t = F.col("treat") == 1
+    agg = p.agg(
+        F.sum(F.when(is_c, 1).otherwise(0)).cast("bigint").alias("n_c"),
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("bigint").alias("n_t"),
+        F.sum(F.when(is_c, F.col("cents")).otherwise(0)).cast("bigint").alias("s_c"),
+        F.sum(F.when(is_t, F.col("cents")).otherwise(0)).cast("bigint").alias("s_t"),
+        F.sum(F.when(is_c, F.col("cents") * F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("q_c"),
+        F.sum(F.when(is_t, F.col("cents") * F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("q_t"),
+    )
+    m = agg.select(
+        "n_c",
+        "n_t",
+        (F.col("s_c").cast("double") / 100.0 / F.col("n_c")).alias("mean_c"),
+        (F.col("s_t").cast("double") / 100.0 / F.col("n_t")).alias("mean_t"),
+        (
+            (
+                F.col("q_c").cast("double")
+                - F.col("s_c").cast("double")
+                * F.col("s_c").cast("double")
+                / F.col("n_c")
+            )
+            / (F.col("n_c") - 1)
+            / 10000.0
+        ).alias("var_c"),
+        (
+            (
+                F.col("q_t").cast("double")
+                - F.col("s_t").cast("double")
+                * F.col("s_t").cast("double")
+                / F.col("n_t")
+            )
+            / (F.col("n_t") - 1)
+            / 10000.0
+        ).alias("var_t"),
+    )
+    return m.select(
+        "n_c",
+        "n_t",
+        "mean_c",
+        "mean_t",
+        (((F.col("mean_t") - F.col("mean_c")) / F.col("mean_c")) * 100.0).alias(
+            "lift_pct"
+        ),
+        (
+            (F.col("mean_t") - F.col("mean_c"))
+            / F.sqrt(F.col("var_c") / F.col("n_c") + F.col("var_t") / F.col("n_t"))
+        ).alias("t_stat"),
+    )

@@ -889,3 +889,63 @@ def sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.join(F.broadcast(k)).filter(F.col("rk") <= F.col("k")).select(
         "doc_id", "lang", "rk"
     )
+
+
+@register(
+    "sample_curriculum",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+                 AS n_tokens,
+             n_chars
+      FROM documents),
+    diff AS (
+      SELECT doc_id, lang, n_tokens,
+             CASE WHEN n_tokens > 0
+                  THEN CAST((n_chars * 1000) // n_tokens AS BIGINT)
+                  ELSE 0 END AS difficulty_milli
+      FROM d)
+    SELECT doc_id, lang, n_tokens, difficulty_milli,
+           ntile(4) OVER (ORDER BY difficulty_milli, doc_id) AS stage
+    FROM diff
+    """,
+)
+def sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: assign every document to one of four training
+    stages by a difficulty proxy (mean token length in milli-chars —
+    longer average tokens correlate with harder text), easiest first.
+    The proxy is exact integer arithmetic ((n_chars * 1000) div n_tokens,
+    BIGINT floor division on both engines) and the stage cut is ntile(4)
+    over the total order (difficulty, doc_id) — deterministic: ties
+    cannot straddle a boundary differently across engines.
+
+    Scale note: a global ntile needs a total order — ONE all-to-one sort
+    of (difficulty, doc_id) pairs, the operator's only shuffle. At 100 TB
+    the same assignment is computed from an approximate quantile sketch
+    of difficulty (3 cut points, broadcast back as a range join) — the
+    sketch path is sample_temperature's allocate-from-aggregate shape;
+    this exact form doubles as its oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "n_tokens"
+        ),
+        "n_chars",
+    )
+    diff = d.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("n_chars * 1000 div n_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("difficulty_milli"),
+    )
+    w = Window.orderBy("difficulty_milli", "doc_id")
+    return diff.withColumn("stage", F.ntile(4).over(w))

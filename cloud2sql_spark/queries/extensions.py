@@ -1280,3 +1280,161 @@ def dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "precision"
         ),
     )
+
+
+_MESSY_URL_SQL = """
+    CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END
+    || '://' ||
+    CASE doc_id % 3 WHEN 0 THEN upper(source) WHEN 1 THEN source
+         ELSE source END
+    || CASE doc_id % 3 WHEN 0 THEN '.Example.COM' ELSE '.example.com' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+            ELSE '' END
+    || '/docs/' || CAST(doc_id % 500 AS VARCHAR)
+    || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+    || CASE doc_id % 4
+       WHEN 0 THEN '?utm_source=feed&ref=' || lang
+       WHEN 1 THEN '?ref=' || lang || '&utm_campaign=x'
+       WHEN 2 THEN '?utm_medium=social'
+       ELSE '' END
+"""
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_extract(url, '\\?(.*)$', 1) AS query
+      FROM u),
+    canon AS (
+      SELECT doc_id,
+             scheme || '://' ||
+             CASE WHEN (scheme = 'http'  AND hostport LIKE '%:80')
+                  THEN regexp_replace(hostport, ':80$', '')
+                  WHEN (scheme = 'https' AND hostport LIKE '%:443')
+                  THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END ||
+             CASE WHEN path <> '/' THEN regexp_replace(path, '/$', '')
+                  ELSE path END ||
+             CASE WHEN len(list_filter(string_split(query, '&'),
+                                       x -> x <> '' AND x NOT LIKE 'utm_%')) > 0
+                  THEN '?' || array_to_string(
+                         list_sort(list_filter(string_split(query, '&'),
+                                   x -> x <> '' AND x NOT LIKE 'utm_%')), '&')
+                  ELSE '' END AS canonical_url
+      FROM parts)
+    SELECT canonical_url,
+           count(*) AS n_docs,
+           min(doc_id) AS rep_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    HAVING count(*) > 1
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the curation pass that collapses crawl
+    records pointing at the same resource through cosmetic URL variation
+    (scheme/host case, default ports, trailing slashes, utm_* tracking
+    params, query-param order). The fixture has no URL column, so a messy
+    URL is synthesized per doc from (doc_id, source, lang) with all six
+    variation classes md5-free and deterministic; both engines build the
+    SAME messy URLs, then canonicalize and group.
+
+    Everything is codegen string/array expressions (lower, regexp, split,
+    filter+sort lambdas) — one projection then one keyed groupBy whose
+    shuffle carries (canonical_url, partial count), the ideal shape: at
+    100 TB this is a map-side-combined count per URL group, no joins.
+    Groups of 1 are dropped (HAVING n > 1) so the output is the dup
+    report, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    messy = (
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    )
+    host_src = (
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(F.col("source"))
+    )
+    host_dom = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".Example.COM")).otherwise(
+            F.lit(".example.com")
+        )
+    )
+    port = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+    ).otherwise(F.lit(""))
+    trail = F.when(F.col("doc_id") % 7 == 0, F.lit("/")).otherwise(F.lit(""))
+    q = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("?utm_source=feed&ref="), F.col("lang")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("?ref="), F.col("lang"), F.lit("&utm_campaign=x")),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.lit("?utm_medium=social"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        messy,
+        F.lit("://"),
+        host_src,
+        host_dom,
+        port,
+        F.lit("/docs/"),
+        (F.col("doc_id") % 500).cast("string"),
+        trail,
+        q,
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1))
+    path = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract("url", r"\?(.*)$", 1)
+    p = u.select(
+        "doc_id",
+        scheme.alias("scheme"),
+        hostport.alias("hostport"),
+        path.alias("path"),
+        query.alias("query"),
+    )
+    host_c = (
+        F.when(
+            (F.col("scheme") == "http") & F.col("hostport").endswith(":80"),
+            F.regexp_replace("hostport", ":80$", ""),
+        )
+        .when(
+            (F.col("scheme") == "https") & F.col("hostport").endswith(":443"),
+            F.regexp_replace("hostport", ":443$", ""),
+        )
+        .otherwise(F.col("hostport"))
+    )
+    path_c = F.when(
+        F.col("path") != "/", F.regexp_replace("path", "/$", "")
+    ).otherwise(F.col("path"))
+    kept = F.array_sort(
+        F.filter(
+            F.split("query", "&"),
+            lambda x: (x != "") & ~x.startswith("utm_"),
+        )
+    )
+    query_c = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    canon = p.select(
+        "doc_id",
+        F.concat(
+            F.col("scheme"), F.lit("://"), host_c, path_c, query_c
+        ).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("rep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )

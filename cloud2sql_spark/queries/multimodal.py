@@ -330,3 +330,96 @@ def multimodal_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.mapInPandas(
         windows, "doc_id BIGINT, win_idx BIGINT, energy BIGINT, checksum STRING"
     )
+
+
+@register(
+    "multimodal_patchify",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      list_transform(string_split(text, ''), c -> ascii(c))
+                          AS bl
+               FROM documents),
+    s AS (SELECT doc_id, bl, len(bl) AS n,
+                 CAST(floor(sqrt(CAST(len(bl) AS DOUBLE))) AS INT) AS side
+          FROM b WHERE len(bl) >= 16),
+    p AS (SELECT doc_id, bl, side, unnest(range(0, 16)) AS pi FROM s),
+    g AS (SELECT doc_id, bl, side,
+                 CAST(pi // 4 AS INT) AS pr, CAST(pi % 4 AS INT) AS pc
+          FROM p),
+    bounds AS (
+      SELECT doc_id, bl, side, pr, pc,
+             (pr * side) // 4 AS r0, ((pr + 1) * side) // 4 AS r1,
+             (pc * side) // 4 AS c0, ((pc + 1) * side) // 4 AS c1
+      FROM g)
+    SELECT doc_id, pr AS patch_row, pc AS patch_col,
+           CAST((r1 - r0) * (c1 - c0) AS BIGINT) AS n_px,
+           CAST(floor(CAST(list_aggregate(
+                  [list_aggregate(bl[r * side + c0 + 1 : r * side + c1],
+                                  'sum') for r in range(r0, r1)],
+                  'sum') AS DOUBLE)
+                / ((r1 - r0) * (c1 - c0)) * 1000000 + 0.5) AS BIGINT)
+               AS mean_q6
+    FROM bounds
+    """,
+)
+def multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch extraction over binary payloads: the byte stream is
+    viewed as a side x side 'image' (side = floor(sqrt(n)), trailing bytes
+    cropped — a real decode yields HxWxC and the identical grid math runs
+    per channel; see decode_image stub) and cut into a 4x4 patch grid with
+    per-patch mean statistics — the transformer-vision preprocessing shape
+    (patchify -> per-patch embed). One input row fans out to exactly 16
+    patch rows inside the Arrow batch: no shuffle, no explode — the same
+    in-batch fan-out as multimodal_frames, embarrassingly parallel over
+    partitions. Patch means are exact integer sums over floor-divided grid
+    bounds with ONE IEEE division, micro-quantized (floor(mean*1e6+0.5))
+    like multimodal_resize — both engines compute identical doubles from
+    identical integers, so the quantized values match exactly. Payloads
+    shorter than 16 bytes cannot fill a 4x4 grid and are filtered on both
+    sides."""
+    import math
+
+    mm = (
+        _with_payload(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "payload")
+        .filter(F.octet_length("payload") >= 16)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def patchify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        grid = 4
+        for pdf in batches:
+            ids, prs, pcs, npx, means = [], [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                side = int(math.floor(math.sqrt(arr.size)))
+                img = arr[: side * side].reshape(side, side)
+                bounds = (np.arange(grid + 1) * side) // grid
+                for pr in range(grid):
+                    r0, r1 = bounds[pr], bounds[pr + 1]
+                    for pc in range(grid):
+                        c0, c1 = bounds[pc], bounds[pc + 1]
+                        block = img[r0:r1, c0:c1]
+                        k = block.size
+                        mean = int(block.sum()) / k
+                        ids.append(doc_id)
+                        prs.append(pr)
+                        pcs.append(pc)
+                        npx.append(k)
+                        means.append(int(np.floor(mean * 1e6 + 0.5)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "patch_row": pd.array(prs, dtype="int32"),
+                    "patch_col": pd.array(pcs, dtype="int32"),
+                    "n_px": pd.array(npx, dtype="int64"),
+                    "mean_q6": pd.array(means, dtype="int64"),
+                }
+            )
+
+    return mm.mapInPandas(
+        patchify,
+        "doc_id BIGINT, patch_row INT, patch_col INT, n_px BIGINT, mean_q6 BIGINT",
+    )

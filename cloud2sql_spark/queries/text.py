@@ -723,11 +723,92 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("cb").cast("double") / F.col("total_w"))
         )
     )
+    # Vocab is the build side, explicitly: left unhinted the optimizer
+    # broadcasts the FILTERED BIGRAM side (BuildLeft — the tpch_q3/q10
+    # fact-broadcast disease), and supported-bigram types outnumber word
+    # types on any real corpus. Word types are Heaps-law sublinear — the
+    # legitimate dim table here.
     return (
         bc.filter(F.col("cab") >= 5)
-        .join(a, "w1")
-        .join(b, "w2")
+        .join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
         .join(F.broadcast(total_w))
         .join(F.broadcast(total_b))
         .select("w1", "w2", "cab", F.round(pmi, 4).alias("pmi"))
+    )
+
+
+@register(
+    "text_boilerplate_lines",
+    oracle="""
+    WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                          t -> t <> '') AS ws
+               FROM documents),
+    seg AS (
+      SELECT doc_id,
+             unnest([array_to_string(ws[(i-1)*5+1:(i-1)*5+5], ' ')
+                     for i in range(1, len(ws) // 5 + 1)]) AS segment
+      FROM w WHERE len(ws) >= 5),
+    cnt AS (SELECT doc_id, segment,
+                   count(*) OVER (PARTITION BY segment) AS df
+            FROM seg)
+    SELECT doc_id,
+           count(*) AS n_segments,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boilerplate,
+           CAST(floor(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 10000.0
+                      / count(*)) AS BIGINT) AS boilerplate_bp
+    FROM cnt
+    GROUP BY doc_id
+    """,
+)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document boilerplate detection (the CCNet/RefinedWeb paragraph
+    dedup pass, at segment granularity): a document's LINES can be
+    corpus-wide boilerplate (nav bars, license headers) even when the
+    document as a whole is unique — whole-doc dedup never sees it. The
+    fixture corpus has no newlines, so the segment unit is non-overlapping
+    5-word windows; the repetition threshold is 2 (the synthetic corpus
+    has no 5-gram repeated 5 times — real pipelines use higher).
+
+    Shape: segment explode (narrow map) -> count(*) window partitioned by
+    segment (ONE shuffle on the segment key gives every occurrence its
+    corpus frequency — no self-join, no second scan) -> per-doc aggregate
+    (second keyed shuffle). Both shuffles carry one row per segment
+    occurrence, linear in corpus size. The boilerplate share is emitted
+    as basis points via floor((nb * 10000.0) / ns) — floor of identically
+    associated doubles, immune to the engines' round()-at-.5 divergence.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("ws"),
+    ).filter(F.size("ws") >= 5)
+    seg = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) div 5),"
+                " i -> concat_ws(' ', slice(ws, (i-1)*5+1, 5)))"
+            )
+        ).alias("segment"),
+    )
+    cnt = seg.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("segment"))
+    )
+    nb = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("bigint")
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            nb.alias("n_boilerplate"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_boilerplate",
+            F.floor(
+                F.col("n_boilerplate") * 10000.0 / F.col("n_segments")
+            ).cast("bigint").alias("boilerplate_bp"),
+        )
     )

@@ -772,3 +772,194 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)
+               AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: the canonical single-table scan+agg.
+
+    One parquet scan with the shipdate filter pushed, one partial-
+    aggregable groupBy on a 6-value key — the shuffle carries at most
+    (partitions x 6) pre-aggregated rows regardless of fact size, the
+    ideal 100 TB shape. Money sums ride DECIMAL per the module
+    convention; the 3-factor charge term uses DECIMAL(12,2) inputs so
+    the exact product's precision tops out at Spark's 38 cap
+    ((12,2)x(12,2)->(25,4), x(12,2)->(38,6)) with no rounding on either
+    engine. Averages are DECIMAL-sum cast to double then ONE division
+    by count (raw double avg() is partial-merge-order dependent).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+
+    def d12(col: str) -> Column:
+        return F.col(col).cast("decimal(12,2)")
+
+    one12 = F.lit(1).cast("decimal(12,2)")
+    disc_price = d12("l_extendedprice") * (one12 - d12("l_discount"))
+    charge = disc_price * (one12 + d12("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("q_dec"),
+            F.sum(_dec("l_extendedprice")).alias("p_dec"),
+            F.sum(disc_price).alias("dp_dec"),
+            F.sum(charge).alias("ch_dec"),
+            F.sum(_dec("l_discount")).alias("d_dec"),
+            n.alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("q_dec").cast("double").alias("sum_qty"),
+            F.col("p_dec").cast("double").alias("sum_base_price"),
+            F.col("dp_dec").cast("double").alias("sum_disc_price"),
+            F.col("ch_dec").cast("double").alias("sum_charge"),
+            (F.col("q_dec").cast("double") / F.col("count_order")).alias("avg_qty"),
+            (F.col("p_dec").cast("double") / F.col("count_order")).alias("avg_price"),
+            (F.col("d_dec").cast("double") / F.col("count_order")).alias("avg_disc"),
+            "count_order",
+        )
+    )
+
+
+@register(
+    "tpch_q12",
+    oracle="""
+    SELECT l.l_returnflag AS shipmode,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_returnflag
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping-modes-and-priority: late lines classified by
+    order priority per mode. Lite-schema stand-ins: l_returnflag plays
+    shipmode (no l_shipmode column) and "received after commit" becomes
+    shipped >60 days after order date (no commit/receipt dates) — the
+    shape is intact: one fact-fact equi-join, a join-level date
+    predicate, then a tiny conditional-sum aggregate (3 groups) with
+    map-side combine. Fact-first join order keeps lineitem the probe
+    side. The 60-day add is ONE interval constant per engine (two
+    different-unit intervals in one query would hit DuckDB's
+    months=30days CSE folding hazard)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY"))
+        .groupBy(F.col("l_returnflag").alias("shipmode"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@register(
+    "tpch_q21",
+    oracle="""
+    WITH f AS (SELECT o_orderkey, o_orderdate FROM orders
+               WHERE o_orderstatus = 'F'),
+    l AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+          FROM lineitem JOIN f ON l_orderkey = o_orderkey),
+    per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN l_shipdate > o_orderdate
+                                      + INTERVAL 80 DAY
+                                 THEN l_suppkey END) AS n_late
+      FROM l GROUP BY l_orderkey),
+    waiting AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM l JOIN per_order p ON l.l_orderkey = p.l_orderkey
+      WHERE p.n_supp >= 2 AND p.n_late = 1
+        AND l.l_shipdate > l.o_orderdate + INTERVAL 80 DAY)
+    SELECT s.s_name, n.n_name, count(*) AS numwait
+    FROM waiting w
+    JOIN supplier s ON w.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY s.s_name, n.n_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers-who-kept-orders-waiting, decorrelated: the
+    original's EXISTS (another supplier in the order) and NOT EXISTS
+    (another LATE supplier) collapse into ONE per-order aggregate —
+    n_supp >= 2 and n_late = 1 identify orders where exactly the
+    candidate supplier was late. That replaces two correlated lineitem
+    self-joins with a groupBy(orderkey) + one re-join: two shuffles on
+    the order key total, the scalable Pregel-style decorrelation. Lite
+    stand-ins: late = shipped >80 days after order date (no
+    commit/receipt dates); nation is reported instead of filtered
+    (generic NATION_N names carry no geography). Top-20 orders by
+    (numwait desc, s_name) — s_name is unique, so the cut is
+    deterministic."""
+    f = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    l = li.join(f, li.l_orderkey == f.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate"
+    )
+    late = F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 80 DAY")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+    )
+    waiting = (
+        l.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1) & late)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        waiting.join(
+            F.broadcast(supplier),
+            waiting.l_suppkey == supplier.s_suppkey,
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

@@ -101,30 +101,31 @@ _PRIORITY = [
     # df-cap this round (same machinery as dedup_ngram_capped); re-prove
     # the output is unchanged under the new plan.
     "dedup_containment",
+    # New in round 5 (driver signal on first exposure).
+    "tpch_q1",
+    "tpch_q12",
+    "tpch_q21",
+    "dedup_url_canonical",
+    "text_boilerplate_lines",
+    "sample_curriculum",
+    "events_ab_lift",
+    "multimodal_patchify",
     # Remaining slots: the stalest driver evidence — the r01 cohort (last
     # proven four rounds ago) — re-prove the core relational surface.
     "agg_groupby",
-    "agg_count_distinct",
     "agg_rollup",
-    "agg_grouping_sets",
-    "scan_parquet",
     "scan_parquet_pruned",
-    "scan_json_props",
     "sink_parquet_snapshot",
     "sink_bucketed_join",
     "join_inner_equi",
     "join_broadcast_dim",
     "join_multiway_star",
-    "join_full",
     "join_semi",
     "join_anti",
-    "join_theta_range",
     "join_asof",
     "join_skew_salted",
     "win_running_sum",
-    "win_range_frame",
     "topk_per_group",
-    "filter_in_between_like",
     "project_nested_path",
 ]
 

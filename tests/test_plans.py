@@ -519,8 +519,8 @@ def test_concurrency_sweep_two_phase(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "key",
-    ["tpch_q4", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q19",
-     "tpch_q22"],
+    ["tpch_q4", "tpch_q8", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q17",
+     "tpch_q19", "tpch_q21", "tpch_q22"],
 )
 def test_tpch_batch2_no_cartesian(key, spark, sf_dir):
     """Second TPC-H batch: correlated EXISTS decorrelates to a semi join,
@@ -562,3 +562,62 @@ def test_tpch_q19_pushes_brand_disjunction(spark, sf_dir):
     assert any(
         "Or(" in seg and "l_quantity" in seg for seg in pushed_segments
     ), plan
+
+
+def test_tpch_q1_pushdown_partial_agg(spark, sf_dir):
+    """tpch_q1: the shipdate filter reaches the parquet scan and the
+    6-group aggregate is map-side partial — the shuffle carries groups,
+    not lineitem rows."""
+    plan = _physical(_QUERIES["tpch_q1"](spark, sf_dir))
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_url_canonical_single_shuffle_no_join(spark, sf_dir):
+    """dedup_url_canonical: canonicalization is pure projection; the only
+    shuffle is the canonical-url groupBy with map-side combine."""
+    plan = _physical(_QUERIES["dedup_url_canonical"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_boilerplate_no_self_join(spark, sf_dir):
+    """text_boilerplate_lines: corpus frequency comes from a window over
+    the segment key, never a segment self-join — two keyed Exchanges
+    total (segment window, doc_id aggregate)."""
+    plan = _physical(_QUERIES["text_boilerplate_lines"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_ab_lift_single_aggregate_no_join(spark, sf_dir):
+    """events_ab_lift: the whole experiment readout is one global
+    partial-aggregable aggregate over the pushed-down purchase slice —
+    no join, no window, a 6-integer shuffle payload."""
+    plan = _physical(_QUERIES["events_ab_lift"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in pushed, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_patchify_no_shuffle_after_repartition(spark, sf_dir):
+    """multimodal_patchify: the 16x patch fan-out happens inside the
+    Arrow batch — no Exchange besides the explicit spread repartition,
+    no join, no aggregate."""
+    plan = _physical(_QUERIES["multimodal_patchify"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert plan.count("Exchange") == 1, plan  # the explicit repartition
+
+
+def test_curriculum_single_total_order(spark, sf_dir):
+    """sample_curriculum: exactly one SinglePartition exchange (the
+    global ntile total order — the documented exact form; the 100 TB
+    path swaps it for a quantile-sketch range join)."""
+    plan = _physical(_QUERIES["sample_curriculum"](spark, sf_dir))
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "Join" not in plan, plan
