@@ -171,6 +171,15 @@ _R05_ADDITIONS = [
     "sample_curriculum",
     "events_ab_lift",
     "multimodal_patchify",
+    "profile_table",
+    "constraint_check",
+    "mv_incremental_refresh",
+    "events_gap_interpolate",
+    "graph_triangle_count",
+    "sink_partition_overwrite_dynamic",
+    "join_scd2_point_in_time",
+    "fn_geo_haversine",
+    "sample_epoch_shuffle",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS + _R05_ADDITIONS

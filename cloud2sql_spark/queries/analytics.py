@@ -1078,3 +1078,187 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("var_c") / F.col("n_c") + F.col("var_t") / F.col("n_t"))
         ).alias("t_stat"),
     )
+
+
+@register(
+    "events_gap_interpolate",
+    oracle="""
+    WITH act AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM events WHERE user_id % 25 = 0 GROUP BY 1, 2),
+    span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+             FROM act GROUP BY user_id),
+    cal AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                           AS DATE) AS day
+      FROM span),
+    j AS (
+      SELECT cal.user_id, cal.day, act.cents
+      FROM cal LEFT JOIN act ON cal.user_id = act.user_id
+                            AND cal.day = act.day),
+    n AS (
+      SELECT user_id, day, cents,
+             last_value(cents IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN cents IS NOT NULL THEN day END
+                        IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(cents IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN cents IS NOT NULL THEN day END
+                         IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j)
+    SELECT user_id, day,
+           CAST(cents IS NOT NULL AS BOOLEAN) AS observed,
+           CASE WHEN cents IS NOT NULL THEN cents
+                ELSE CAST(floor(pv + ((nv - pv) * date_diff('day', pd, day))
+                                * 1.0 / date_diff('day', pd, nd)) AS BIGINT)
+           END AS interp_cents
+    FROM n
+    """,
+)
+def events_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap interpolation: inactive days between a user's
+    first and last activity get LINEARLY interpolated daily totals (the
+    metric-repair step before anomaly detection or forecasting —
+    events_daily_fill's zero-fill would fabricate cliffs). One calendar
+    densification join (the daily_fill shape) plus ONE window partition
+    per user carrying all four neighbor columns (prev/next value and
+    day, via IGNORE NULLS frames over the same (user, day) sort — Spark
+    stacks them on a single Exchange+Sort).
+
+    Determinism: daily totals are exact integer cents; the interpolated
+    value is floor(pv + ((nv-pv) * gap_days) * 1.0 / span_days) — every
+    factor is a small exact integer, the one division is IEEE-exact on
+    identical doubles, and floor of identical doubles is identical (the
+    engines' `div` vs `//` disagree on NEGATIVE numerators, so integer
+    division is deliberately avoided for the possibly-declining delta).
+    The %25 user slice bounds the demo spine; the plan is user-count
+    agnostic."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    act = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(cents).cast("bigint").alias("cents"))
+    span = act.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    j = cal.join(act, ["user_id", "day"], "left")
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    day_if = F.when(F.col("cents").isNotNull(), F.col("day"))
+    n = j.select(
+        "user_id",
+        "day",
+        "cents",
+        F.last("cents", ignorenulls=True).over(w_back).alias("pv"),
+        F.last(day_if, ignorenulls=True).over(w_back).alias("pd"),
+        F.first("cents", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.first(day_if, ignorenulls=True).over(w_fwd).alias("nd"),
+    )
+    interp = F.floor(
+        F.col("pv")
+        + ((F.col("nv") - F.col("pv")) * F.datediff("day", "pd"))
+        * 1.0
+        / F.datediff("nd", "pd")
+    ).cast("bigint")
+    return n.select(
+        "user_id",
+        "day",
+        F.col("cents").isNotNull().alias("observed"),
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .otherwise(interp)
+        .alias("interp_cents"),
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM pl a JOIN pl b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v),
+    stats AS (
+      SELECT count(*) AS n_edges,
+             count(DISTINCT u_all) AS n_nodes
+      FROM (SELECT u AS u_all FROM e UNION SELECT v FROM e) t, e)
+    SELECT CAST((SELECT count(*) FROM (SELECT DISTINCT x FROM
+                  (SELECT u AS x FROM e UNION ALL SELECT v FROM e)))
+                AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT n_triangles FROM tri) AS BIGINT) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph (parts sharing
+    an order are connected) — the canonical clustering-coefficient
+    primitive. Edges are oriented low-id -> high-id, so each triangle
+    {a<b<c} is counted EXACTLY once as (a-b, b-c, a-c): two distributed
+    equi-joins on edge endpoints, never an undirected wedge explosion
+    (which counts 6x and triples the join volume). Edge generation is
+    bounded per order (C(lines,2) with ~4 lines/order), and the edge
+    list is persisted — it feeds all three join legs. At 100 TB the
+    standard refinement orients edges by (degree, id) instead of raw id,
+    which bounds wedge fan-out by sqrt(m) for skewed graphs; id-ordering
+    is correct (and identical to the oracle) for this fixture's bounded
+    co-purchase degree."""
+    pl = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = pl.alias("a"), pl.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .persist()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    nodes = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        nodes.join(F.broadcast(edges)).join(F.broadcast(tri)).select(
+            "n_nodes", "n_edges", "n_triangles"
+        )
+    )

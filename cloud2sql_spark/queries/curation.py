@@ -949,3 +949,46 @@ def sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("difficulty_milli", "doc_id")
     return diff.withColumn("stage", F.ntile(4).over(w))
+
+
+@register(
+    "sample_epoch_shuffle",
+    oracle="""
+    WITH e AS (SELECT doc_id, unnest([1, 2, 3]) AS epoch FROM documents)
+    SELECT doc_id, epoch,
+           row_number() OVER (
+             PARTITION BY epoch
+             ORDER BY md5(CAST(epoch AS VARCHAR) || ':'
+                          || CAST(doc_id AS VARCHAR)), doc_id)
+               AS shuffle_rank
+    FROM e
+    """,
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch deterministic data-order shuffling — multi-epoch training
+    needs a DIFFERENT document order each epoch, reproducible across
+    re-runs and engines (a seeded RNG is partitioning-dependent in a
+    distributed engine; a keyed hash is not). The permutation key is
+    md5(epoch:doc_id) — identical hex on both engines — so epoch 2's
+    order is uncorrelated with epoch 1's yet fully replayable.
+
+    Plan: the 3-epoch fan-out is a map-side array explode; each epoch's
+    rank is a row_number over the epoch partition — one Exchange+Sort on
+    (epoch, md5) total. At 100 TB the same key sorts WITHIN output
+    shards (sortWithinPartitions after repartitioning on a hash of the
+    key) instead of one global order per epoch — the standard
+    shuffle-shard materialization; the per-epoch global rank here is the
+    oracle-checkable exact form."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select(
+        "doc_id", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("epoch")
+    )
+    key = F.md5(
+        F.concat(
+            F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string")
+        )
+    )
+    w = Window.partitionBy("epoch").orderBy(key, "doc_id")
+    return e.select(
+        "doc_id", "epoch", F.row_number().over(w).alias("shuffle_rank")
+    )

@@ -907,3 +907,82 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (gap / 1_000_000).cast("long").alias("gap_seconds"),
     )
+
+
+@register(
+    "join_scd2_point_in_time",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment,
+             DATE '1996-01-01' + CAST(c_custkey % 1000 AS INT) AS split_day
+      FROM customer),
+    versions AS (
+      SELECT c_custkey, c_mktsegment, 'v1' AS version,
+             DATE '1990-01-01' AS valid_from, split_day AS valid_to
+      FROM dim
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, 'v2',
+             split_day, DATE '2999-12-31'
+      FROM dim),
+    pit AS (
+      SELECT v.version, v.c_mktsegment
+      FROM orders o
+      JOIN versions v
+        ON o.o_custkey = v.c_custkey
+       AND CAST(o.o_orderdate AS DATE) >= v.valid_from
+       AND CAST(o.o_orderdate AS DATE) < v.valid_to)
+    SELECT version, c_mktsegment, count(*) AS n_orders
+    FROM pit GROUP BY version, c_mktsegment
+    """,
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (SCD Type 2) point-in-time join — the
+    warehouse pattern for 'which version of the customer was current when
+    the order was placed'. The fixture carries no versioned dim, so a
+    two-version history is synthesized deterministically (each customer's
+    attributes roll over on a per-key split day); the fact then joins its
+    dimension KEY with a residual validity-window predicate.
+
+    Scale shape: this is an EQUI-join on the dimension key with a range
+    filter applied to the matched rows — per-key fan-out is bounded by
+    the version count (2 here, rarely >10 in practice), so the join
+    never degenerates into the interval-join quadratic case and the
+    optimizer keeps the hash/broadcast strategy of a plain dim join.
+    Validity windows use half-open [from, to) date intervals — integer
+    date arithmetic, no interval-constant hazards."""
+    customer = load_table(spark, sf_dir, "customer")
+    split_day = F.date_add(
+        F.lit("1996-01-01").cast("date"),
+        (F.col("c_custkey") % 1000).cast("int"),
+    )
+    dim = customer.select("c_custkey", "c_mktsegment", split_day.alias("split_day"))
+    versions = dim.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("v1").alias("version"),
+                    F.lit("1990-01-01").cast("date").alias("valid_from"),
+                    F.col("split_day").alias("valid_to"),
+                ),
+                F.struct(
+                    F.lit("v2").alias("version"),
+                    F.col("split_day").alias("valid_from"),
+                    F.lit("2999-12-31").cast("date").alias("valid_to"),
+                ),
+            )
+        ).alias("v"),
+    ).select("c_custkey", "c_mktsegment", "v.version", "v.valid_from", "v.valid_to")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("o_day")
+    )
+    pit = orders.join(
+        F.broadcast(versions),
+        (orders.o_custkey == versions.c_custkey)
+        & (F.col("o_day") >= F.col("valid_from"))
+        & (F.col("o_day") < F.col("valid_to")),
+    )
+    return pit.groupBy("version", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )

@@ -1,0 +1,243 @@
+"""Data-quality / warehouse-operations operators (B-12 extension surface).
+
+The reference loads collected tables into a destination warehouse and
+leaves validation to it (README.md:221-224); these keys internalize the
+standard post-load toolkit: column profiling, declarative constraint
+checks (the dbt-test / expectations shape), and incremental
+materialized-view maintenance.
+
+Scale notes: profiling and constraint checks are single partial-
+aggregable scans (plus one anti-join for the referential rule — the only
+keyed shuffle); the MV refresh merges a persisted base aggregate with a
+delta-window aggregate, touching only delta rows of the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloud2sql_spark.catalog import load_table
+from cloud2sql_spark.registry import register
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _profile_min_max_sql(c: str) -> str:
+    """Render min/max as strings the way the Spark side does: doubles go
+    through DECIMAL(18,2) so both engines print identical text."""
+    if c == "o_totalprice":
+        return (
+            f"CAST(CAST(min({c}) AS DECIMAL(18,2)) AS VARCHAR) AS min_{c}, "
+            f"CAST(CAST(max({c}) AS DECIMAL(18,2)) AS VARCHAR) AS max_{c}"
+        )
+    return (
+        f"CAST(min({c}) AS VARCHAR) AS min_{c}, "
+        f"CAST(max({c}) AS VARCHAR) AS max_{c}"
+    )
+
+
+_PROFILE_ORACLE = (
+    "WITH a AS (SELECT count(*) AS n_rows, "
+    + ", ".join(
+        f"count({c}) AS nn_{c}, count(DISTINCT {c}) AS nd_{c}, "
+        + _profile_min_max_sql(c)
+        for c in _PROFILE_COLS
+    )
+    + " FROM orders) "
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, n_rows, "
+        f"CAST(n_rows - nn_{c} AS BIGINT) AS n_nulls, "
+        f"CAST(nd_{c} AS BIGINT) AS n_distinct, "
+        f"min_{c} AS min_value, max_{c} AS max_value FROM a"
+        for c in _PROFILE_COLS
+    )
+)
+
+
+@register("profile_table", oracle=_PROFILE_ORACLE)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the post-load summary every warehouse load job
+    prints (null counts, cardinalities, value ranges per column). ONE
+    partial-aggregable scan computes every statistic for every column
+    (count/count-distinct/min/max fused into a single aggregate node);
+    the per-column rows are then unpivoted from the 1-row result with
+    stack() — driver-free, and the scan cost is independent of column
+    count the way a per-column loop is not. min/max render through
+    DECIMAL(18,2) for the money column so both engines print identical
+    strings. n_distinct is exact (count_distinct expands to one
+    aggregate; at 100 TB swap in approx_count_distinct per the
+    agg_approx_distinct posture)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def min_max(c: str) -> list:
+        if c == "o_totalprice":
+            return [
+                F.min(c).cast("decimal(18,2)").cast("string").alias(f"min_{c}"),
+                F.max(c).cast("decimal(18,2)").cast("string").alias(f"max_{c}"),
+            ]
+        return [
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+        ]
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.count_distinct(c).alias(f"nd_{c}"),
+            *min_max(c),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows - nn_{c}, nd_{c}, min_{c}, max_{c}"
+        for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        "n_rows",
+    ).select(
+        "column_name",
+        "n_rows",
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )
+
+
+@register(
+    "constraint_check",
+    oracle="""
+    SELECT 'not_null_o_custkey' AS rule_name,
+           CAST(count(*) - count(o_custkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'unique_o_orderkey',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'positive_o_totalprice',
+           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_o_orderstatus',
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'fk_o_custkey_customer',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    """,
+)
+def constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint validation (the dbt-test / expectations
+    suite): not-null, uniqueness, range, accepted-values, and referential
+    integrity, each reported as a violation count. The four scalar rules
+    fuse into ONE partial-aggregable scan of orders; uniqueness is
+    count(*) - count(distinct) (no self-join); the FK rule is a LEFT ANTI
+    join against the customer key column — broadcast here (bounded dim),
+    a co-partitioned shuffle at 100 TB. Violation counts instead of
+    booleans: the report stays useful when a rule fails, and the booleans
+    are derivable."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    scalar = orders.agg(
+        (F.count(F.lit(1)) - F.count("o_custkey"))
+        .cast("bigint")
+        .alias("not_null_o_custkey"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .cast("bigint")
+        .alias("unique_o_orderkey"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("positive_o_totalprice"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("accepted_o_orderstatus"),
+    )
+    rules = scalar.select(
+        F.expr(
+            "stack(4,"
+            " 'not_null_o_custkey', not_null_o_custkey,"
+            " 'unique_o_orderkey', unique_o_orderkey,"
+            " 'positive_o_totalprice', positive_o_totalprice,"
+            " 'accepted_o_orderstatus', accepted_o_orderstatus)"
+            " AS (rule_name, n_violations)"
+        )
+    )
+    fk = (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+        .select(F.lit("fk_o_custkey_customer").alias("rule_name"), "n_violations")
+    )
+    return rules.unionByName(fk)
+
+
+@register(
+    "mv_incremental_refresh",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a daily (day, type)
+    rollup is kept fresh by aggregating ONLY the delta window and
+    sum-merging it into the existing base aggregate — never rescanning
+    history. Here the base is the pre-cutoff aggregate (stand-in for the
+    stored MV), the delta is the post-cutoff slice, and the merge is a
+    groupBy over the union of the two partial aggregates (counts and
+    cent-sums are associative, so merge = re-aggregate of partials).
+    The ORACLE computes the rollup directly over ALL events — passing
+    the hash check proves base ⊎ delta == full recompute, which is the
+    entire correctness claim of incremental maintenance. At 100 TB the
+    base side is the stored MV table (tiny: one row per (day, type));
+    the delta scan is bounded by the refresh interval; both cutoff
+    filters push to the parquet scan."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-03-01")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).cast("bigint").alias("total_cents"),
+        )
+
+    base = rollup(ev.filter(F.col("ts") < cutoff))
+    delta = rollup(ev.filter(F.col("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("total_cents").cast("bigint").alias("total_cents"),
+        )
+    )

@@ -707,3 +707,63 @@ def scan_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return rows(kept, "keep").unionByName(rows(orphans, "delete"))
+
+
+@register(
+    "sink_partition_overwrite_dynamic",
+    oracle="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, event_id, user_id FROM events),
+    days AS (SELECT day FROM (SELECT DISTINCT day FROM d) ORDER BY day LIMIT 3),
+    merged AS (
+      -- base load keeps every day EXCEPT the three re-loaded ones...
+      SELECT day, event_id FROM d
+      WHERE day NOT IN (SELECT day FROM days)
+      UNION ALL
+      -- ...which are replaced by the corrected slice (user_id % 2 = 0)
+      SELECT day, event_id FROM d
+      WHERE day IN (SELECT day FROM days) AND user_id % 2 = 0)
+    SELECT day, count(*) AS n_rows
+    FROM merged GROUP BY day
+    """,
+)
+def sink_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the lakehouse backfill primitive: a
+    corrected re-load of a few days must replace ONLY those day
+    partitions, leaving the rest of the table untouched (static
+    overwrite mode would drop them; appending would double-count). The
+    op writes the events table day-partitioned, re-writes the first
+    three days from a 'corrected' slice (even user_ids) under
+    partitionOverwriteMode=dynamic, and reads back per-day counts — the
+    merge semantics the oracle replays relationally.
+
+    Scale: partitionBy('day') writes one directory per day with files
+    sized by the shuffle-free pass-through; the backfill touches only
+    the re-loaded partitions' files (metadata swap, no table rewrite).
+    The conf is set per-write via the DataFrameWriter option, not
+    session-wide, so concurrent static-mode writers are unaffected.
+    Fixture dirs are keyed by (sf_dir, applicationId) — see
+    scan_vacuum_retention."""
+    ev = load_table(spark, sf_dir, "events")
+    app_id = spark.sparkContext.applicationId
+    table_dir = _tmp(
+        f"sink_dyn_overwrite/{os.path.basename(sf_dir)}_{app_id}_events"
+    )
+    shutil.rmtree(table_dir, ignore_errors=True)
+    d = ev.select(
+        F.col("ts").cast("date").alias("day"), "event_id", "user_id"
+    )
+    d.write.partitionBy("day").mode("overwrite").parquet(table_dir)
+    days = [r["day"] for r in d.select("day").distinct().orderBy("day").limit(3).collect()]
+    corrected = d.filter(d.day.isin(days) & (F.col("user_id") % 2 == 0))
+    (
+        corrected.write.partitionBy("day")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(table_dir)
+    )
+    return (
+        spark.read.parquet(table_dir)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.col("day").cast("date").alias("day"), "n_rows")
+    )

@@ -47,6 +47,7 @@ _QUERY_MODULES = [
     "cloud2sql_spark.queries.etl_surface",
     "cloud2sql_spark.queries.tpch",
     "cloud2sql_spark.queries.network",
+    "cloud2sql_spark.queries.quality",
 ]
 
 _loaded = False
@@ -110,6 +111,15 @@ _PRIORITY = [
     "sample_curriculum",
     "events_ab_lift",
     "multimodal_patchify",
+    "profile_table",
+    "constraint_check",
+    "mv_incremental_refresh",
+    "events_gap_interpolate",
+    "graph_triangle_count",
+    "sink_partition_overwrite_dynamic",
+    "join_scd2_point_in_time",
+    "fn_geo_haversine",
+    "sample_epoch_shuffle",
     # Remaining slots: the stalest driver evidence — the r01 cohort (last
     # proven four rounds ago) — re-prove the core relational surface.
     "agg_groupby",

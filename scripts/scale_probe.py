@@ -119,6 +119,14 @@ PROBE_KEYS = [
     "events_ab_lift",
     "multimodal_patchify",
     "text_pmi_bigrams",
+    "profile_table",
+    "constraint_check",
+    "mv_incremental_refresh",
+    "events_gap_interpolate",
+    "graph_triangle_count",
+    "sink_partition_overwrite_dynamic",
+    "join_scd2_point_in_time",
+    "sample_epoch_shuffle",
 ]
 
 # Operators whose CONTRACT is exact all-pairs computation (the dedup

@@ -621,3 +621,74 @@ def test_curriculum_single_total_order(spark, sf_dir):
     plan = _physical(_QUERIES["sample_curriculum"](spark, sf_dir))
     assert plan.count("Exchange SinglePartition") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_profile_table_single_scan_no_join(spark, sf_dir):
+    """profile_table: every per-column statistic fuses into one aggregate
+    over one scan — a per-column loop would be N scans."""
+    plan = _physical(_QUERIES["profile_table"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_constraint_check_fk_is_anti_join(spark, sf_dir):
+    """constraint_check: the referential rule must plan as a broadcast
+    LEFT ANTI join (bounded dim key side), never a cartesian."""
+    plan = _physical(_QUERIES["constraint_check"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mv_refresh_pushes_cutoff_filters(spark, sf_dir):
+    """mv_incremental_refresh: both cutoff filters reach their parquet
+    scans — the delta side reads only the refresh window."""
+    plan = _physical(_QUERIES["mv_incremental_refresh"](spark, sf_dir))
+    assert plan.count("PushedFilters: [IsNotNull(ts)") >= 1 or "ts" in (
+        plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    ), plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final x2 legs
+
+
+def test_gap_interpolate_single_user_sort(spark, sf_dir):
+    """events_gap_interpolate: the four neighbor lookups share one
+    (user, day) sort — Window operators stack on a single partitioning,
+    no per-frame re-shuffle."""
+    plan = _physical(_QUERIES["events_gap_interpolate"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Window") <= 2, plan  # backward + forward frame
+
+
+def test_triangle_count_equi_joins_only(spark, sf_dir):
+    """graph_triangle_count: the triangle enumeration is two EQUI-joins
+    on edge endpoints; the only nested loops are the two 1-row stat
+    broadcasts at the end."""
+    plan = _physical(_QUERIES["graph_triangle_count"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + (
+        plan.count("BroadcastHashJoin")
+    ) >= 2, plan
+
+
+def test_scd2_join_stays_broadcast_hash(spark, sf_dir):
+    """join_scd2_point_in_time: the versioned dim must join as a
+    broadcast HASH join on the key (the validity window is a residual
+    filter, bounded fan-out) — never an unbounded range/nested-loop."""
+    plan = _physical(_QUERIES["join_scd2_point_in_time"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_haversine_pure_projection(spark, sf_dir):
+    """fn_geo_haversine: one codegen projection — no exchange, no Python."""
+    plan = _physical(_QUERIES["fn_geo_haversine"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_epoch_shuffle_single_window(spark, sf_dir):
+    """sample_epoch_shuffle: one (epoch, md5) window Exchange after the
+    map-side epoch explode."""
+    plan = _physical(_QUERIES["sample_epoch_shuffle"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
