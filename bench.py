@@ -180,6 +180,8 @@ _R05_ADDITIONS = [
     "join_scd2_point_in_time",
     "fn_geo_haversine",
     "sample_epoch_shuffle",
+    "embed_covariance_gram",
+    "events_cuped_adjusted",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS + _R05_ADDITIONS

@@ -1262,3 +1262,152 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nodes", "n_edges", "n_triangles"
         )
     )
+
+
+@register(
+    "events_cuped_adjusted",
+    oracle="""
+    WITH b AS (
+      SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS BIGINT)
+                 AS mid
+      FROM events WHERE event_type = 'purchase'),
+    p AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             CAST(sum(CASE WHEN epoch_us(ts) < b.mid
+                           THEN CAST(round(value * 100, 0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN epoch_us(ts) >= b.mid
+                           THEN CAST(round(value * 100, 0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events, b WHERE event_type = 'purchase' GROUP BY user_id),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM p),
+    s AS (SELECT n, CAST(sx AS DOUBLE) / n AS mean_x,
+                 (CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1)
+                     AS cov_xy,
+                 (CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)
+                     AS var_x,
+                 (CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1)
+                     AS var_y
+          FROM g),
+    v AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(x) AS BIGINT) AS sxv, CAST(sum(y) AS BIGINT) AS syv
+          FROM p GROUP BY variant)
+    SELECT v.variant, v.n_users,
+           CAST(syv AS DOUBLE) / n_users AS mean_y_cents,
+           CAST(syv AS DOUBLE) / n_users
+             - (cov_xy / var_x)
+               * (CAST(sxv AS DOUBLE) / n_users - mean_x) AS mean_y_adj_cents,
+           cov_xy / var_x AS theta,
+           (cov_xy * cov_xy / (var_x * var_y)) * 100.0 AS var_reduction_pct
+    FROM v, s
+    """,
+)
+def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled pre-experiment data) adjustment — the variance-
+    reduction step every experimentation platform applies before the
+    t-test: each user's post-period metric is shifted by
+    theta * (pre-period metric - its mean), with theta = cov(pre, post)
+    / var(pre). Shape: one per-user conditional aggregate (the only
+    fact-table shuffle), then a 1-row global moment aggregate and a
+    2-row per-variant aggregate joined by broadcast.
+
+    Determinism: all six moments are exact BIGINT sums of integer cents
+    (per-user x, y bounded well inside int64 for their squares); theta,
+    adjusted means, and the variance-reduction percentage (= rho^2 * 100,
+    the analytic identity for optimal theta — computing var(y*) as a
+    distributed double sum would be merge-order dependent) derive with
+    IDENTICAL association on both engines, so every double is bit-exact
+    with no rounding contract."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    # pre/post cutoff = midpoint of the observed purchase span, in exact
+    # integer microseconds (TZ-free epoch idiom for TIMESTAMP_NTZ) — a
+    # fixed calendar date can fall outside a regenerated fixture's span
+    # and collapse one period to all-zeros (var = 0, ANSI divide error)
+    us = F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts)")
+    b = ev.agg(
+        F.expr(
+            "(min(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts))"
+            " + max(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts)))"
+            " div 2"
+        )
+        .cast("bigint")
+        .alias("mid")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    p = (
+        ev.join(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(us < F.col("mid"), cents).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(us >= F.col("mid"), cents).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select((F.col("user_id") % 2).cast("int").alias("variant"), "x", "y")
+    )
+    g = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    s = g.select(
+        "n",
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_x"),
+        (
+            (
+                F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("cov_xy"),
+        (
+            (
+                F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("var_x"),
+        (
+            (
+                F.col("syy").cast("double")
+                - F.col("sy").cast("double") * F.col("sy").cast("double") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("var_y"),
+    )
+    v = p.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("sxv"),
+        F.sum("y").cast("bigint").alias("syv"),
+    )
+    theta = F.col("cov_xy") / F.col("var_x")
+    mean_y = F.col("syv").cast("double") / F.col("n_users")
+    return v.join(F.broadcast(s)).select(
+        "variant",
+        "n_users",
+        mean_y.alias("mean_y_cents"),
+        (
+            mean_y
+            - theta * (F.col("sxv").cast("double") / F.col("n_users") - F.col("mean_x"))
+        ).alias("mean_y_adj_cents"),
+        theta.alias("theta"),
+        (
+            F.col("cov_xy") * F.col("cov_xy") / (F.col("var_x") * F.col("var_y"))
+            * 100.0
+        ).alias("var_reduction_pct"),
+    )

@@ -482,3 +482,83 @@ def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("qid", "vec_id", "adc_dist")
     )
+
+
+@register(
+    "embed_covariance_gram",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+    idx AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS i),
+    pairs AS (SELECT a.i AS i, b.i AS j FROM idx a, idx b),
+    g AS (SELECT p.i, p.j,
+                 CAST(sum(q.v[p.i] * q.v[p.j]) AS BIGINT) AS s_ij,
+                 CAST(sum(q.v[p.i]) AS BIGINT) AS s_i,
+                 CAST(sum(q.v[p.j]) AS BIGINT) AS s_j,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM q, pairs p GROUP BY p.i, p.j)
+    SELECT i, j, n, s_ij,
+           CAST(floor((CAST(s_ij AS DOUBLE)
+                       - CAST(s_i AS DOUBLE) * CAST(s_j AS DOUBLE) / n)
+                      / (n - 1) + 0.5) AS BIGINT) AS cov_q6
+    FROM g
+    """,
+)
+def embed_covariance_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance / Gram matrix over the embedding corpus —
+    the aggregation that feeds PCA, ZCA whitening, and Mahalanobis
+    scoring. The scale shape is map-side PARTIAL GRAM: each Arrow batch
+    computes its own d x d integer matmul (numpy int64, exact) and emits
+    d^2 partial rows, so the shuffle carries (batches x d^2) tiny rows —
+    never the n x d^2 explosion of a row-wise pair explode, and compute
+    is dense BLAS instead of per-element codegen. The final keyed sum
+    merges partials exactly (integer milli-unit quantization, shared
+    _quantized cache), and covariance derives from (s_ij, s_i, s_j, n)
+    with mirrored double association + guard-banded floor — cov_q6 is
+    micro-units of the real-valued covariance because the milli^2 scale
+    cancels the 1e6 factor. The oracle replays the same sums via a
+    lateral index cross join."""
+    import numpy as np
+    import pandas as pd
+
+    d = 64
+    q = _quantized(spark, sf_dir).select("v")
+
+    def gram(batches):
+        ii, jj = np.meshgrid(
+            np.arange(1, d + 1), np.arange(1, d + 1), indexing="ij"
+        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf["v"].tolist(), dtype=np.int64)
+            g = m.T @ m
+            s = m.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int32"),
+                    "j": jj.ravel().astype("int32"),
+                    "ps_ij": g.ravel(),
+                    "ps_i": np.repeat(s, d),
+                    "ps_j": np.tile(s, d),
+                    "pn": np.full(d * d, len(m), dtype=np.int64),
+                }
+            )
+
+    partial = q.mapInPandas(
+        gram, "i INT, j INT, ps_ij BIGINT, ps_i BIGINT, ps_j BIGINT, pn BIGINT"
+    )
+    g = partial.groupBy("i", "j").agg(
+        F.sum("ps_ij").cast("bigint").alias("s_ij"),
+        F.sum("ps_i").cast("bigint").alias("s_i"),
+        F.sum("ps_j").cast("bigint").alias("s_j"),
+        F.sum("pn").cast("bigint").alias("n"),
+    )
+    cov = F.floor(
+        (
+            F.col("s_ij").cast("double")
+            - F.col("s_i").cast("double") * F.col("s_j").cast("double") / F.col("n")
+        )
+        / (F.col("n") - 1)
+        + 0.5
+    ).cast("bigint")
+    return g.select("i", "j", "n", "s_ij", cov.alias("cov_q6"))

@@ -120,6 +120,8 @@ _PRIORITY = [
     "join_scd2_point_in_time",
     "fn_geo_haversine",
     "sample_epoch_shuffle",
+    "embed_covariance_gram",
+    "events_cuped_adjusted",
     # Remaining slots: the stalest driver evidence — the r01 cohort (last
     # proven four rounds ago) — re-prove the core relational surface.
     "agg_groupby",

@@ -127,6 +127,8 @@ PROBE_KEYS = [
     "sink_partition_overwrite_dynamic",
     "join_scd2_point_in_time",
     "sample_epoch_shuffle",
+    "embed_covariance_gram",
+    "events_cuped_adjusted",
 ]
 
 # Operators whose CONTRACT is exact all-pairs computation (the dedup

@@ -692,3 +692,22 @@ def test_epoch_shuffle_single_window(spark, sf_dir):
     plan = _physical(_QUERIES["sample_epoch_shuffle"](spark, sf_dir))
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_covariance_gram_partial_then_merge(spark, sf_dir):
+    """embed_covariance_gram: the Gram matrix comes from mapInPandas
+    partial matmuls merged by one keyed aggregate — no join, no pair
+    explode."""
+    plan = _physical(_QUERIES["embed_covariance_gram"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_cuped_single_fact_shuffle(spark, sf_dir):
+    """events_cuped_adjusted: the fact table shuffles once (per-user
+    aggregate); the cutoff and moment sides are 1-row broadcasts."""
+    plan = _physical(_QUERIES["events_cuped_adjusted"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in pushed, plan
