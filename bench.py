@@ -182,6 +182,9 @@ _R05_ADDITIONS = [
     "sample_epoch_shuffle",
     "embed_covariance_gram",
     "events_cuped_adjusted",
+    "embed_knn_graph",
+    "events_window_funnel",
+    "scan_merge_on_read",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS + _R05_ADDITIONS

@@ -1411,3 +1411,96 @@ def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 100.0
         ).alias("var_reduction_pct"),
     )
+
+
+@register(
+    "events_window_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) AS t
+      FROM events WHERE user_id % 10 = 0),
+    u AS (SELECT DISTINCT user_id FROM e),
+    l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+    l2 AS (SELECT DISTINCT v.user_id
+           FROM e v JOIN e c ON c.user_id = v.user_id
+           WHERE v.event_type = 'view' AND c.event_type = 'click'
+             AND c.t > v.t AND c.t <= v.t + 259200000000),
+    l3 AS (SELECT DISTINCT v.user_id
+           FROM e v
+           JOIN e c ON c.user_id = v.user_id
+           JOIN e p ON p.user_id = v.user_id
+           WHERE v.event_type = 'view' AND c.event_type = 'click'
+             AND p.event_type = 'purchase'
+             AND c.t > v.t AND p.t > c.t
+             AND p.t <= v.t + 259200000000)
+    SELECT u.user_id,
+           CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+                WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+                WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+                ELSE 0 END AS funnel_level
+    FROM u
+    """,
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel (the windowFunnel of OLAP stores): the
+    deepest view -> click -> purchase chain whose WHOLE span fits in a
+    3-day window anchored at the view. Unlike events_funnel (unbounded
+    order-only), the window constraint makes the naive formulation a
+    per-user triple self-join — which is exactly what the ORACLE runs,
+    while the Spark plan needs none of it:
+
+    Three stacked RANGE windows (strictly-later frame on epoch micros,
+    one user partitioning, one Exchange) compute per event row the next
+    purchase time, the next click time, and min-over-later-clicks of
+    that click's next-purchase time. Monotonicity of next-purchase makes
+    greedy-earliest-click COMPLETE — a chain exists from view v iff
+    np(first click after v) fits the window — so max level per user
+    falls out of one aggregate over view rows. The oracle's EXISTS
+    joins and the window recursion provably agree (strict-> micro
+    comparisons on both sides; the %10 user slice bounds the oracle's
+    triple join, not the Spark plan)."""
+    W = 259_200_000_000  # 3 days in microseconds
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts)"
+        ).alias("t"),
+    )
+    w_later = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    with_np = e.withColumn(
+        "npu",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("t"))).over(
+            w_later
+        ),
+    )
+    staged = with_np.select(
+        "user_id",
+        "event_type",
+        "t",
+        F.min(F.when(F.col("event_type") == "click", F.col("t")))
+        .over(w_later)
+        .alias("ncw"),
+        F.min(F.when(F.col("event_type") == "click", F.col("npu")))
+        .over(w_later)
+        .alias("npc"),
+    )
+    view_level = F.when(
+        (F.col("event_type") == "view") & (F.col("npc") <= F.col("t") + W), 3
+    ).when(
+        (F.col("event_type") == "view") & (F.col("ncw") <= F.col("t") + W), 2
+    ).when(F.col("event_type") == "view", 1)
+    return (
+        staged.groupBy("user_id")
+        .agg(F.max(view_level).alias("lvl"))
+        .select(
+            "user_id",
+            F.coalesce("lvl", F.lit(0)).cast("int").alias("funnel_level"),
+        )
+    )

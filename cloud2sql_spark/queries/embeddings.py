@@ -22,7 +22,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cloud2sql_spark.queries.extensions import _QUANT_SQL, _int_dot, _quantized
+from cloud2sql_spark.queries.extensions import (
+    _LSH_BUCKETS_SQL,
+    _QUANT_SQL,
+    _int_dot,
+    _quantized,
+)
 from cloud2sql_spark.registry import register
 
 
@@ -562,3 +567,80 @@ def embed_covariance_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.5
     ).cast("bigint")
     return g.select("i", "j", "n", "s_ij", cov.alias("cov_q6"))
+
+
+@register(
+    "embed_knn_graph",
+    oracle=f"""
+    WITH {_LSH_BUCKETS_SQL},
+    cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+             FROM buckets a JOIN buckets b
+               ON a.l = b.l AND a.bucket = b.bucket
+              AND b.vec_id != a.vec_id),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM q)
+    SELECT vec_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (
+      SELECT c.vec_id, c.neighbor_id,
+             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos,
+             row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
+                          c.neighbor_id) AS rank
+      FROM cand c
+      JOIN n a ON a.vec_id = c.vec_id
+      JOIN n b ON b.vec_id = c.neighbor_id)
+    WHERE rank <= 5
+    """,
+)
+def embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN GRAPH construction (k=5 for EVERY vector, not a
+    handful of query points) — the workhorse behind semantic dedup
+    clustering, graph-based label propagation, and HNSW-style index
+    bootstrapping. Candidates come from the shared random-hyperplane
+    LSH buckets (_lsh_bucket_frame): a self-equality-join on
+    (table, bucket) whose volume is Σ bucket-occupancy² — bounded by
+    bucket granularity, never the n² all-pairs stream — then exact
+    integer cosine ranks each vector's candidates and a per-vector
+    window keeps the top 5. Recall is probabilistic by design; the
+    oracle replicates the identical algorithm (md5-derived hyperplanes),
+    so the check is exact despite the approximation. At 100 TB the
+    candidate join shuffles on (table, bucket) and the rank window on
+    vec_id — two keyed shuffles, both linear in candidate volume."""
+    from cloud2sql_spark.queries.extensions import _lsh_bucket_frame
+
+    buckets = _lsh_bucket_frame(spark, sf_dir)
+    a = buckets.select(F.col("vec_id"), "l", "bucket")
+    b = buckets.select(
+        F.col("vec_id").alias("neighbor_id"), "l", "bucket"
+    )
+    cand = (
+        a.join(b, ["l", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("vec_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+    n = _quantized(spark, sf_dir).select(
+        "vec_id", "v", F.sqrt(_int_dot("v", "v").cast("double")).alias("nrm")
+    )
+    na = n.select(
+        F.col("vec_id"), F.col("v").alias("va"), F.col("nrm").alias("na_")
+    )
+    nb = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb_"),
+    )
+    scored = (
+        cand.join(na, "vec_id")
+        .join(nb, "neighbor_id")
+        .withColumn(
+            "cos",
+            _int_dot("va", "vb").cast("double") / (F.col("na_") * F.col("nb_")),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("vec_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
+    )

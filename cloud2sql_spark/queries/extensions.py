@@ -709,10 +709,12 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_search_lsh",
-    oracle=f"""
-    WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+# Shared random-hyperplane LSH bucket machinery (sim_search_lsh +
+# embed_knn_graph): L=4 tables x k=8 signed hyperplanes, component
+# (l, p, d) = +-1 from the first md5 nibble of "l_p_d" — md5 is identical
+# across engines, so the oracle CTE below reconstructs the exact same
+# buckets the numpy sign-matmul produces (no literals shipped, no seeds).
+_LSH_BUCKETS_SQL = f"""q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
     H AS (SELECT l, p, d,
                  CASE WHEN (strpos('0123456789abcdef',
                             substr(md5(l || '_' || p || '_' || d), 1, 1)) - 1)
@@ -726,41 +728,31 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM flat f JOIN H ON f.d = H.d GROUP BY 1, 2, 3),
     buckets AS (SELECT vec_id, l,
                        sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS bucket
-                FROM dots GROUP BY 1, 2),
-    qb AS (SELECT * FROM buckets WHERE vec_id < 5),
-    cand AS (SELECT DISTINCT qb.vec_id AS query_id, b.vec_id
-             FROM qb JOIN buckets b
-               ON qb.l = b.l AND qb.bucket = b.bucket
-              AND b.vec_id != qb.vec_id),
-    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM q)
-    SELECT query_id, vec_id, round(cos, 6) AS cosine, rank FROM (
-      SELECT c.query_id, c.vec_id,
-             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos,
-             row_number() OVER (PARTITION BY c.query_id
-                 ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
-                          c.vec_id) AS rank
-      FROM cand c
-      JOIN n a ON a.vec_id = c.query_id
-      JOIN n b ON b.vec_id = c.vec_id)
-    WHERE rank <= 10
-    """,
-)
-def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (the LSH-bucketed scale path next to
-    sim_search_ivf): L=4 tables x k=8 signed hyperplanes. Hyperplane
-    component (l, p, d) is +-1 from the first md5 nibble of "l_p_d" —
-    md5 is identical across engines, so the DuckDB oracle reconstructs
-    the exact same tables and buckets (no literals shipped, no seeds).
-    Bucketing is a numpy sign-matmul per Arrow batch; candidates come
-    from equality joins on (table, bucket) — keyed shuffle, linear in
-    data — then exact integer cosine ranks the candidates. Recall is
-    probabilistic by design (multi-table union raises it); the oracle
-    replicates the algorithm, not a brute-force answer."""
+                FROM dots GROUP BY 1, 2)"""
+
+_LSH_BUCKET_CACHE: dict = {}
+_EXTRA_SESSION_CACHES.append(_LSH_BUCKET_CACHE)
+
+
+def _lsh_bucket_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, l, bucket) for every vector under the shared hyperplane
+    tables — numpy sign-matmul per Arrow batch, persisted per
+    (session, sf_dir) since it feeds both sides of candidate joins in
+    two operators."""
     import hashlib
 
     import numpy as np
     import pandas as pd
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _LSH_BUCKET_CACHE:
+        return _LSH_BUCKET_CACHE[key]
+    while len(_LSH_BUCKET_CACHE) >= _SHINGLE_CACHE_MAX:
+        old = _LSH_BUCKET_CACHE.pop(next(iter(_LSH_BUCKET_CACHE)))
+        try:
+            old.unpersist()
+        except Exception:
+            pass
     n_tables, n_planes = 4, 8
     H = np.empty((n_tables, n_planes, 64), dtype=np.int64)
     for t in range(n_tables):
@@ -791,10 +783,49 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"vec_id": out_id, "l": out_l, "bucket": out_b}
             )
 
-    # persist: feeds both sides of the (table, bucket) candidate join
-    buckets = q.mapInPandas(
+    out = q.mapInPandas(
         bucketize, "vec_id BIGINT, l INT, bucket BIGINT"
     ).persist()
+    _LSH_BUCKET_CACHE[key] = out
+    return out
+
+
+@register(
+    "sim_search_lsh",
+    oracle=f"""
+    WITH {_LSH_BUCKETS_SQL},
+    qb AS (SELECT * FROM buckets WHERE vec_id < 5),
+    cand AS (SELECT DISTINCT qb.vec_id AS query_id, b.vec_id
+             FROM qb JOIN buckets b
+               ON qb.l = b.l AND qb.bucket = b.bucket
+              AND b.vec_id != qb.vec_id),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM q)
+    SELECT query_id, vec_id, round(cos, 6) AS cosine, rank FROM (
+      SELECT c.query_id, c.vec_id,
+             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos,
+             row_number() OVER (PARTITION BY c.query_id
+                 ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
+                          c.vec_id) AS rank
+      FROM cand c
+      JOIN n a ON a.vec_id = c.query_id
+      JOIN n b ON b.vec_id = c.vec_id)
+    WHERE rank <= 10
+    """,
+)
+def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (the LSH-bucketed scale path next to
+    sim_search_ivf): L=4 tables x k=8 signed hyperplanes. Hyperplane
+    component (l, p, d) is +-1 from the first md5 nibble of "l_p_d" —
+    md5 is identical across engines, so the DuckDB oracle reconstructs
+    the exact same tables and buckets (no literals shipped, no seeds).
+    Bucketing is a numpy sign-matmul per Arrow batch; candidates come
+    from equality joins on (table, bucket) — keyed shuffle, linear in
+    data — then exact integer cosine ranks the candidates. Recall is
+    probabilistic by design (multi-table union raises it); the oracle
+    replicates the algorithm, not a brute-force answer. Buckets and
+    hyperplane tables live in _lsh_bucket_frame (shared with
+    embed_knn_graph)."""
+    buckets = _lsh_bucket_frame(spark, sf_dir)
     qb = buckets.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "l", "bucket"
     )

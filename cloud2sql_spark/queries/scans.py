@@ -767,3 +767,49 @@ def sink_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .select(F.col("day").cast("date").alias("day"), "n_rows")
     )
+
+
+@register(
+    "scan_merge_on_read",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_live,
+           CAST(sum(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged
+    FROM events
+    WHERE NOT (event_id % 9 = 2)
+    GROUP BY event_type
+    """,
+)
+def scan_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes — the OTHER lakehouse delete path next to
+    scan_vacuum_retention's copy-on-write: deletes are written as a
+    small DELETE-VECTOR file (here: deleted keys) and applied at READ
+    time, so a delete commit is O(deleted keys) instead of rewriting
+    data files. The read is base LEFT ANTI delete-keys — and because
+    the delete vector is orders of magnitude smaller than the base, it
+    BROADCASTS: the base table streams past it map-side, no shuffle
+    (asserted in the plan test). The oracle applies the same predicate
+    relationally. Write side: the base snapshot and delete vector are
+    real parquet under a per-(sf, applicationId) fixture dir; the
+    aggregate proves reads see exactly the undeleted rows."""
+    ev = load_table(spark, sf_dir, "events")
+    app_id = spark.sparkContext.applicationId
+    table_dir = _tmp(f"scan_mor/{os.path.basename(sf_dir)}_{app_id}")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    base_dir = os.path.join(table_dir, "base")
+    dv_dir = os.path.join(table_dir, "deletes")
+    ev.select("event_id", "event_type").write.mode("overwrite").parquet(base_dir)
+    # the delete commit: just the keys, never a base rewrite
+    ev.filter(F.col("event_id") % 9 == 2).select("event_id").write.mode(
+        "overwrite"
+    ).parquet(dv_dir)
+    base = spark.read.parquet(base_dir)
+    dv = spark.read.parquet(dv_dir)
+    live = base.join(F.broadcast(dv), "event_id", "left_anti")
+    return live.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum(F.when(F.col("event_id") % 13 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+    )

@@ -122,6 +122,9 @@ _PRIORITY = [
     "sample_epoch_shuffle",
     "embed_covariance_gram",
     "events_cuped_adjusted",
+    "embed_knn_graph",
+    "events_window_funnel",
+    "scan_merge_on_read",
     # Remaining slots: the stalest driver evidence — the r01 cohort (last
     # proven four rounds ago) — re-prove the core relational surface.
     "agg_groupby",

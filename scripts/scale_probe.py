@@ -129,6 +129,9 @@ PROBE_KEYS = [
     "sample_epoch_shuffle",
     "embed_covariance_gram",
     "events_cuped_adjusted",
+    "embed_knn_graph",
+    "events_window_funnel",
+    "scan_merge_on_read",
 ]
 
 # Operators whose CONTRACT is exact all-pairs computation (the dedup

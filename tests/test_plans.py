@@ -711,3 +711,27 @@ def test_cuped_single_fact_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "event_type" in pushed, plan
+
+
+def test_knn_graph_no_allpairs(spark, sf_dir):
+    """embed_knn_graph: candidates come from (table, bucket) equality
+    joins, never a cartesian all-pairs stream."""
+    plan = _physical(_QUERIES["embed_knn_graph"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_window_funnel_single_user_shuffle_no_join(spark, sf_dir):
+    """events_window_funnel: the oracle needs a triple self-join; the
+    Spark plan must need NONE — stacked range windows on one user
+    partitioning plus the final per-user aggregate."""
+    plan = _physical(_QUERIES["events_window_funnel"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_merge_on_read_broadcasts_delete_vector(spark, sf_dir):
+    """scan_merge_on_read: the delete vector is tiny and must apply as a
+    broadcast LEFT ANTI join — the base table streams map-side."""
+    plan = _physical(_QUERIES["scan_merge_on_read"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
