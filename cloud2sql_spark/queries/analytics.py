@@ -1188,6 +1188,47 @@ def events_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Persisted co-purchase edge list, session-tracked like the pagerank edge
+# cache so the one reset hook can unpersist it — an untracked persist()
+# would pin the edges in executor storage for the rest of the session.
+_TRIANGLE_EDGE_CACHE: dict = {}
+register_session_cache(_TRIANGLE_EDGE_CACHE)
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct low-id-oriented part co-purchase edges, persisted per
+    (session, sf_dir): the frame feeds all three triangle join legs plus
+    the node/edge stats."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _TRIANGLE_EDGE_CACHE:
+        _TRIANGLE_EDGE_CACHE[key] = _TRIANGLE_EDGE_CACHE.pop(key)
+        return _TRIANGLE_EDGE_CACHE[key]
+    while len(_TRIANGLE_EDGE_CACHE) >= 4:
+        old = _TRIANGLE_EDGE_CACHE.pop(next(iter(_TRIANGLE_EDGE_CACHE)))
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    pl = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = pl.alias("a"), pl.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .persist()
+    )
+    _TRIANGLE_EDGE_CACHE[key] = e
+    return e
+
+
 @register(
     "graph_triangle_count",
     oracle="""
@@ -1200,11 +1241,7 @@ def events_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT count(*) AS n_triangles
       FROM e e1
       JOIN e e2 ON e1.v = e2.u
-      JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v),
-    stats AS (
-      SELECT count(*) AS n_edges,
-             count(DISTINCT u_all) AS n_nodes
-      FROM (SELECT u AS u_all FROM e UNION SELECT v FROM e) t, e)
+      JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v)
     SELECT CAST((SELECT count(*) FROM (SELECT DISTINCT x FROM
                   (SELECT u AS x FROM e UNION ALL SELECT v FROM e)))
                 AS BIGINT) AS n_nodes,
@@ -1225,22 +1262,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     which bounds wedge fan-out by sqrt(m) for skewed graphs; id-ordering
     is correct (and identical to the oracle) for this fixture's bounded
     co-purchase degree."""
-    pl = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = pl.alias("a"), pl.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .persist()
-    )
+    e = _copurchase_edges(spark, sf_dir)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))

@@ -746,6 +746,9 @@ def _lsh_bucket_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _LSH_BUCKET_CACHE:
+        # LRU-on-access (the _PAGERANK_EDGE_CACHE rule): a hot entry must
+        # not be the eviction victim while a caller still holds its frame
+        _LSH_BUCKET_CACHE[key] = _LSH_BUCKET_CACHE.pop(key)
         return _LSH_BUCKET_CACHE[key]
     while len(_LSH_BUCKET_CACHE) >= _SHINGLE_CACHE_MAX:
         old = _LSH_BUCKET_CACHE.pop(next(iter(_LSH_BUCKET_CACHE)))
@@ -1051,7 +1054,8 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect of data). The propagation step is hash-to-min with one
     pointer jump per round — reach doubles each round, so adversarially
     long path graphs converge in O(log d) rounds, not O(d) (property
-    test on a synthetic path graph: tests/test_properties.py).
+    test on a synthetic path graph:
+    tests/test_queries.py::test_cluster_cc_path_graph_log_rounds).
     The DuckDB oracle computes the same min-reachable-id label with a
     recursive CTE, so the clustering is hash-checked exactly.
     """

@@ -34,6 +34,38 @@ def _tmp(name: str) -> str:
     return path
 
 
+# Leftover per-applicationId fixture dirs older than this are swept the
+# next time any session builds a fixture for the same operator.
+_STALE_FIXTURE_SECONDS = 2 * 3600
+
+
+def _app_fixture_dir(op: str, leaf: str) -> str:
+    """Per-(sf, applicationId) fixture dir under _TMP_ROOT/<op>/.
+
+    The appId in `leaf` prevents concurrent sessions clobbering each
+    other's fixtures mid-read; without a sweep, though, every PAST
+    application leaks a full table copy in /tmp. Age-gated cleanup (mtime
+    older than 2h) removes those leftovers while staying safe for any
+    session that could actually still be running."""
+    import time
+
+    parent = os.path.join(_TMP_ROOT, op)
+    os.makedirs(parent, exist_ok=True)
+    now = time.time()
+    for d in os.listdir(parent):
+        if d == leaf:
+            continue
+        p = os.path.join(parent, d)
+        try:
+            if now - os.path.getmtime(p) > _STALE_FIXTURE_SECONDS:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    path = os.path.join(parent, leaf)
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
 @register("scan_parquet", oracle="SELECT * FROM customer")
 def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain parquet scan with explicit schema (no inference)."""
@@ -646,10 +678,9 @@ def scan_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sessions running this key at the same sf would otherwise rmtree
     # each other's fixture mid-read
     app_id = spark.sparkContext.applicationId
-    table_dir = _tmp(
-        f"scan_vacuum/{os.path.basename(sf_dir)}_{app_id}_events_vac"
+    table_dir = _app_fixture_dir(
+        "scan_vacuum", f"{os.path.basename(sf_dir)}_{app_id}_events_vac"
     )
-    shutil.rmtree(table_dir, ignore_errors=True)
     os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
 
     ga = _write_snapshot_files(
@@ -714,14 +745,18 @@ def scan_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (SELECT CAST(ts AS DATE) AS day, event_id, user_id FROM events),
     days AS (SELECT day FROM (SELECT DISTINCT day FROM d) ORDER BY day LIMIT 3),
+    corrected AS (
+      SELECT day, event_id FROM d
+      WHERE day IN (SELECT day FROM days) AND user_id % 2 = 0),
     merged AS (
-      -- base load keeps every day EXCEPT the three re-loaded ones...
+      -- dynamic overwrite replaces ONLY partitions the new write actually
+      -- produces rows for: a re-loaded day whose corrected slice is EMPTY
+      -- keeps its base rows (mirrored exactly — a NOT IN (days) predicate
+      -- here would diverge on such a day)
       SELECT day, event_id FROM d
-      WHERE day NOT IN (SELECT day FROM days)
+      WHERE day NOT IN (SELECT DISTINCT day FROM corrected)
       UNION ALL
-      -- ...which are replaced by the corrected slice (user_id % 2 = 0)
-      SELECT day, event_id FROM d
-      WHERE day IN (SELECT day FROM days) AND user_id % 2 = 0)
+      SELECT day, event_id FROM corrected)
     SELECT day, count(*) AS n_rows
     FROM merged GROUP BY day
     """,
@@ -745,10 +780,9 @@ def sink_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFr
     scan_vacuum_retention."""
     ev = load_table(spark, sf_dir, "events")
     app_id = spark.sparkContext.applicationId
-    table_dir = _tmp(
-        f"sink_dyn_overwrite/{os.path.basename(sf_dir)}_{app_id}_events"
+    table_dir = _app_fixture_dir(
+        "sink_dyn_overwrite", f"{os.path.basename(sf_dir)}_{app_id}_events"
     )
-    shutil.rmtree(table_dir, ignore_errors=True)
     d = ev.select(
         F.col("ts").cast("date").alias("day"), "event_id", "user_id"
     )
@@ -795,8 +829,9 @@ def scan_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate proves reads see exactly the undeleted rows."""
     ev = load_table(spark, sf_dir, "events")
     app_id = spark.sparkContext.applicationId
-    table_dir = _tmp(f"scan_mor/{os.path.basename(sf_dir)}_{app_id}")
-    shutil.rmtree(table_dir, ignore_errors=True)
+    table_dir = _app_fixture_dir(
+        "scan_mor", f"{os.path.basename(sf_dir)}_{app_id}"
+    )
     base_dir = os.path.join(table_dir, "base")
     dv_dir = os.path.join(table_dir, "deletes")
     ev.select("event_id", "event_type").write.mode("overwrite").parquet(base_dir)

@@ -7,7 +7,7 @@ decision-support shapes — multi-join star/snowflake plans, correlated
 having, top-k with deterministic tie-breaks — adapted to the driver's
 TPC-H-lite schema (no partsupp table, no l_commitdate/l_receiptdate/
 l_shipmode columns, generic NATION_N names). Eighteen of the 22 are
-expressible: Q1, Q3-Q10, Q12-Q19, Q21-Q22; Q2/Q11/Q16/Q20 need partsupp
+expressible: Q1, Q3-Q10, Q12-Q15, Q17-Q19, Q21-Q22; Q2/Q11/Q16/Q20 need partsupp
 and are structurally impossible on this schema (Q12/Q21 substitute
 ship-after-order-date lateness for the missing commit/receipt dates).
 

@@ -118,7 +118,6 @@ PROBE_KEYS = [
     "sample_curriculum",
     "events_ab_lift",
     "multimodal_patchify",
-    "text_pmi_bigrams",
     "profile_table",
     "constraint_check",
     "mv_incremental_refresh",

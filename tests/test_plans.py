@@ -643,9 +643,11 @@ def test_mv_refresh_pushes_cutoff_filters(spark, sf_dir):
     """mv_incremental_refresh: both cutoff filters reach their parquet
     scans — the delta side reads only the refresh window."""
     plan = _physical(_QUERIES["mv_incremental_refresh"](spark, sf_dir))
-    assert plan.count("PushedFilters: [IsNotNull(ts)") >= 1 or "ts" in (
-        plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
-    ), plan
+    pushed_lists = [
+        seg.split("]", 1)[0] for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    with_ts = [p for p in pushed_lists if "ts" in p]
+    assert len(with_ts) >= 2, f"both legs must push ts filters: {plan}"
     assert plan.count("HashAggregate") >= 4, plan  # partial+final x2 legs
 
 
