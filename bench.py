@@ -185,6 +185,7 @@ _R05_ADDITIONS = [
     "embed_knn_graph",
     "events_window_funnel",
     "scan_merge_on_read",
+    "stream_interval_join_outer",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS + _R05_ADDITIONS

@@ -329,3 +329,29 @@ def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         F.round(F.sum("total_value"), 2).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "stream_interval_join_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+    """,
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — purchases WITHOUT a
+    qualifying click emit with null click columns (the organic-conversion
+    signal an inner join cannot express). Streaming replay
+    (tests/test_streaming.py) runs the SAME transform over watermarked
+    streams with a '__flush__' watermark-advancer appended, because
+    outer-join null rows only emit when the watermark passes their join
+    window — without the flush the stream would withhold the tail
+    forever, the classic production pitfall this operator pins. Batch
+    verifies the exact outer pair set against DuckDB."""
+    return transforms.purchases_with_click_outer(
+        load_table(spark, sf_dir, "events")
+    )

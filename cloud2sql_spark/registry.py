@@ -125,6 +125,7 @@ _PRIORITY = [
     "embed_knn_graph",
     "events_window_funnel",
     "scan_merge_on_read",
+    "stream_interval_join_outer",
     # Remaining slots: the stalest driver evidence — the r01 cohort (last
     # proven four rounds ago) — re-prove the core relational surface.
     "agg_groupby",

@@ -319,3 +319,46 @@ def run_exactly_once_append(
     q.awaitTermination()
     # returned for redelivery simulation by callers/tests
     return write_batch
+
+
+def append_flush_sentinel(
+    spark: SparkSession, replay_dir: str, n: int = 2
+) -> None:
+    """Append ``n`` trailing '__flush__' events, each a further day past
+    the replay's max ts, as separate chunk files.
+
+    Stream-stream OUTER joins emit their null (unmatched) rows only when
+    the watermark passes a row's join window; without a late
+    watermark-advancer, the rows inside the final watermark-delay of the
+    stream tail would never emit and stream != batch FOREVER — the
+    standard production fix is exactly this kind of heartbeat/flush
+    event. MULTIPLE staggered sentinels matter because a watermark
+    computed from batch N only takes effect in batch N+1: a single
+    sentinel in the last micro-batch advances a watermark nobody ever
+    uses (observed: the tail's unmatched purchases stayed withheld).
+    Callers pass n > files_per_trigger so at least one batch runs AFTER
+    the first sentinel's advance. The sentinels flow through each
+    branch's watermark operator (branches filter them out only AFTER
+    withWatermark) and are excluded from every join output."""
+    mx = (
+        spark.read.schema(_STAGED_SCHEMA)
+        .parquet(replay_dir)
+        .agg(F.max("ts").alias("m"))
+        .first()["m"]
+    )
+    for i in range(1, n + 1):
+        row = spark.createDataFrame(
+            [(-1, mx, -1, "__flush__", 0.0, "{}")], _STAGED_SCHEMA
+        ).select(
+            "event_id",
+            (F.col("ts") + F.expr(f"INTERVAL {i} DAY")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        stage = f"{replay_dir}/_flush_stage"
+        row.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(f"{stage}/{src}", f"{replay_dir}/chunk_{9000 + i:04d}.parquet")
+        shutil.rmtree(stage, ignore_errors=True)

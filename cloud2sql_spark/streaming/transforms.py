@@ -161,3 +161,72 @@ def clicks_before_purchase(events: DataFrame) -> DataFrame:
         "click_ts",
         "click_value",
     )
+
+
+def purchases_with_click_outer(events: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase, matched to
+    the same user's clicks in the preceding hour OR emitted with null
+    click columns. The outer semantics are what the inner join
+    (clicks_before_purchase) cannot express: 'purchases with NO
+    qualifying click' is itself the signal (organic-conversion
+    measurement). On a stream, Spark holds an unmatched purchase until
+    the watermark passes its join window, then emits the null row —
+    so each branch takes its OWN watermark, and the '__flush__'
+    sentinel (replay.append_flush_sentinel) must survive until after
+    withWatermark so the final watermark advance releases the tail.
+    On batch the same plan is a plain left join; the DuckDB oracle
+    verifies the full outer pair set exactly."""
+
+    def branch(typ: str, cols: list) -> DataFrame:
+        b = events.filter(F.col("event_type").isin(typ, "__flush__")).select(
+            "event_type", *cols
+        )
+        return b
+
+    clicks = branch(
+        "click",
+        [
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        ],
+    )
+    purchases = branch(
+        "purchase",
+        [
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        ],
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", "1 hour")
+        purchases = purchases.withWatermark("purchase_ts", "1 hour")
+    # The sentinel-drop filter must reference the EVENT-TIME column:
+    # PushPredicateThroughNonJoin pushes any predicate NOT referencing the
+    # watermark attribute below the EventTimeWatermark node, and a pushed
+    # filter drops the '__flush__' rows BEFORE they reach the watermark
+    # tracker — silently un-flushing the outer join (observed: the tail's
+    # unmatched purchases never emitted). The far-future disjunct is
+    # always false for real sentinels, so semantics equal event_type==typ.
+    never = F.lit("9999-01-01").cast("timestamp")
+    clicks = clicks.filter(
+        (F.col("event_type") == "click") | (F.col("click_ts") > never)
+    ).drop("event_type")
+    purchases = purchases.filter(
+        (F.col("event_type") == "purchase") | (F.col("purchase_ts") > never)
+    ).drop("event_type")
+    cond = (
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+    )
+    return purchases.join(clicks, cond, "left_outer").select(
+        "purchase_id",
+        F.col("p_user_id").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        "click_value",
+    )

@@ -168,3 +168,34 @@ def test_exactly_once_sink_commit_markers(spark, sf_dir):
     markers = sorted(os.listdir(os.path.join(state, "_committed")))
     assert batches == ["batch=0", "batch=1"]
     assert markers == ["0", "1"]
+
+
+def test_stream_interval_join_outer_equals_batch(spark, sf_dir, tmp_path):
+    """LEFT OUTER stream-stream interval join: unmatched purchases emit
+    null click rows only as the watermark passes their window, so the
+    replay appends a '__flush__' sentinel a day past max ts; with it the
+    drained stream must equal the batch left join EXACTLY (without it
+    the tail's unmatched rows would be withheld — the pitfall this test
+    pins)."""
+    rd = replay.stage_replay_dir(
+        spark, sf_dir, str(tmp_path / "outer_replay"), n_files=6
+    )
+    # n > files_per_trigger: the first sentinel's watermark advance must
+    # have a LATER batch to take effect in
+    replay.append_flush_sentinel(spark, rd, n=3)
+    stream = transforms.purchases_with_click_outer(
+        replay.read_event_stream(spark, rd, files_per_trigger=2)
+    )
+    result = replay.run_to_memory(stream, "mem_ssj_outer", output_mode="append")
+    batch = transforms.purchases_with_click_outer(
+        load_table(spark, sf_dir, "events")
+    )
+    _assert_same_rows(
+        result,
+        batch,
+        ["purchase_id", "user_id", "purchase_ts", "click_id", "click_ts",
+         "click_value"],
+    )
+    # and the outer semantics are non-trivial here: some purchases have
+    # no qualifying click at all
+    assert batch.filter("click_id IS NULL").count() > 0
