@@ -186,6 +186,8 @@ _R05_ADDITIONS = [
     "events_window_funnel",
     "scan_merge_on_read",
     "stream_interval_join_outer",
+    "fn_uuid_deterministic",
+    "join_record_linkage",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS + _R05_ADDITIONS

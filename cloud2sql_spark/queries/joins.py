@@ -986,3 +986,114 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pit.groupBy("version", "c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+@register(
+    "join_record_linkage",
+    oracle="""
+    WITH dirty AS (
+      SELECT c_custkey + 1000000 AS d_id,
+             CASE c_custkey % 4
+               WHEN 0 THEN upper(c_name)
+               WHEN 1 THEN c_name
+               WHEN 2 THEN replace(c_name, '#', '# ')
+               ELSE 'Unknown-' || CAST(c_custkey AS VARCHAR) END AS d_name,
+             CASE WHEN c_custkey % 5 = 0 THEN 'MACHINERY-TYPO'
+                  ELSE c_mktsegment END AS d_segment,
+             c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 50.0
+                              ELSE 0.0 END AS d_acctbal
+      FROM customer),
+    db AS (SELECT *,
+                  CAST(regexp_extract(d_name, '([0-9]+)', 1) AS BIGINT) % 499
+                      AS blk,
+                  lower(replace(d_name, ' ', '')) AS d_norm
+           FROM dirty),
+    cb AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+                  c_custkey % 499 AS blk,
+                  lower(replace(c_name, ' ', '')) AS c_norm
+           FROM customer),
+    scored AS (
+      SELECT db.d_id, cb.c_custkey,
+             (CASE WHEN db.d_norm = cb.c_norm THEN 24 ELSE -5 END
+              + CASE WHEN db.d_segment = cb.c_mktsegment THEN 8 ELSE -3 END
+              + CASE WHEN abs(db.d_acctbal - cb.c_acctbal) <= 1.0 THEN 5
+                     ELSE -2 END) AS score
+      FROM db JOIN cb ON db.blk = cb.blk),
+    best AS (
+      SELECT d_id, c_custkey, score,
+             row_number() OVER (PARTITION BY d_id
+                                ORDER BY score DESC, c_custkey) AS rn
+      FROM scored WHERE score >= 20)
+    SELECT d_id, c_custkey AS linked_custkey, CAST(score AS INT) AS score
+    FROM best WHERE rn = 1
+    """,
+)
+def join_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (the Fellegi-Sunter shape): dirty
+    records — synthesized deterministically from customer with case
+    flips, whitespace injection, segment typos, balance drift, and an
+    unmatchable 25% — link back to the clean table via BLOCKING +
+    field-agreement scoring + best-match selection. Blocking on the
+    digits-of-name mod 499 (never the true key) bounds candidate pairs
+    to block-size x block-size instead of n²; agreement weights are
+    integers (name +24/-5, segment +8/-3, balance-within-1.00 +5/-2)
+    so scores are exact; threshold >= 20 forces name agreement; the
+    winner per dirty record is (score desc, custkey) — deterministic.
+    The balance comparison is exact because drift is +50.0 or 0.0 on
+    identical doubles. One blocked equi-join + one per-record window."""
+    customer = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dirty = customer.select(
+        (k + 1000000).alias("d_id"),
+        F.when(k % 4 == 0, F.upper("c_name"))
+        .when(k % 4 == 1, F.col("c_name"))
+        .when(k % 4 == 2, F.replace(F.col("c_name"), F.lit("#"), F.lit("# ")))
+        .otherwise(F.concat(F.lit("Unknown-"), k.cast("string")))
+        .alias("d_name"),
+        F.when(k % 5 == 0, F.lit("MACHINERY-TYPO"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("d_segment"),
+        (
+            F.col("c_acctbal")
+            + F.when(k % 7 == 0, F.lit(50.0)).otherwise(F.lit(0.0))
+        ).alias("d_acctbal"),
+    )
+    db = dirty.select(
+        "*",
+        (F.regexp_extract("d_name", r"([0-9]+)", 1).cast("bigint") % 499).alias(
+            "blk"
+        ),
+        F.lower(F.replace(F.col("d_name"), F.lit(" "), F.lit(""))).alias(
+            "d_norm"
+        ),
+    )
+    cb = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        (k % 499).alias("blk"),
+        F.lower(F.replace(F.col("c_name"), F.lit(" "), F.lit(""))).alias(
+            "c_norm"
+        ),
+    )
+    score = (
+        F.when(F.col("d_norm") == F.col("c_norm"), 24).otherwise(-5)
+        + F.when(F.col("d_segment") == F.col("c_mktsegment"), 8).otherwise(-3)
+        + F.when(
+            F.abs(F.col("d_acctbal") - F.col("c_acctbal")) <= 1.0, 5
+        ).otherwise(-2)
+    )
+    scored = db.join(cb, "blk").select(
+        "d_id", "c_custkey", score.alias("score")
+    )
+    w = Window.partitionBy("d_id").orderBy(F.col("score").desc(), "c_custkey")
+    return (
+        scored.filter(F.col("score") >= 20)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "d_id",
+            F.col("c_custkey").alias("linked_custkey"),
+            F.col("score").cast("int").alias("score"),
+        )
+    )

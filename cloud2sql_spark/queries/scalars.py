@@ -783,3 +783,59 @@ def fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("lon") * 1000 + 0.5).cast("bigint").alias("lon_milli"),
         F.floor(d + 0.5).cast("bigint").alias("dist_m"),
     )
+
+
+@register(
+    "fn_uuid_deterministic",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderkey,
+             md5('order-ns:' || CAST(o_orderkey AS VARCHAR)) AS hx
+      FROM orders)
+    SELECT o_orderkey,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-'
+             || '5' || substr(hx, 14, 3) || '-'
+             || CASE WHEN (strpos('0123456789abcdef', substr(hx, 17, 1)) - 1)
+                          % 4 = 0 THEN '8'
+                     WHEN (strpos('0123456789abcdef', substr(hx, 17, 1)) - 1)
+                          % 4 = 1 THEN '9'
+                     WHEN (strpos('0123456789abcdef', substr(hx, 17, 1)) - 1)
+                          % 4 = 2 THEN 'a'
+                     ELSE 'b' END || substr(hx, 18, 3) || '-'
+             || substr(hx, 21, 12) AS surrogate_uuid
+    FROM h
+    """,
+)
+def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate-key minting: a name-based (UUIDv5-style)
+    UUID from md5('namespace:' || natural key) with the version nibble
+    forced to 5 and the variant nibble folded into 8/9/a/b — the idiom
+    for stable cross-system entity ids that survive re-collection
+    (Spark's uuid() is random per row per execution and useless for
+    joins). md5 hex is identical across engines, so both mint identical
+    ids. Pure codegen string slicing, zero shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    hx = F.md5(F.concat(F.lit("order-ns:"), F.col("o_orderkey").cast("string")))
+    h = orders.select("o_orderkey", hx.alias("hx"))
+    nib = F.instr(F.lit("0123456789abcdef"), F.substring("hx", 17, 1)) - 1
+    variant = (
+        F.when(nib % 4 == 0, F.lit("8"))
+        .when(nib % 4 == 1, F.lit("9"))
+        .when(nib % 4 == 2, F.lit("a"))
+        .otherwise(F.lit("b"))
+    )
+    return h.select(
+        "o_orderkey",
+        F.concat(
+            F.substring("hx", 1, 8),
+            F.lit("-"),
+            F.substring("hx", 9, 4),
+            F.lit("-5"),
+            F.substring("hx", 14, 3),
+            F.lit("-"),
+            variant,
+            F.substring("hx", 18, 3),
+            F.lit("-"),
+            F.substring("hx", 21, 12),
+        ).alias("surrogate_uuid"),
+    )

@@ -126,6 +126,8 @@ _PRIORITY = [
     "events_window_funnel",
     "scan_merge_on_read",
     "stream_interval_join_outer",
+    "fn_uuid_deterministic",
+    "join_record_linkage",
     # Remaining slots: the stalest driver evidence — the r01 cohort (last
     # proven four rounds ago) — re-prove the core relational surface.
     "agg_groupby",

@@ -131,6 +131,8 @@ PROBE_KEYS = [
     "embed_knn_graph",
     "events_window_funnel",
     "scan_merge_on_read",
+    "stream_interval_join_outer",
+    "join_record_linkage",
 ]
 
 # Operators whose CONTRACT is exact all-pairs computation (the dedup

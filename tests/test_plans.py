@@ -737,3 +737,19 @@ def test_merge_on_read_broadcasts_delete_vector(spark, sf_dir):
     broadcast LEFT ANTI join — the base table streams map-side."""
     plan = _physical(_QUERIES["scan_merge_on_read"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_uuid_minting_pure_projection(spark, sf_dir):
+    """fn_uuid_deterministic: codegen string slicing only — no exchange,
+    no Python."""
+    plan = _physical(_QUERIES["fn_uuid_deterministic"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_record_linkage_blocked_equi_join(spark, sf_dir):
+    """join_record_linkage: candidates come from the blocking-key
+    EQUI-join (never a cartesian over dirty x clean)."""
+    plan = _physical(_QUERIES["join_record_linkage"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
