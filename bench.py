@@ -188,6 +188,9 @@ _R05_ADDITIONS = [
     "stream_interval_join_outer",
     "fn_uuid_deterministic",
     "join_record_linkage",
+    "agg_ols_two_factor",
+    "win_median_sliding",
+    "udtf_polymorphic",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS + _R05_ADDITIONS

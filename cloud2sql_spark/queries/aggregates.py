@@ -908,3 +908,127 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("med_c").cast("double") / 100).alias("weighted_median_price"),
         "total_weight",
     )
+
+
+@register(
+    "agg_ols_two_factor",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+             CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS sd,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS sp,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sqq,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(round(l_discount * 100, 0) AS BIGINT))
+                  AS BIGINT) AS sqd,
+             CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)
+                      * CAST(round(l_discount * 100, 0) AS BIGINT))
+                  AS BIGINT) AS sdd,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS sqp,
+             CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)
+                      * CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS sdp
+      FROM lineitem),
+    d AS (
+      SELECT n,
+             CAST(n AS DOUBLE) * (CAST(sqq AS DOUBLE) * CAST(sdd AS DOUBLE)
+                                  - CAST(sqd AS DOUBLE) * CAST(sqd AS DOUBLE))
+             - CAST(sq AS DOUBLE) * (CAST(sq AS DOUBLE) * CAST(sdd AS DOUBLE)
+                                     - CAST(sqd AS DOUBLE) * CAST(sd AS DOUBLE))
+             + CAST(sd AS DOUBLE) * (CAST(sq AS DOUBLE) * CAST(sqd AS DOUBLE)
+                                     - CAST(sqq AS DOUBLE) * CAST(sd AS DOUBLE))
+                 AS det,
+             CAST(sp AS DOUBLE) * (CAST(sqq AS DOUBLE) * CAST(sdd AS DOUBLE)
+                                   - CAST(sqd AS DOUBLE) * CAST(sqd AS DOUBLE))
+             - CAST(sq AS DOUBLE) * (CAST(sqp AS DOUBLE) * CAST(sdd AS DOUBLE)
+                                     - CAST(sqd AS DOUBLE) * CAST(sdp AS DOUBLE))
+             + CAST(sd AS DOUBLE) * (CAST(sqp AS DOUBLE) * CAST(sqd AS DOUBLE)
+                                     - CAST(sqq AS DOUBLE) * CAST(sdp AS DOUBLE))
+                 AS det0,
+             CAST(n AS DOUBLE) * (CAST(sqp AS DOUBLE) * CAST(sdd AS DOUBLE)
+                                  - CAST(sqd AS DOUBLE) * CAST(sdp AS DOUBLE))
+             - CAST(sp AS DOUBLE) * (CAST(sq AS DOUBLE) * CAST(sdd AS DOUBLE)
+                                     - CAST(sqd AS DOUBLE) * CAST(sd AS DOUBLE))
+             + CAST(sd AS DOUBLE) * (CAST(sq AS DOUBLE) * CAST(sdp AS DOUBLE)
+                                     - CAST(sqp AS DOUBLE) * CAST(sd AS DOUBLE))
+                 AS det1,
+             CAST(n AS DOUBLE) * (CAST(sqq AS DOUBLE) * CAST(sdp AS DOUBLE)
+                                  - CAST(sqp AS DOUBLE) * CAST(sqd AS DOUBLE))
+             - CAST(sq AS DOUBLE) * (CAST(sq AS DOUBLE) * CAST(sdp AS DOUBLE)
+                                     - CAST(sqp AS DOUBLE) * CAST(sd AS DOUBLE))
+             + CAST(sp AS DOUBLE) * (CAST(sq AS DOUBLE) * CAST(sqd AS DOUBLE)
+                                     - CAST(sqq AS DOUBLE) * CAST(sd AS DOUBLE))
+                 AS det2
+      FROM m)
+    SELECT n,
+           det0 / det AS intercept_cents,
+           det1 / det AS beta_quantity_cents,
+           det2 / det AS beta_discount
+    FROM d
+    """,
+)
+def agg_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS with intercept (price ~ quantity + discount) in
+    closed form: the 3x3 normal equations solved by Cramer's rule from
+    NINE exact integer moments — ONE partial-aggregable scan, then
+    scalar determinant arithmetic on the 1-row result. This is the
+    distributed-ML-primitive shape: moments are associative integer
+    sums (quantity integral, discount/price exact 2-decimal money ->
+    cents), so any partitioning yields the same bits; the determinants
+    run in IEEE doubles with IDENTICAL association on both engines —
+    intermediate magnitudes exceed 2^53 but both engines round the same
+    products the same way, so every output double is bit-equal with no
+    rounding contract. At 100 TB this is a single map-side-combined
+    scan; a k-feature version ships k(k+3)/2 moments and solves
+    driver-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    dc = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    p = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    m = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(q).cast("bigint").alias("sq"),
+        F.sum(dc).cast("bigint").alias("sd"),
+        F.sum(p).cast("bigint").alias("sp"),
+        F.sum(q * q).cast("bigint").alias("sqq"),
+        F.sum(q * dc).cast("bigint").alias("sqd"),
+        F.sum(dc * dc).cast("bigint").alias("sdd"),
+        F.sum(q * p).cast("bigint").alias("sqp"),
+        F.sum(dc * p).cast("bigint").alias("sdp"),
+    )
+
+    def D(c: str):
+        return F.col(c).cast("double")
+
+    det = (
+        D("n") * (D("sqq") * D("sdd") - D("sqd") * D("sqd"))
+        - D("sq") * (D("sq") * D("sdd") - D("sqd") * D("sd"))
+        + D("sd") * (D("sq") * D("sqd") - D("sqq") * D("sd"))
+    )
+    det0 = (
+        D("sp") * (D("sqq") * D("sdd") - D("sqd") * D("sqd"))
+        - D("sq") * (D("sqp") * D("sdd") - D("sqd") * D("sdp"))
+        + D("sd") * (D("sqp") * D("sqd") - D("sqq") * D("sdp"))
+    )
+    det1 = (
+        D("n") * (D("sqp") * D("sdd") - D("sqd") * D("sdp"))
+        - D("sp") * (D("sq") * D("sdd") - D("sqd") * D("sd"))
+        + D("sd") * (D("sq") * D("sdp") - D("sqp") * D("sd"))
+    )
+    det2 = (
+        D("n") * (D("sqq") * D("sdp") - D("sqp") * D("sqd"))
+        - D("sq") * (D("sq") * D("sdp") - D("sqp") * D("sd"))
+        + D("sp") * (D("sq") * D("sqd") - D("sqq") * D("sd"))
+    )
+    return m.select(
+        "n",
+        (det0 / det).alias("intercept_cents"),
+        (det1 / det).alias("beta_quantity_cents"),
+        (det2 / det).alias("beta_discount"),
+    )

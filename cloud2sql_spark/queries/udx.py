@@ -281,3 +281,67 @@ def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT * FROM lang_summary(TABLE(udtf_docs_v) PARTITION BY lang)"
     )
+
+
+@register(
+    "udtf_polymorphic",
+    oracle="""
+    SELECT lang,
+           count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS total,
+           CAST(max(n_chars) AS BIGINT) AS mx
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (the Spark 4 ANALYZE API): the function's
+    output schema is computed at PLAN time from its literal argument —
+    here a comma-separated stat list ('n,total,mx') becomes one output
+    column per requested stat. This is the table-function contract
+    dynamic DDL needs (the etl layer's kind->StructType mapping, as a
+    planner-integrated function): callers choose columns per call
+    without code changes, and Catalyst sees the real schema for pruning
+    and downstream planning. Runtime shape is udtf_table_arg's: one
+    keyed shuffle (PARTITION BY lang), O(1) state per partition."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class DynStats:
+        @staticmethod
+        def analyze(tbl: AnalyzeArgument, stats: AnalyzeArgument) -> AnalyzeResult:
+            fields = [StructField("lang", StringType())]
+            for s in str(stats.value).split(","):
+                fields.append(StructField(s.strip(), LongType()))
+            return AnalyzeResult(StructType(fields))
+
+        def __init__(self):
+            self._lang = None
+            self._n = 0
+            self._sum = 0
+            self._max = 0
+
+        def eval(self, row, stats):
+            self._lang = row["lang"]
+            self._n += 1
+            c = int(row["n_chars"])
+            self._sum += c
+            self._max = max(self._max, c)
+
+        def terminate(self):
+            if self._n:
+                vals = {"n": self._n, "total": self._sum, "mx": self._max}
+                yield (self._lang, *(vals[s] for s in ("n", "total", "mx")))
+
+    poly = udtf(DynStats)
+    spark.udtf.register("dyn_stats", poly)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_poly_docs_v"
+    )
+    # (lang) parenthesized: with a scalar arg following, an unparenthesized
+    # PARTITION BY lang, '...' parses the literal as a second partition key
+    return spark.sql(
+        "SELECT * FROM dyn_stats(TABLE(udtf_poly_docs_v) PARTITION BY (lang),"
+        " 'n,total,mx')"
+    )

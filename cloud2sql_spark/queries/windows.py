@@ -391,3 +391,58 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").over(w).cast("double").alias("hour_value"),
         F.count(F.lit(1)).over(w).cast("long").alias("hour_events"),
     )
+
+
+@register(
+    "win_median_sliding",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             count(*) OVER fr AS w_n,
+             list_sort(list(CAST(round(value * 100, 0) AS BIGINT)) OVER fr)
+                 AS w_vals
+      FROM events
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id, cents,
+           CAST(w_n AS INT) AS w_n,
+           w_vals[CAST((w_n + 1) // 2 AS INT)] AS sliding_median_cents
+    FROM w
+    """,
+)
+def win_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window MEDIAN (7-row trailing, per user) — the robust
+    smoother moving averages can't give you (one outlier wrecks a mean;
+    the median shrugs). Spark has no percentile window aggregate, so the
+    frame's values are collected and sorted per row (collect_list over a
+    ROWS frame + array_sort) and the LOWER median (element ceil(n/2),
+    1-based) is picked — an exact integer-cents value, no interpolation,
+    so the contract is deterministic (the gotcha: interpolated medians
+    of 2-decimal data must never be rounded back to 2 decimals). O(w log
+    w) per row on a bounded frame is the honest cost; at 100 TB the same
+    plan holds because the frame, not the partition, bounds the work.
+    One (user, ts, event_id) window shuffle total."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    staged = ev.select(
+        "user_id",
+        "event_id",
+        cents.alias("cents"),
+        F.count(F.lit(1)).over(fr).cast("int").alias("w_n"),
+        F.array_sort(F.collect_list(cents).over(fr)).alias("w_vals"),
+    )
+    return staged.select(
+        "user_id",
+        "event_id",
+        "cents",
+        "w_n",
+        F.element_at(
+            "w_vals", ((F.col("w_n") + 1) / 2).cast("int")
+        ).alias("sliding_median_cents"),
+    )

@@ -128,6 +128,9 @@ _PRIORITY = [
     "stream_interval_join_outer",
     "fn_uuid_deterministic",
     "join_record_linkage",
+    "agg_ols_two_factor",
+    "win_median_sliding",
+    "udtf_polymorphic",
     # Remaining slots: the stalest driver evidence — the r01 cohort (last
     # proven four rounds ago) — re-prove the core relational surface.
     "agg_groupby",

@@ -133,6 +133,8 @@ PROBE_KEYS = [
     "scan_merge_on_read",
     "stream_interval_join_outer",
     "join_record_linkage",
+    "agg_ols_two_factor",
+    "win_median_sliding",
 ]
 
 # Operators whose CONTRACT is exact all-pairs computation (the dedup

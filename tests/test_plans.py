@@ -753,3 +753,20 @@ def test_record_linkage_blocked_equi_join(spark, sf_dir):
     plan = _physical(_QUERIES["join_record_linkage"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ols_single_scan_partial_agg(spark, sf_dir):
+    """agg_ols_two_factor: all nine moments fuse into ONE scan with
+    map-side partial aggregation — no join, no second pass."""
+    plan = _physical(_QUERIES["agg_ols_two_factor"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_sliding_median_single_window_shuffle(spark, sf_dir):
+    """win_median_sliding: count + sorted-frame list share one
+    (user, ts, event_id) window spec — a single Exchange."""
+    plan = _physical(_QUERIES["win_median_sliding"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
