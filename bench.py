@@ -191,6 +191,8 @@ _R05_ADDITIONS = [
     "agg_ols_two_factor",
     "win_median_sliding",
     "udtf_polymorphic",
+    "dedup_media_phash",
+    "events_anomaly_mad",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS + _R05_ADDITIONS

@@ -1542,3 +1542,112 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("lvl", F.lit(0)).cast("int").alias("funnel_level"),
         )
     )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events),
+    r1 AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY cents, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c),
+    med AS (
+      SELECT event_type,
+             CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT)
+                 AS med_cents,
+             CAST(max(n) AS BIGINT) AS n
+      FROM r1 GROUP BY event_type),
+    dev AS (
+      SELECT c.event_id, c.event_type, c.cents,
+             abs(c.cents - m.med_cents) AS d, m.med_cents, m.n
+      FROM c JOIN med m ON c.event_type = m.event_type),
+    r2 AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY d, event_id) AS rn
+      FROM dev),
+    mad AS (
+      SELECT event_type,
+             CAST(max(CASE WHEN rn = (n + 1) // 2 THEN d END) AS BIGINT)
+                 AS mad_cents
+      FROM r2 GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(max(d.n) AS BIGINT) AS n,
+           CAST(max(d.med_cents) AS BIGINT) AS median_cents,
+           CAST(max(a.mad_cents) AS BIGINT) AS mad_cents,
+           CAST(sum(CASE WHEN d.d * 10000 > a.mad_cents * 51891
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM dev d JOIN mad a ON d.event_type = a.event_type
+    GROUP BY d.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection via MEDIAN ABSOLUTE DEVIATION — the
+    outlier detector events_anomaly_zscore cannot be: mean/stddev are
+    themselves dragged by the outliers they are supposed to flag, while
+    the median/MAD pair has a 50% breakdown point. Threshold: robust
+    z > 3.5 with the 1.4826 normal-consistency constant, i.e.
+    |x - med| > 5.1891 * MAD, evaluated as the EXACT integer
+    cross-multiplication dev * 10000 > mad * 51891 — no doubles anywhere
+    in the operator. Medians are exact lower medians ((n+1) div 2 of the
+    (value, event_id) order, the agg_weighted_percentile rule). Shape:
+    two window passes on the same event_type partitioning (rank for the
+    median, rank for the MAD) with tiny per-type aggregates broadcast
+    back between them — a fixed number of keyed shuffles regardless of
+    scale, never a per-row subquery."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    wt = Window.partitionBy("event_type")
+    w1 = wt.orderBy("cents", "event_id")
+    r1 = c.select(
+        "*",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    med = r1.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents"))
+        )
+        .cast("bigint")
+        .alias("med_cents"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("d"),
+        "med_cents",
+        "n",
+    )
+    w2 = wt.orderBy("d", "event_id")
+    r2 = dev.select("*", F.row_number().over(w2).alias("rn"))
+    mad = r2.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("d")))
+        .cast("bigint")
+        .alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.max("med_cents").cast("bigint").alias("median_cents"),
+            F.max("mad_cents").cast("bigint").alias("mad_cents"),
+            F.sum(
+                F.when(
+                    F.col("d") * 10000 > F.col("mad_cents") * 51891, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+    )

@@ -423,3 +423,100 @@ def multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
         patchify,
         "doc_id BIGINT, patch_row INT, patch_col INT, n_px BIGINT, mean_q6 BIGINT",
     )
+
+
+@register(
+    "dedup_media_phash",
+    oracle="""
+    WITH b AS (SELECT doc_id, list_transform(string_split(text, ''),
+                                             c -> ascii(c)) AS bl
+               FROM documents),
+    s AS (SELECT doc_id, bl, len(bl) AS n FROM b WHERE len(bl) >= 60),
+    tot AS (SELECT doc_id, bl, n, list_aggregate(bl, 'sum') AS t FROM s),
+    sig AS (SELECT doc_id,
+             list_sum([CASE WHEN list_aggregate(
+                                    bl[(i*n)//60 + 1:((i+1)*n)//60], 'sum') * n
+                                 > t * (((i+1)*n)//60 - (i*n)//60)
+                            THEN (1::BIGINT << i) ELSE 0 END
+                       for i in range(0, 60)]) AS sig
+            FROM tot),
+    bands AS (SELECT doc_id, sig, unnest(range(0, 12)) AS bi FROM sig),
+    bv AS (SELECT doc_id, sig, bi,
+                  (sig >> CAST(bi * 5 AS INT)) & 31 AS bval
+           FROM bands),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sig AS sig_a,
+                             b2.doc_id AS doc_b, b2.sig AS sig_b
+             FROM bv a JOIN bv b2
+               ON a.bi = b2.bi AND a.bval = b2.bval
+              AND a.doc_id < b2.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 11
+    """,
+)
+def dedup_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection for BINARY media payloads — the
+    aHash recipe (a real image phash averages pixel blocks; here the
+    payload byte stream stands in, per the module's codec-stub mandate):
+    60 area-averaged blocks, bit i set when block i's mean exceeds the
+    global mean — compared in EXACT integer cross-multiplication
+    (block_sum * n > total * block_len, no division) — packed into a
+    60-bit BIGINT kept below the sign bit (engines disagree past 1<<62).
+    Candidate pairs come from 12 x 5-bit band-equality joins: a pair at
+    hamming <= 11 can corrupt at most 11 bands, so one band survives —
+    the dedup_simhash pigeonhole, giving EXACT recall at the threshold,
+    never all-pairs. Signatures are numpy per Arrow batch; the verify is
+    codegen bit_count(xor). Re-encoded/resized media that keeps gross
+    structure lands within the threshold; the oracle replays the
+    identical integer pipeline."""
+    mm = (
+        _with_payload(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "payload")
+        .filter(F.octet_length("payload") >= 60)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        nb = 60
+        shifts = np.arange(nb, dtype=np.int64)
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                n = arr.size
+                bounds = (np.arange(nb + 1) * n) // nb
+                sums = np.add.reduceat(arr, bounds[:-1])
+                lens = np.diff(bounds)
+                bits = (sums * n) > (int(arr.sum()) * lens)
+                sigs.append(int((bits.astype(np.int64) << shifts).sum()))
+                ids.append(doc_id)
+            yield pd.DataFrame({"doc_id": ids, "sig": pd.array(sigs, dtype="int64")})
+
+    sig = mm.mapInPandas(phash, "doc_id BIGINT, sig BIGINT").persist()
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(11))).alias("bi"),
+    ).withColumn(
+        "bval", F.expr("shiftright(sig, CAST(bi * 5 AS INT))") % 32
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "bi", "bval"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "bi", "bval"
+    )
+    cand = (
+        a.join(b, ["bi", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "sig_a", "doc_b", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 11)
+        .select("doc_a", "doc_b", "hamming")
+    )

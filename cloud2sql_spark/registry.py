@@ -131,6 +131,8 @@ _PRIORITY = [
     "agg_ols_two_factor",
     "win_median_sliding",
     "udtf_polymorphic",
+    "dedup_media_phash",
+    "events_anomaly_mad",
     # Remaining slots: the stalest driver evidence — the r01 cohort (last
     # proven four rounds ago) — re-prove the core relational surface.
     "agg_groupby",

@@ -135,6 +135,8 @@ PROBE_KEYS = [
     "join_record_linkage",
     "agg_ols_two_factor",
     "win_median_sliding",
+    "dedup_media_phash",
+    "events_anomaly_mad",
 ]
 
 # Operators whose CONTRACT is exact all-pairs computation (the dedup

@@ -770,3 +770,20 @@ def test_sliding_median_single_window_shuffle(spark, sf_dir):
     plan = _physical(_QUERIES["win_median_sliding"](spark, sf_dir))
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_media_phash_banded_no_allpairs(spark, sf_dir):
+    """dedup_media_phash: candidates come from band-equality joins
+    (pigeonhole), never an all-pairs signature comparison."""
+    plan = _physical(_QUERIES["dedup_media_phash"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_anomaly_mad_integer_only(spark, sf_dir):
+    """events_anomaly_mad: the whole detector is integer arithmetic —
+    no double-typed expression escapes into the output schema."""
+    df = _QUERIES["events_anomaly_mad"](spark, sf_dir)
+    assert all(f.dataType.simpleString() in ("string", "bigint") for f in df.schema.fields), df.schema
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan, plan
