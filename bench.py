@@ -193,6 +193,10 @@ _R05_ADDITIONS = [
     "udtf_polymorphic",
     "dedup_media_phash",
     "events_anomaly_mad",
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS + _R05_ADDITIONS

@@ -6,10 +6,24 @@ loaded tables); these keys prove the engine end-to-end on the classic
 decision-support shapes — multi-join star/snowflake plans, correlated
 having, top-k with deterministic tie-breaks — adapted to the driver's
 TPC-H-lite schema (no partsupp table, no l_commitdate/l_receiptdate/
-l_shipmode columns, generic NATION_N names). Eighteen of the 22 are
-expressible: Q1, Q3-Q10, Q12-Q15, Q17-Q19, Q21-Q22; Q2/Q11/Q16/Q20 need partsupp
-and are structurally impossible on this schema (Q12/Q21 substitute
-ship-after-order-date lateness for the missing commit/receipt dates).
+l_shipmode columns, generic NATION_N names). All 22 are covered: Q1,
+Q3-Q10, Q12-Q15, Q17-Q19, Q21-Q22 run near-verbatim (Q12/Q21 substitute
+ship-after-order-date lateness for the missing commit/receipt dates);
+Q2/Q11/Q16/Q20 need the partsupp table the lite schema omits, so they
+run against a DERIVED partsupp — lineitem carries (l_partkey,
+l_suppkey), and grouping it yields the part-supplier relation with
+``ps_cost_cents = min`` observed line price (exact cents, no division)
+and ``ps_availqty = sum(l_quantity)`` (integral). The four queries keep
+their canonical shapes (correlated-min across a region, scalar-subquery
+HAVING fraction, NOT-IN supplier exclusion, nested IN with a
+recent-share threshold) on that derived relation; negative ``s_acctbal``
+stands in for Q16's complaint-comment filter and a 1997 recency share
+for Q20's half-of-availqty test. Because the derived relation's GROUP
+KEY contains every filter key, filter-then-aggregate commutes with
+aggregate-then-filter: the Spark plans broadcast the supplier/part
+slices into the lineitem scan BEFORE the pair aggregation, while the
+oracles aggregate first — same values, and the Spark side shuffles only
+the surviving slice.
 
 Scale posture: every query keeps dims (region/nation, filtered part set)
 broadcast, pushes date/flag filters into the parquet scan, and shuffles the
@@ -965,4 +979,296 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
+    )
+
+
+_PS_SQL = """
+    ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                 AS ps_cost_cents,
+             CAST(round(sum(l_quantity), 0) AS BIGINT) AS ps_availqty
+      FROM lineitem GROUP BY 1, 2)
+"""
+
+
+def _derived_ps(li: DataFrame) -> DataFrame:
+    """The derived partsupp relation (module docstring): one row per
+    (l_partkey, l_suppkey) pair with exact-integer cost/qty. ``li`` may
+    be pre-filtered on part or supplier keys — the group key contains
+    both, so the aggregate commutes with those filters."""
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias(
+            "ps_cost_cents"
+        ),
+        F.round(F.sum("l_quantity"), 0).cast("bigint").alias("ps_availqty"),
+    )
+
+
+@register(
+    "tpch_q2",
+    oracle=f"""
+    WITH {_PS_SQL},
+    europe AS (
+      SELECT ps.*, s.s_acctbal, s.s_name, n.n_name
+      FROM ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    target AS (
+      SELECT p_partkey, p_brand FROM part
+      WHERE p_type = 'ECONOMY' AND p_size BETWEEN 10 AND 20),
+    mn AS (
+      SELECT ps_partkey, min(ps_cost_cents) AS min_cost
+      FROM europe GROUP BY ps_partkey)
+    SELECT e.s_acctbal, e.s_name, e.n_name, t.p_partkey, t.p_brand,
+           e.ps_cost_cents AS cost_cents
+    FROM europe e
+    JOIN target t ON e.ps_partkey = t.p_partkey
+    JOIN mn ON mn.ps_partkey = e.ps_partkey
+           AND e.ps_cost_cents = mn.min_cost
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, t.p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier, on the derived partsupp: for each
+    ECONOMY mid-size part, the EUROPE supplier(s) offering the minimum
+    cost. The canonical correlated MIN subquery decorrelates into one
+    per-part aggregate joined back on (partkey, cost=min) equality —
+    exact because cost is integer cents. The region→nation→supplier
+    chain and the filtered part slice are broadcast INTO the lineitem
+    scan before the pair aggregation (group key ⊇ filter keys, module
+    docstring), so the shuffle carries only Europe×target lines; the
+    per-part min is a second aggregate on the SAME partkey-prefixed
+    shuffle key. Top-100 orders by raw (unaggregated) s_acctbal with
+    full key tie-breaks — deterministic in both engines."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    esupp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    target = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "ECONOMY") & F.col("p_size").between(10, 20))
+        .select("p_partkey", "p_brand")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(esupp.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(target.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    )
+    europe = _derived_ps(li)
+    mn = europe.groupBy("ps_partkey").agg(
+        F.min("ps_cost_cents").alias("min_cost")
+    )
+    return (
+        europe.join(mn, "ps_partkey")
+        .filter(F.col("ps_cost_cents") == F.col("min_cost"))
+        .join(esupp, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(target, F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("ps_cost_cents").alias("cost_cents"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11",
+    oracle=f"""
+    WITH {_PS_SQL},
+    nat AS (
+      SELECT ps.* FROM ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    tot AS (SELECT sum(ps_cost_cents * ps_availqty) AS t FROM nat)
+    SELECT ps_partkey,
+           CAST(sum(ps_cost_cents * ps_availqty) AS BIGINT) AS value_cents
+    FROM nat GROUP BY ps_partkey
+    HAVING sum(ps_cost_cents * ps_availqty) * 2000 > (SELECT t FROM tot)
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock, on the derived partsupp: per-part
+    stock value (cost × availqty, exact bigint cents) held by EUROPE
+    suppliers, keeping parts above a 1/2000 share of the total. The
+    scalar subquery becomes a 1-row aggregate broadcast-cross-joined
+    into the per-part HAVING; the share test is the integer
+    cross-multiplication value*2000 > total — no doubles, no division.
+    Supplier slice broadcasts into the lineitem scan pre-aggregation
+    (group key ⊇ filter key); both the per-part aggregate and the total
+    reuse the one filtered pair-aggregate frame."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    esupp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(esupp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    )
+    nat = _derived_ps(li).select(
+        "ps_partkey", (F.col("ps_cost_cents") * F.col("ps_availqty")).alias("v")
+    )
+    per_part = nat.groupBy("ps_partkey").agg(
+        F.sum("v").cast("bigint").alias("value_cents")
+    )
+    tot = nat.agg(F.sum("v").alias("t"))
+    return (
+        per_part.join(F.broadcast(tot))
+        .filter(F.col("value_cents") * 2000 > F.col("t"))
+        .select("ps_partkey", "value_cents")
+    )
+
+
+@register(
+    "tpch_q16",
+    oracle=f"""
+    WITH {_PS_SQL}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship, on the derived partsupp:
+    how many distinct suppliers can provide each surviving
+    (brand, type, size) class, excluding suppliers in bad standing
+    (negative s_acctbal stands in for the complaint-comment filter —
+    the lite supplier table has no comment column). The NOT IN becomes
+    a broadcast left-anti join (s_suppkey is never null, so NOT IN and
+    anti-join agree); only the distinct pair relation is needed, so the
+    pair aggregate reduces to distinct() over the part-filtered slice.
+    count_distinct shuffles once on the 3-part group key."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+        .join(bad, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        pairs.join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20",
+    oracle=f"""
+    WITH {_PS_SQL},
+    q97 AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(round(sum(l_quantity), 0) AS BIGINT) AS qty97
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2)
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT ps.ps_suppkey FROM ps
+      JOIN part p ON p.p_partkey = ps.ps_partkey
+                 AND p.p_name LIKE 'small%'
+      JOIN q97 ON q97.l_partkey = ps.ps_partkey
+              AND q97.l_suppkey = ps.ps_suppkey
+      WHERE q97.qty97 * 2 > ps.ps_availqty)
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion, on the derived partsupp:
+    name the suppliers for whom some 'small%' part's 1997 shipments
+    exceed HALF of that pair's lifetime volume (the recency-share analog
+    of availqty > half of a year's movement — availqty here IS lifetime
+    volume, so the canonical inequality is inverted to stay selective).
+    The nested IN chain decorrelates outward: part filter broadcast into
+    BOTH pair aggregates, the year-slice aggregate joins the lifetime
+    aggregate pair-to-pair on the same (partkey, suppkey) shuffle key,
+    and the surviving suppkeys semi-join into supplier. The share test
+    is integer cross-multiplication (qty97*2 > availqty)."""
+    small = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(small, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity", "l_shipdate")
+    )
+    ps = _derived_ps(li)
+    q97 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 0).cast("bigint").alias("qty97"))
+    )
+    excess = (
+        ps.join(
+            q97,
+            (ps.ps_partkey == q97.l_partkey) & (ps.ps_suppkey == q97.l_suppkey),
+        )
+        .filter(F.col("qty97") * 2 > F.col("ps_availqty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supplier.join(
+            excess, supplier.s_suppkey == excess.ps_suppkey, "left_semi"
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
     )

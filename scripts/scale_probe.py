@@ -137,6 +137,10 @@ PROBE_KEYS = [
     "win_median_sliding",
     "dedup_media_phash",
     "events_anomaly_mad",
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
 ]
 
 # Operators whose CONTRACT is exact all-pairs computation (the dedup

@@ -787,3 +787,29 @@ def test_anomaly_mad_integer_only(spark, sf_dir):
     assert all(f.dataType.simpleString() in ("string", "bigint") for f in df.schema.fields), df.schema
     plan = _physical(df)
     assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "key", ["tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20"]
+)
+def test_tpch_derived_ps_no_cartesian(key, spark, sf_dir):
+    """Derived-partsupp quartet: multi-join plans stay keyed."""
+    plan = _physical(_QUERIES[key](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # the only nested-loop join allowed is the 1-row scalar broadcast
+    # (q11's total); everything else must be hash-keyed
+    if key != "tpch_q11":
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+@pytest.mark.parametrize("key", ["tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20"])
+def test_tpch_derived_ps_filter_before_aggregate(key, spark, sf_dir):
+    """The supplier/part slice broadcasts INTO the lineitem scan BELOW
+    the pair aggregation (group key ⊇ filter keys — module docstring):
+    a BroadcastHashJoin must appear in the subtree under the first
+    partial HashAggregate, i.e. the plan never aggregates the full
+    lineitem pair space first."""
+    plan = _physical(_QUERIES[key](spark, sf_dir))
+    first_agg = plan.find("HashAggregate")
+    assert first_agg != -1, plan
+    assert "BroadcastHashJoin" in plan[first_agg:], plan
