@@ -197,6 +197,9 @@ _R05_ADDITIONS = [
     "tpch_q11",
     "tpch_q16",
     "tpch_q20",
+    "agg_skew_kurtosis",
+    "quality_drift_tv",
+    "graph_kcore_peel",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS + _R05_ADDITIONS

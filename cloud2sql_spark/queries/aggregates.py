@@ -1032,3 +1032,99 @@ def agg_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         (det1 / det).alias("beta_quantity_cents"),
         (det2 / det).alias("beta_discount"),
     )
+
+
+@register(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(cents) AS s1,
+             sum(cents * cents) AS s2,
+             sum(cents * cents * cents) AS s3,
+             sum(CAST(cents * cents AS HUGEINT)
+                 * CAST(cents * cents AS HUGEINT)) AS s4
+      FROM c GROUP BY event_type),
+    d AS (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE)  AS dn,
+             CAST(s1 AS DOUBLE) AS d1,
+             CAST(s2 AS DOUBLE) AS d2,
+             CAST(s3 AS DOUBLE) AS d3,
+             CAST(s4 AS DOUBLE) AS d4
+      FROM m),
+    mo AS (
+      SELECT event_type, n, d1 / dn AS mean, dn, d2, d3, d4 FROM d),
+    ce AS (
+      SELECT event_type, n, mean,
+             d2 / dn - mean * mean AS m2,
+             d3 / dn - 3 * mean * (d2 / dn)
+                     + 2 * mean * mean * mean AS m3,
+             d4 / dn - 4 * mean * (d3 / dn)
+                     + 6 * (mean * mean) * (d2 / dn)
+                     - 3 * (mean * mean) * (mean * mean) AS m4
+      FROM mo)
+    SELECT event_type, n,
+           m3 / (m2 * sqrt(m2)) AS skewness,
+           m4 / (m2 * m2) - 3 AS kurtosis_excess
+    FROM ce
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per event_type from EXACT
+    integer raw moments — the agg_ols_two_factor recipe applied to
+    higher moments: value is exact 2-decimal money, so cents/cents²/
+    cents³ sum associatively in int64 and cents⁴ (which tops 2⁶³ at the
+    observed value range) in DECIMAL(38,0) (HUGEINT on the oracle side)
+    — any partitioning yields the same bits in ONE map-side-combined
+    scan. The central-moment and skew/kurtosis formulas then run in
+    IEEE doubles with IDENTICAL association on both engines (each cast,
+    divide, multiply, and sqrt is correctly rounded, so bit-equality
+    needs no rounding contract — the fn_trig lesson in reverse: sqrt IS
+    correctly rounded where sin/cos are not). Spark's builtin
+    skewness()/kurtosis() use merge-order-dependent running updates and
+    could not be oracle-checked; the moment form is also the 100 TB
+    shape — 6 numbers per group, no second pass."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100, 0).cast("bigint")
+    c2 = c * c
+    m = ev.select(F.col("event_type"), c.alias("c"), c2.alias("c2")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum("c2").alias("s2"),
+        F.sum(F.col("c2") * F.col("c")).alias("s3"),
+        F.sum(F.col("c2").cast("decimal(19,0)") * F.col("c2")).alias("s4"),
+    )
+
+    dn = F.col("n").cast("double")
+    d1 = F.col("s1").cast("double")
+    d2 = F.col("s2").cast("double")
+    d3 = F.col("s3").cast("double")
+    d4 = F.col("s4").cast("double")
+    mean = d1 / dn
+    mo = m.select("event_type", "n", mean.alias("mean"), dn.alias("dn"),
+                  d2.alias("d2"), d3.alias("d3"), d4.alias("d4"))
+    mean, dn, d2, d3, d4 = (F.col(x) for x in ("mean", "dn", "d2", "d3", "d4"))
+    ce = mo.select(
+        "event_type", "n", "mean",
+        (d2 / dn - mean * mean).alias("m2"),
+        (d3 / dn - 3 * mean * (d2 / dn)
+         + 2 * mean * mean * mean).alias("m3"),
+        (d4 / dn - 4 * mean * (d3 / dn)
+         + 6 * (mean * mean) * (d2 / dn)
+         - 3 * (mean * mean) * (mean * mean)).alias("m4"),
+    )
+    m2, m3, m4 = F.col("m2"), F.col("m3"), F.col("m4")
+    return ce.select(
+        "event_type",
+        "n",
+        (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        (m4 / (m2 * m2) - 3).alias("kurtosis_excess"),
+    )

@@ -241,3 +241,97 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_cents").cast("bigint").alias("total_cents"),
         )
     )
+
+
+@register(
+    "quality_drift_tv",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents, ts
+      FROM events),
+    bounds AS (
+      SELECT min(ts) AS lo, max(ts) AS hi, max(cents) AS maxc FROM c),
+    tagged AS (
+      SELECT event_type,
+             least(9, (cents * 10) // (b.maxc + 1)) AS bucket,
+             CASE WHEN date_diff('microsecond', b.lo, ts) * 2
+                       < date_diff('microsecond', b.lo, b.hi)
+                  THEN 1 ELSE 0 END AS early
+      FROM c, bounds b),
+    cell AS (
+      SELECT event_type, bucket,
+             CAST(sum(early) AS BIGINT) AS o_a,
+             CAST(sum(1 - early) AS BIGINT) AS o_b
+      FROM tagged GROUP BY event_type, bucket),
+    per_type AS (
+      SELECT event_type, sum(o_a) AS na, sum(o_b) AS nb FROM cell
+      GROUP BY event_type)
+    SELECT c.event_type,
+           CAST(t.na AS BIGINT) AS na,
+           CAST(t.nb AS BIGINT) AS nb,
+           CAST(sum(abs(c.o_a * t.nb - c.o_b * t.na)) AS BIGINT)
+               AS l1_scaled,
+           CAST(sum(abs(c.o_a * t.nb - c.o_b * t.na)) * 10
+                    > 2 * t.na * t.nb AS BOOLEAN) AS drifted
+    FROM cell c JOIN per_type t ON c.event_type = t.event_type
+    GROUP BY c.event_type, t.na, t.nb
+    """,
+)
+def quality_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection between the early and late halves of
+    the event stream (train/serve skew monitoring): per event_type, the
+    TOTAL-VARIATION distance between the two periods' value histograms,
+    entirely in integers. The value axis is cut into 10 equal-width
+    cents buckets and the time axis at the data-derived midpoint (fixed
+    dates go degenerate when fixtures regenerate — the
+    events_cuped_adjusted lesson); TV = ½ Σ|p_i − q_i| over buckets is
+    kept as the EXACT integer Σ|o_a·nb − o_b·na| (common denominator
+    na·nb multiplied through), and the drift flag TV > 0.1 is the cross-
+    multiplication l1·10 > 2·na·nb — no doubles anywhere. Shape: one
+    1-row bounds aggregate broadcast into the scan, one (type, bucket)
+    aggregate, one per-type rollup — two keyed shuffles regardless of
+    scale. TIMESTAMP_NTZ-safe midpoint via timestampdiff from the data
+    minimum (unix_micros rejects NTZ)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        "ts",
+    )
+    bounds = c.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi"),
+        F.max("cents").alias("maxc"),
+    )
+    tagged = c.join(F.broadcast(bounds)).select(
+        "event_type",
+        F.expr("least(9, (cents * 10) div (maxc + 1))").alias("bucket"),
+        F.expr(
+            "CASE WHEN timestampdiff(MICROSECOND, lo, ts) * 2"
+            "          < timestampdiff(MICROSECOND, lo, hi)"
+            "     THEN 1 ELSE 0 END"
+        ).alias("early"),
+    )
+    cell = tagged.groupBy("event_type", "bucket").agg(
+        F.sum("early").cast("bigint").alias("o_a"),
+        F.sum(1 - F.col("early")).cast("bigint").alias("o_b"),
+    )
+    per_type = cell.groupBy("event_type").agg(
+        F.sum("o_a").alias("na"), F.sum("o_b").alias("nb")
+    )
+    l1 = F.sum(F.abs(F.col("o_a") * F.col("nb") - F.col("o_b") * F.col("na")))
+    return (
+        cell.join(F.broadcast(per_type), "event_type")
+        .groupBy("event_type", "na", "nb")
+        .agg(
+            l1.cast("bigint").alias("l1_scaled"),
+            (l1 * 10 > 2 * F.col("na") * F.col("nb")).alias("drifted"),
+        )
+        .select(
+            "event_type",
+            F.col("na").cast("bigint").alias("na"),
+            F.col("nb").cast("bigint").alias("nb"),
+            "l1_scaled",
+            "drifted",
+        )
+    )

@@ -141,6 +141,9 @@ PROBE_KEYS = [
     "tpch_q11",
     "tpch_q16",
     "tpch_q20",
+    "agg_skew_kurtosis",
+    "quality_drift_tv",
+    "graph_kcore_peel",
 ]
 
 # Operators whose CONTRACT is exact all-pairs computation (the dedup

@@ -813,3 +813,37 @@ def test_tpch_derived_ps_filter_before_aggregate(key, spark, sf_dir):
     first_agg = plan.find("HashAggregate")
     assert first_agg != -1, plan
     assert "BroadcastHashJoin" in plan[first_agg:], plan
+
+
+def test_skew_kurtosis_single_scan(spark, sf_dir):
+    """agg_skew_kurtosis: all five moments come from ONE
+    map-side-combined scan — exactly one exchange, no joins."""
+    plan = _physical(_QUERIES["agg_skew_kurtosis"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_drift_tv_integer_only(spark, sf_dir):
+    """quality_drift_tv: drift verdict is pure integer arithmetic — no
+    double column in the output."""
+    df = _QUERIES["quality_drift_tv"](spark, sf_dir)
+    types = {f.dataType.simpleString() for f in df.schema.fields}
+    assert types <= {"string", "bigint", "boolean"}, df.schema
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kcore_trace_monotone(spark, sf_dir):
+    """graph_kcore_peel: peeling only removes — the trace is
+    non-increasing in both nodes and edges, starts at the full graph,
+    and has exactly rounds+1 rows."""
+    from cloud2sql_spark.queries.analytics import _KCORE_ROUNDS
+
+    rows = sorted(
+        _QUERIES["graph_kcore_peel"](spark, sf_dir).collect(),
+        key=lambda r: r["round"],
+    )
+    assert len(rows) == _KCORE_ROUNDS + 1
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_alive"] <= a["n_alive"]
+        assert b["n_edges"] <= a["n_edges"]
