@@ -200,6 +200,12 @@ _R05_ADDITIONS = [
     "agg_skew_kurtosis",
     "quality_drift_tv",
     "graph_kcore_peel",
+    "embed_mips_topk",
+    "text_rake_keywords",
+    "multimodal_scene_cut",
+    "scan_compaction_plan",
+    "sort_range_boundaries",
+    "embed_pca_project",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS + _R05_ADDITIONS

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cloud2sql_spark.queries.extensions import (
+    _ordered_collect,
     _LSH_BUCKETS_SQL,
     _QUANT_SQL,
     _int_dot,
@@ -254,9 +255,7 @@ def embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sums = flat.groupBy("cluster", "dim").agg(F.sum("val").alias("s"))
     cents = sums.groupBy("cluster").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "s"))), lambda x: x["s"]
-        ).alias("c")
+        _ordered_collect("dim", "s").alias("c")
     )
     cents = cents.withColumn(
         "cn",
@@ -643,4 +642,116 @@ def embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("vec_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
+    )
+
+
+@register(
+    "embed_mips_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, label, {_QUANT_SQL} AS v FROM embeddings),
+    flat AS (SELECT vec_id, label, unnest(range(1, 65)) AS i FROM q),
+    fv AS (SELECT f.vec_id, f.label, f.i, q.v[f.i] AS val
+           FROM flat f JOIN q ON f.vec_id = q.vec_id),
+    cent AS (SELECT label, i, CAST(sum(val) AS BIGINT) AS s
+             FROM fv GROUP BY label, i),
+    score AS (SELECT c.label AS query_label, f.vec_id,
+                     CAST(sum(f.val * c.s) AS BIGINT) AS dot_units
+              FROM fv f JOIN cent c ON f.i = c.i
+              GROUP BY c.label, f.vec_id),
+    ranked AS (SELECT query_label, vec_id, dot_units,
+                      row_number() OVER (PARTITION BY query_label
+                          ORDER BY dot_units DESC, vec_id) AS rank
+               FROM score)
+    SELECT query_label, vec_id, dot_units, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def embed_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (MIPS) — the recommendation-scoring
+    retrieval mode cosine search deliberately is NOT: scores are raw
+    UN-normalized dot products, so high-norm vectors legitimately
+    outrank near-parallel small ones. Queries are the 10 per-label
+    centroid SUMS (exact integer vectors — sums of milli-unit members,
+    never a divided mean), built with one posexplode aggregate and
+    broadcast as a 10×64 lookup; each corpus vector then scores all 10
+    queries in one linear codegen pass (bounded 640-cell broadcast —
+    never a shuffle of the corpus side) and a per-label window takes
+    top-10 on the EXACT bigint dot with vec_id tie-break. At 100 TB
+    the classic reduction applies unchanged: MIPS = cosine on
+    norm-augmented vectors, so the LSH/IVF bucketed paths
+    (sim_search_lsh/ivf) take over candidate generation while this
+    exact scorer reranks. int64 bound: un-divided centroid sums grow
+    with label size, so dot_units wraps past ~1e8 vectors/label — a
+    100 TB run widens the dot to DECIMAL(38,0) or rescales centroids
+    by a power of two first (the embed_kmeans_assign caveat)."""
+    q = _quantized(spark, sf_dir)
+    cent = (
+        q.select("label", F.posexplode("v").alias("i", "val"))
+        .groupBy("label", "i")
+        .agg(F.sum("val").alias("s"))
+        .groupBy("label")
+        .agg(_ordered_collect("i", "s").alias("cv"))
+        .select(F.col("label").alias("query_label"), "cv")
+    )
+    scored = q.crossJoin(F.broadcast(cent)).select(
+        "query_label",
+        "vec_id",
+        _int_dot("cv", "v").cast("bigint").alias("dot_units"),
+    )
+    w = Window.partitionBy("query_label").orderBy(
+        F.col("dot_units").desc(), "vec_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("query_label", "vec_id", "dot_units", "rank")
+    )
+
+
+@register(
+    "embed_pca_project",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+    r AS (SELECT vec_id, v, CAST(list_aggregate(v, 'sum') AS BIGINT) AS rs
+          FROM q),
+    flat AS (SELECT vec_id, rs, unnest(range(1, 65)) AS i, v FROM r),
+    fv AS (SELECT vec_id, rs, i, v[i] AS val FROM flat),
+    dirv AS (SELECT i, CAST(sum(val * rs) AS BIGINT) AS d
+             FROM fv GROUP BY i),
+    proj AS (SELECT f.vec_id, CAST(sum(f.val * d.d) AS BIGINT) AS proj_units
+             FROM fv f JOIN dirv d ON f.i = d.i
+             GROUP BY f.vec_id)
+    SELECT vec_id, proj_units FROM proj
+    """,
+)
+def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection onto the leading principal direction, approximated by
+    ONE exact-integer power-iteration step from the all-ones start:
+    d = Xᵀ(X·1) — i.e. d_i = Σ_j x_ji · rowsum(x_j) — then
+    proj_j = x_j · d. Everything stays in milli-unit integers (row sums
+    exact, the 64-long direction vector exact, the final dots exact
+    bigints), so the oracle matches bit-for-bit with no normalization
+    (a unit-norm step needs sqrt-division; callers rescale downstream —
+    only the RATIOS of projections matter for ranking/whitening). Scale
+    shape: rowsums ride the scan; the direction is a posexplode
+    aggregate to 64 rows broadcast back for the projection pass — two
+    linear scans and one 64-row broadcast, the same shape at any corpus
+    size. Further iterations (d ← XᵀXd) repeat the identical pair of
+    scans with the integer nano-unit rescaling trick from
+    graph_pagerank."""
+    q = _quantized(spark, sf_dir)
+    r = q.select(
+        "vec_id",
+        "v",
+        F.aggregate("v", F.lit(0).cast("long"), lambda a, x: a + x).alias("rs"),
+    )
+    dirv = (
+        r.select(F.posexplode("v").alias("i", "val"), "rs")
+        .groupBy("i")
+        .agg(F.sum(F.col("val") * F.col("rs")).cast("bigint").alias("d"))
+        .groupBy()
+        .agg(_ordered_collect("i", "d").alias("dv"))
+    )
+    return r.crossJoin(F.broadcast(dirv)).select(
+        "vec_id", _int_dot("v", "dv").cast("bigint").alias("proj_units")
     )

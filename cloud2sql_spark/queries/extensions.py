@@ -221,6 +221,17 @@ def _int_dot(a: Column | str, b: Column | str) -> Column:
 _QUANT_SQL = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
 
 
+def _ordered_collect(idx_col: str, val_col: str) -> Column:
+    """Deterministic array rebuild from exploded (index, value) rows:
+    collect_list order is partition-dependent, so the struct sort on the
+    index is what makes the result reproducible. Shared by the embed
+    family's centroid/direction rebuilds and RAKE's phrase assembly."""
+    return F.transform(
+        F.array_sort(F.collect_list(F.struct(idx_col, val_col))),
+        lambda x: x[val_col],
+    )
+
+
 # ---------------------------------------------------------------- dedup
 
 @register(

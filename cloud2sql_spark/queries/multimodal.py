@@ -520,3 +520,82 @@ def dedup_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 11)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@register(
+    "multimodal_scene_cut",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      list_transform(string_split(text, ''), c -> ascii(c))
+                          AS bl
+               FROM documents),
+    p AS (SELECT doc_id, unnest(range(1, len(bl) + 1)) AS i, bl FROM b),
+    pv AS (SELECT doc_id, i, bl[i] AS val FROM p),
+    d AS (
+      SELECT a.doc_id, CAST((a.i - 1) // 64 AS INT) AS frame_idx,
+             abs(a.val - prev.val) AS ad
+      FROM pv a JOIN pv prev
+        ON a.doc_id = prev.doc_id AND prev.i = a.i - 64
+      WHERE a.i > 64),
+    fd AS (
+      SELECT doc_id, frame_idx, CAST(sum(ad) AS BIGINT) AS diff_l1
+      FROM d GROUP BY doc_id, frame_idx),
+    tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_diffs,
+             CAST(sum(diff_l1) AS BIGINT) AS total_diff
+      FROM fd GROUP BY doc_id)
+    SELECT f.doc_id, f.frame_idx, f.diff_l1
+    FROM fd f JOIN tot t ON f.doc_id = t.doc_id
+    WHERE f.diff_l1 * t.n_diffs > 2 * t.total_diff
+    """,
+)
+def multimodal_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the binary video stand-in: payloads cut
+    into 64-byte frames (the multimodal_frames raster), consecutive
+    frames compared by aligned-position L1 distance, and a CUT flagged
+    where a frame's distance exceeds 2x the document's mean inter-frame
+    distance — the adaptive-threshold frame-differencing recipe, with
+    the threshold as the integer cross-multiplication
+    diff·n_diffs > 2·total (no doubles, no per-doc second pass). All
+    per-document math runs vectorized inside ONE Arrow batch (numpy
+    shifted-difference + reduceat per-frame sums — in-batch fan-out, no
+    shuffle, no self-join); a real decoder would replace the byte
+    raster per the module codec-stub mandate. The oracle replays the
+    math as a position self-join — algorithm-diverse from the
+    vectorized path. The final frame's partial overlap compares only
+    positions present in both frames."""
+    mm = (
+        _with_payload(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "payload")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, fids, diffs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = arr.size
+                if n <= 64:
+                    continue
+                d = np.abs(arr[64:] - arr[:-64])
+                bounds = np.arange(0, d.size, 64)
+                fd = np.add.reduceat(d, bounds)
+                n_diffs = fd.size
+                total = int(fd.sum())
+                cut = fd * n_diffs > 2 * total
+                for f in np.nonzero(cut)[0]:
+                    ids.append(doc_id)
+                    fids.append(int(f) + 1)
+                    diffs.append(int(fd[f]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(fids, dtype="int32"),
+                    "diff_l1": pd.array(diffs, dtype="int64"),
+                }
+            )
+
+    return mm.mapInPandas(cuts, "doc_id BIGINT, frame_idx INT, diff_l1 BIGINT")

@@ -20,6 +20,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cloud2sql_spark.catalog import SCHEMAS, load_table
 from cloud2sql_spark.etl.sinks import write_parquet_snapshot
@@ -847,4 +848,82 @@ def scan_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_id") % 13 == 0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_flagged"),
+    )
+
+
+@register(
+    "scan_compaction_plan",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(ts AS DATE) AS day, event_id
+      FROM events),
+    f AS (
+      SELECT day,
+             (row_number() OVER (PARTITION BY day ORDER BY event_id) - 1)
+                 // 512 AS file_seq
+      FROM r),
+    files AS (
+      SELECT day, CAST(file_seq AS INT) AS file_seq,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM f GROUP BY day, file_seq),
+    binned AS (
+      SELECT day, file_seq, n_rows,
+             CAST(coalesce(sum(n_rows) OVER (
+                      PARTITION BY day ORDER BY file_seq
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) // 2048 AS INT) AS bin
+      FROM files)
+    SELECT day, bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           CAST(min(file_seq) AS INT) AS first_file,
+           CAST(max(file_seq) AS INT) AS last_file
+    FROM binned
+    GROUP BY day, bin
+    """,
+)
+def scan_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning for a day-partitioned table — the
+    maintenance pass every lakehouse needs once streaming writers leave
+    512-row files behind. File boundaries are derived deterministically
+    (rows ordered by event_id, 512 per file); the plan assigns files to
+    merge bins by EXCLUSIVE-prefix-sum // target (first-fit in file
+    order — a file lands in the bin its predecessors filled up to), so
+    every bin except a partition's last holds ≥ target rows and file
+    adjacency is preserved (bins are contiguous file ranges, which is
+    what keeps a sorted table sorted after rewrite). All windows
+    partition BY DAY — per-partition parallelism, no global sort, no
+    driver loop; at 100 TB the same plan runs straight off the
+    transaction-log file listing instead of the derived boundaries."""
+    ev = load_table(spark, sf_dir, "events")
+    wday = Window.partitionBy("day").orderBy("event_id")
+    files = (
+        ev.select(F.col("ts").cast("date").alias("day"), "event_id")
+        .select(
+            "day",
+            ((F.row_number().over(wday) - 1) / 512)
+            .cast("int")
+            .alias("file_seq"),
+        )
+        .groupBy("day", "file_seq")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    wfile = (
+        Window.partitionBy("day")
+        .orderBy("file_seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = files.select(
+        "day",
+        "file_seq",
+        "n_rows",
+        (F.coalesce(F.sum("n_rows").over(wfile), F.lit(0)) / 2048)
+        .cast("int")
+        .alias("bin"),
+    )
+    return binned.groupBy("day", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.min("file_seq").cast("int").alias("first_file"),
+        F.max("file_seq").cast("int").alias("last_file"),
     )

@@ -153,3 +153,66 @@ def sort_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("max_y"),
         )
     )
+
+
+@register(
+    "sort_range_boundaries",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+    h AS (
+      SELECT cents, CAST(count(*) AS BIGINT) AS cnt
+      FROM c GROUP BY cents),
+    cum AS (
+      SELECT cents, cnt,
+             sum(cnt) OVER (ORDER BY cents) AS below_incl,
+             CAST((SELECT count(*) FROM c) AS BIGINT) AS n
+      FROM h),
+    b AS (
+      SELECT k.k, min(cum.cents) AS boundary_cents
+      FROM (SELECT unnest(range(1, 32)) AS k) k
+      JOIN cum ON cum.below_incl * 32 >= k.k * cum.n
+      GROUP BY k.k)
+    SELECT CAST(b.k AS INT) AS k, b.boundary_cents,
+           CAST(min(cum.below_incl) AS BIGINT) AS rows_at_or_below
+    FROM b JOIN cum ON cum.cents = b.boundary_cents
+    GROUP BY b.k, b.boundary_cents
+    """,
+)
+def sort_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioner planning — the exact split-point computation
+    behind a balanced 32-way global sort (what RangePartitioner
+    approximates by sampling): boundary k is the smallest key whose
+    inclusive rank covers k/32 of the rows. The 100 TB trick is that
+    the single-partition cumulative window never sees the fact table —
+    the facts collapse into a bounded DISTINCT-KEY HISTOGRAM first
+    (map-side-combined groupBy; the cents domain is bounded), and only
+    that histogram flows through the global cumsum. For unbounded key
+    domains production falls back to reservoir-sampled quantiles; for
+    bounded/low-cardinality keys this exact plan is strictly better —
+    and deterministic, so it oracle-checks. Output: 31 split points
+    with their exact inclusive ranks (integer cross-multiplied rank
+    test — no division)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"))
+    h = c.groupBy("cents").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    n1 = F.broadcast(c.agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    cum = h.select(
+        "cents",
+        F.sum("cnt").over(Window.orderBy("cents")).alias("below_incl"),
+    ).join(n1)
+    ks = F.broadcast(
+        spark.range(1, 32).select(F.col("id").cast("int").alias("k"))
+    )
+    qualifying = cum.join(
+        ks, F.col("below_incl") * 32 >= F.col("k") * F.col("n")
+    )
+    b = qualifying.groupBy("k").agg(F.min("cents").alias("boundary_cents"))
+    return (
+        b.join(cum.select("cents", "below_incl"),
+               b.boundary_cents == F.col("cents"))
+        .groupBy("k", "boundary_cents")
+        .agg(F.min("below_incl").cast("bigint").alias("rows_at_or_below"))
+        .select(F.col("k").cast("int").alias("k"), "boundary_cents",
+                "rows_at_or_below")
+    )

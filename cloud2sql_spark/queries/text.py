@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cloud2sql_spark.catalog import load_table
+from cloud2sql_spark.queries.extensions import _ordered_collect
 from cloud2sql_spark.registry import register
 
 _STOPWORDS = ["the", "a", "an", "of", "to", "in", "and", "or", "is", "on"]
@@ -811,4 +812,111 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_boilerplate") * 10000.0 / F.col("n_segments")
             ).cast("bigint").alias("boilerplate_bp"),
         )
+    )
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    pos AS (
+      SELECT doc_id, i, ws[i] AS word,
+             CASE WHEN list_contains({_STOPWORDS!r}, ws[i])
+                  THEN 1 ELSE 0 END AS is_stop
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w)
+      WHERE ws[i] <> ''),
+    seg AS (
+      SELECT doc_id, i, word, is_stop,
+             sum(is_stop) OVER (PARTITION BY doc_id ORDER BY i) AS phrase_id
+      FROM pos),
+    pw AS (SELECT doc_id, phrase_id, i, word FROM seg WHERE is_stop = 0),
+    phrase AS (
+      SELECT doc_id, phrase_id,
+             string_agg(word, ' ' ORDER BY i) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM pw GROUP BY doc_id, phrase_id),
+    occ AS (
+      SELECT pw.word, p.plen
+      FROM pw JOIN phrase p
+        ON pw.doc_id = p.doc_id AND pw.phrase_id = p.phrase_id),
+    wscore AS (
+      SELECT word, CAST(sum(plen) AS BIGINT) AS deg FROM occ GROUP BY word),
+    pscore AS (
+      SELECT p.phrase, p.plen, CAST(sum(s.deg) AS BIGINT) AS score
+      FROM pw JOIN phrase p
+        ON pw.doc_id = p.doc_id AND pw.phrase_id = p.phrase_id
+      JOIN wscore s ON pw.word = s.word
+      GROUP BY p.doc_id, p.phrase_id, p.phrase, p.plen),
+    agg AS (
+      SELECT phrase, CAST(max(plen) AS INT) AS n_words,
+             max(score) AS score, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM pscore GROUP BY phrase)
+    SELECT phrase, n_words, score, n_occurrences
+    FROM agg ORDER BY score DESC, phrase LIMIT 20
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010), integer-score
+    variant: candidate phrases are maximal stopword-free word runs
+    (phrase_id = running stopword count — ONE (doc, pos) window), each
+    word's degree is the summed length of every phrase it occurs in
+    (corpus-level), and a phrase scores the SUM of its words' degrees —
+    the deg-only RAKE variant, kept integer so cross-engine hashes are
+    exact (canonical deg/freq is a fraction sum). Same phrase text ⇒
+    same corpus-level score, so the final aggregate dedups phrase
+    instances; top-20 orders by (score DESC, phrase). Shape: one window
+    pass, keyed aggregates, one word-score join (vocabulary-sized,
+    shuffled — NOT broadcast: a 100 TB corpus vocabulary outgrows a
+    broadcast table even if this fixture's doesn't)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), " ")).alias("i", "word"),
+        )
+        .filter(F.col("word") != "")
+        .select(
+            "doc_id",
+            "i",
+            "word",
+            F.col("word").isin(*_STOPWORDS).cast("int").alias("is_stop"),
+        )
+    )
+    seg = pos.select(
+        "*",
+        F.sum("is_stop")
+        .over(Window.partitionBy("doc_id").orderBy("i"))
+        .alias("phrase_id"),
+    )
+    pw = seg.filter(F.col("is_stop") == 0).select(
+        "doc_id", "phrase_id", "i", "word"
+    )
+    phrase = pw.groupBy("doc_id", "phrase_id").agg(
+        F.concat_ws(
+            " ",
+            _ordered_collect("i", "word"),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("plen"),
+    )
+    occ = pw.join(phrase, ["doc_id", "phrase_id"])
+    wscore = occ.groupBy("word").agg(F.sum("plen").cast("bigint").alias("deg"))
+    pscore = (
+        # MERGE hint pins the sort-merge strategy: the word-degree side
+        # IS vocabulary-sized, and the local fixture fitting under the
+        # session's broadcast threshold must not bake in a plan that
+        # broadcasts a 100 TB corpus vocabulary.
+        occ.join(wscore.hint("merge"), "word")
+        .groupBy("doc_id", "phrase_id", "phrase", "plen")
+        .agg(F.sum("deg").cast("bigint").alias("score"))
+    )
+    return (
+        pscore.groupBy("phrase")
+        .agg(
+            F.max("plen").cast("int").alias("n_words"),
+            F.max("score").alias("score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(20)
     )

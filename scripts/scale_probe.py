@@ -144,6 +144,12 @@ PROBE_KEYS = [
     "agg_skew_kurtosis",
     "quality_drift_tv",
     "graph_kcore_peel",
+    "embed_mips_topk",
+    "text_rake_keywords",
+    "multimodal_scene_cut",
+    "scan_compaction_plan",
+    "sort_range_boundaries",
+    "embed_pca_project",
 ]
 
 # Operators whose CONTRACT is exact all-pairs computation (the dedup

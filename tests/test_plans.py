@@ -847,3 +847,54 @@ def test_kcore_trace_monotone(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert b["n_alive"] <= a["n_alive"]
         assert b["n_edges"] <= a["n_edges"]
+
+
+def test_mips_centroids_broadcast_no_corpus_shuffle(spark, sf_dir):
+    """embed_mips_topk: the 10x64 centroid table broadcasts; the corpus
+    side is never shuffled for scoring (single window shuffle only)."""
+    plan = _physical(_QUERIES["embed_mips_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rake_vocab_join_not_broadcast(spark, sf_dir):
+    """text_rake_keywords: the corpus-level word-degree join must stay a
+    shuffled join — broadcasting a 100 TB vocabulary is the
+    fact-broadcast disease."""
+    plan = _physical(_QUERIES["text_rake_keywords"](spark, sf_dir))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_scene_cut_no_shuffle(spark, sf_dir):
+    """multimodal_scene_cut: all per-doc math is in-batch — the plan has
+    no join and only the input repartition exchange."""
+    plan = _physical(_QUERIES["multimodal_scene_cut"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_compaction_plan_day_partitioned_windows(spark, sf_dir):
+    """scan_compaction_plan: both windows partition by day — no
+    SinglePartition exchange anywhere."""
+    plan = _physical(_QUERIES["scan_compaction_plan"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_range_boundaries_histogram_before_global_window(spark, sf_dir):
+    """sort_range_boundaries: the single-partition cumsum window sits
+    ABOVE the key-histogram aggregate (bounded rows), never over the
+    fact scan directly."""
+    plan = _physical(_QUERIES["sort_range_boundaries"](spark, sf_dir))
+    pos = plan.find("Exchange SinglePartition")
+    assert pos != -1, plan
+    below = plan[pos:]
+    assert "HashAggregate(keys=[cents" in below, plan
+
+
+def test_pca_project_two_scans_broadcast_direction(spark, sf_dir):
+    """embed_pca_project: the 64-row direction vector broadcasts; the
+    corpus is never shuffled for the projection."""
+    plan = _physical(_QUERIES["embed_pca_project"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
