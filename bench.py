@@ -206,6 +206,9 @@ _R05_ADDITIONS = [
     "scan_compaction_plan",
     "sort_range_boundaries",
     "embed_pca_project",
+    "events_survival_table",
+    "events_bot_regularity",
+    "graph_degree_assortativity",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS + _R05_ADDITIONS

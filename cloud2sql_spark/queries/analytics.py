@@ -1209,9 +1209,17 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             old.unpersist()
         except Exception:
             pass
+    # Explicit cluster-width partitioning end to end: the orderkey hash
+    # satisfies both the (orderkey, partkey) distinct and the self-join
+    # (subset-of-clustering-keys rule), so the whole build runs at
+    # defaultParallelism instead of spark.sql.shuffle.partitions — the
+    # vanilla driver session's 200/400-task stages on a ~1M-row edge
+    # list were pure scheduling overhead for every graph_* key.
+    p = spark.sparkContext.defaultParallelism
     pl = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
+        .repartition(p, "l_orderkey")
         .distinct()
     )
     a, b = pl.alias("a"), pl.alias("b")
@@ -1222,6 +1230,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .repartition(p, "u", "v")
         .distinct()
         .persist()
     )
@@ -1770,3 +1779,229 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in traces[1:]:
         out = out.unionByName(t)
     return out
+
+
+@register(
+    "events_survival_table",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events GROUP BY user_id),
+    b AS (SELECT max(ts) AS stream_end FROM events),
+    lab AS (
+      SELECT u.user_id,
+             CAST(date_diff('microsecond', u.first_ts, u.last_ts)
+                  // 86400000000 AS INT) AS duration_days,
+             CASE WHEN date_diff('microsecond', u.last_ts, b.stream_end)
+                       >= 7 * 86400000000 THEN 1 ELSE 0 END AS churned
+      FROM u, b),
+    day AS (
+      SELECT duration_days,
+             CAST(sum(churned) AS BIGINT) AS n_events,
+             CAST(sum(1 - churned) AS BIGINT) AS n_censored
+      FROM lab GROUP BY duration_days),
+    cum AS (
+      SELECT duration_days, n_events, n_censored,
+             CAST((SELECT count(*) FROM lab) AS BIGINT)
+               - CAST(coalesce(sum(n_events + n_censored) OVER (
+                     ORDER BY duration_days
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS n_risk
+      FROM day)
+    SELECT duration_days, n_risk, n_events, n_censored FROM cum
+    """,
+)
+def events_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier LIFE TABLE for user retention: per lifetime-day, how
+    many users are still at risk, how many churn there, how many are
+    right-censored (still active within 7 days of the stream end — the
+    data-derived observation cutoff). This is the distributed half of a
+    survival analysis: the curve itself is a trivial ordered product
+    over these ≤ span-days rows, but the product is float and
+    association-ordered, so the CONTRACT stops at the integer table
+    (n_risk via a reverse cumulative on the day-aggregated rows — the
+    single-partition window sees only bounded day rows, never users).
+    Shape: one per-user aggregate (keyed shuffle), a 1-row stream-end
+    broadcast, a day aggregate, one bounded window."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    b = ev.agg(F.max("ts").alias("stream_end"))
+    day_us = 86400000000
+    lab = u.join(F.broadcast(b)).select(
+        F.expr(
+            f"CAST(timestampdiff(MICROSECOND, first_ts, last_ts)"
+            f" div {day_us} AS INT)"
+        ).alias("duration_days"),
+        F.expr(
+            f"CASE WHEN timestampdiff(MICROSECOND, last_ts, stream_end)"
+            f" >= 7 * {day_us} THEN 1 ELSE 0 END"
+        ).alias("churned"),
+    )
+    day = lab.groupBy("duration_days").agg(
+        F.sum("churned").cast("bigint").alias("n_events"),
+        F.sum(1 - F.col("churned")).cast("bigint").alias("n_censored"),
+    )
+    total = F.broadcast(lab.agg(F.count(F.lit(1)).cast("bigint").alias("tot")))
+    w = (
+        Window.orderBy("duration_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        day.join(total)
+        .select(
+            "duration_days",
+            (
+                F.col("tot")
+                - F.coalesce(
+                    F.sum(F.col("n_events") + F.col("n_censored")).over(w),
+                    F.lit(0),
+                )
+            )
+            .cast("bigint")
+            .alias("n_risk"),
+            "n_events",
+            "n_censored",
+        )
+    )
+
+
+@register(
+    "events_bot_regularity",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    g AS (
+      SELECT user_id,
+             date_diff('microsecond', prev_ts, ts) // 1000000 AS gs
+      FROM o WHERE prev_ts IS NOT NULL),
+    m AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gs) AS BIGINT) AS sum_sec,
+             CAST(sum(gs * gs) AS BIGINT) AS sumsq_sec
+      FROM g GROUP BY user_id)
+    SELECT user_id, n_gaps, sum_sec, sumsq_sec,
+           CAST(4 * n_gaps * (n_gaps * sumsq_sec - sum_sec * sum_sec)
+                    < sum_sec * sum_sec AS BOOLEAN) AS is_bot
+    FROM m WHERE n_gaps >= 5
+    """,
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot detection by inter-event-time REGULARITY: humans are bursty
+    (coefficient of variation of gaps near or above 1), schedulers are
+    metronomic (CV ≪ 1). The flag CV < 0.5 is evaluated without a
+    single double: CV² = n(nΣg²−S²)/S² < ¼  ⇔  4n(nΣg²−S²) < S², exact
+    in int64 at second resolution (30-day span ⇒ S ≤ 2.6e6 s, the
+    worst product ~3e17). One (user, ts) window for the lag, one keyed
+    aggregate — the same two-shuffle shape at any user count; gaps use
+    the TIMESTAMP_NTZ-safe timestampdiff idiom."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        ev.select("user_id", "ts", "event_id",
+                  F.lag("ts").over(w).alias("prev_ts"))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            F.expr(
+                "timestampdiff(MICROSECOND, prev_ts, ts) div 1000000"
+            ).alias("gs"),
+        )
+    )
+    m = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("gs").cast("bigint").alias("sum_sec"),
+        F.sum(F.col("gs") * F.col("gs")).cast("bigint").alias("sumsq_sec"),
+    )
+    n, s, s2 = F.col("n_gaps"), F.col("sum_sec"), F.col("sumsq_sec")
+    return m.filter(n >= 5).select(
+        "user_id", "n_gaps", "sum_sec", "sumsq_sec",
+        (4 * n * (n * s2 - s * s) < s * s).alias("is_bot"),
+    )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM pl a JOIN pl b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
+    ed AS (
+      SELECT du.d AS da, dv.d AS db
+      FROM und
+      JOIN deg du ON und.u = du.u
+      JOIN deg dv ON und.v = dv.u),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS mm,
+             CAST(sum(da) AS BIGINT) AS s1,
+             CAST(sum(da * da) AS BIGINT) AS s2,
+             CAST(sum(da * db) AS BIGINT) AS s3
+      FROM ed)
+    SELECT mm AS m_directed,
+           (CAST(s3 AS DOUBLE) / CAST(mm AS DOUBLE)
+              - (CAST(s1 AS DOUBLE) / CAST(mm AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(mm AS DOUBLE)))
+           / (CAST(s2 AS DOUBLE) / CAST(mm AS DOUBLE)
+              - (CAST(s1 AS DOUBLE) / CAST(mm AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(mm AS DOUBLE)))
+               AS assortativity
+    FROM m
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph — Newman's r,
+    the Pearson correlation of endpoint degrees over all DIRECTED edge
+    orientations (both directions of each undirected edge, the standard
+    symmetrization: S1 ≡ Σda = Σdb and S2 ≡ Σda² = Σdb², so four exact
+    integer moments suffice). The agg_ols_two_factor recipe again:
+    moments are associative int64 sums over the edge list (deg ≤ a few
+    hundred, products bounded far under 2⁶³ even at 1000× fixture
+    scale), and the correlation assembles in IEEE doubles with
+    IDENTICAL association in both engines. Shape: degree aggregate,
+    two degree lookups joined onto the edge list on its own keys, one
+    map-side-combined global moment aggregate. Edges reuse the
+    persisted _copurchase_edges cache."""
+    e = _copurchase_edges(spark, sf_dir)
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    # The graph_kcore_peel partitioning discipline: pin ONE explicit
+    # cluster-width hash partitioning and let every join/groupBy reuse
+    # it, instead of paying config-wide (400-task under the vanilla
+    # driver session) exchanges on a 2.4M-row edge list three times.
+    p = spark.sparkContext.defaultParallelism
+    und_u = und.repartition(p, "u")
+    deg = und_u.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    du = deg.select(F.col("u").alias("ju"), F.col("d").alias("da"))
+    dv = deg.select(F.col("u").alias("jv"), F.col("d").alias("db"))
+    ed = (
+        und_u.join(du, und_u.u == F.col("ju"))
+        .repartition(p, "v")
+        .join(dv.repartition(p, "jv"), F.col("v") == F.col("jv"))
+        .select("da", "db")
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("mm"),
+        F.sum("da").cast("bigint").alias("s1"),
+        F.sum(F.col("da") * F.col("da")).cast("bigint").alias("s2"),
+        F.sum(F.col("da") * F.col("db")).cast("bigint").alias("s3"),
+    )
+    dmm = F.col("mm").cast("double")
+    d1 = F.col("s1").cast("double")
+    d2 = F.col("s2").cast("double")
+    d3 = F.col("s3").cast("double")
+    mean = d1 / dmm
+    return m.select(
+        F.col("mm").alias("m_directed"),
+        ((d3 / dmm - mean * mean) / (d2 / dmm - mean * mean)).alias(
+            "assortativity"
+        ),
+    )

@@ -150,6 +150,9 @@ PROBE_KEYS = [
     "scan_compaction_plan",
     "sort_range_boundaries",
     "embed_pca_project",
+    "events_survival_table",
+    "events_bot_regularity",
+    "graph_degree_assortativity",
 ]
 
 # Operators whose CONTRACT is exact all-pairs computation (the dedup

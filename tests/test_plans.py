@@ -898,3 +898,26 @@ def test_pca_project_two_scans_broadcast_direction(spark, sf_dir):
     plan = _physical(_QUERIES["embed_pca_project"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_survival_table_window_over_days_only(spark, sf_dir):
+    """events_survival_table: the single-partition reverse cumulative
+    sits above the day aggregate, never over per-user rows."""
+    plan = _physical(_QUERIES["events_survival_table"](spark, sf_dir))
+    pos = plan.find("Exchange SinglePartition")
+    assert pos != -1, plan
+    assert "HashAggregate(keys=[duration_days" in plan[pos:], plan
+
+
+def test_bot_regularity_integer_only(spark, sf_dir):
+    """events_bot_regularity: no double column escapes."""
+    df = _QUERIES["events_bot_regularity"](spark, sf_dir)
+    types = {f.dataType.simpleString() for f in df.schema.fields}
+    assert types <= {"bigint", "boolean"}, df.schema
+
+
+def test_assortativity_single_moment_aggregate(spark, sf_dir):
+    """graph_degree_assortativity: moments come from one global
+    aggregate; no cartesian anywhere."""
+    plan = _physical(_QUERIES["graph_degree_assortativity"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
