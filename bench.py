@@ -209,6 +209,9 @@ _R05_ADDITIONS = [
     "events_survival_table",
     "events_bot_regularity",
     "graph_degree_assortativity",
+    "multimodal_audio_peaks",
+    "events_forecast_snaive",
+    "sample_contrastive_pairs",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS + _R05_ADDITIONS

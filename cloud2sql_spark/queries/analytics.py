@@ -2005,3 +2005,60 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "assortativity"
         ),
     )
+
+
+@register(
+    "events_forecast_snaive",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE))
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n_days_scored,
+           CAST(sum(abs(a.cents - f.cents)) AS BIGINT) AS mae_cents_total,
+           CAST(sum(a.cents - f.cents) AS BIGINT) AS bias_cents_total
+    FROM daily a
+    JOIN daily f ON a.event_type = f.event_type AND a.day = f.day + 7
+    GROUP BY a.event_type
+    """,
+)
+def events_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every time-series
+    model must beat: tomorrow's per-type daily total is 'whatever it was
+    the same weekday last week', scored over every day with a lag-7
+    partner. Joining on day = day+7 (not a LAG window) is deliberate:
+    calendar gaps must forecast from the true t−7 day, not the 7th
+    preceding OBSERVED row. Error totals stay exact integer cents (sum
+    of |actual − forecast| and signed bias — per-type MAE is one driver
+    division away). Shape: one (type, day) aggregate, one self-join on
+    the aggregate's own bounded key space — the fact table shuffles
+    once."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    a = daily.select("event_type", "day", F.col("cents").alias("actual"))
+    f = daily.select(
+        "event_type",
+        F.date_add("day", 7).alias("day"),
+        F.col("cents").alias("forecast"),
+    )
+    return (
+        a.join(f, ["event_type", "day"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days_scored"),
+            F.sum(F.abs(F.col("actual") - F.col("forecast")))
+            .cast("bigint")
+            .alias("mae_cents_total"),
+            F.sum(F.col("actual") - F.col("forecast"))
+            .cast("bigint")
+            .alias("bias_cents_total"),
+        )
+    )

@@ -23,7 +23,11 @@ from pyspark.sql.window import Window
 from cloud2sql_spark.catalog import load_table
 from cloud2sql_spark.queries.extensions import (
     _CAPPED_PAIRS_SQL,
+    _LSH_BUCKETS_SQL,
     _SHINGLES_SQL,
+    _int_dot,
+    _lsh_bucket_frame,
+    _quantized,
 )
 from cloud2sql_spark.registry import register
 
@@ -991,4 +995,92 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("epoch").orderBy(key, "doc_id")
     return e.select(
         "doc_id", "epoch", F.row_number().over(w).alias("shuffle_rank")
+    )
+
+
+@register(
+    "sample_contrastive_pairs",
+    oracle=f"""
+    WITH {_LSH_BUCKETS_SQL},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    anch AS (SELECT * FROM buckets WHERE vec_id % 20 = 0),
+    cand AS (
+      SELECT DISTINCT anch.vec_id AS anchor_id, b.vec_id AS negative_id
+      FROM anch JOIN buckets b
+        ON anch.l = b.l AND anch.bucket = b.bucket
+       AND b.vec_id <> anch.vec_id),
+    typed AS (
+      SELECT c.anchor_id, c.negative_id
+      FROM cand c
+      JOIN lab la ON la.vec_id = c.anchor_id
+      JOIN lab lb ON lb.vec_id = c.negative_id
+      WHERE la.label <> lb.label),
+    scored AS (
+      SELECT t.anchor_id, t.negative_id,
+             CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot_units
+      FROM typed t
+      JOIN q a ON a.vec_id = t.anchor_id
+      JOIN q b ON b.vec_id = t.negative_id),
+    ranked AS (
+      SELECT anchor_id, negative_id, dot_units,
+             row_number() OVER (PARTITION BY anchor_id
+                 ORDER BY dot_units DESC, negative_id) AS rank
+      FROM scored)
+    SELECT anchor_id, negative_id, dot_units, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (every 20th vector), the top-3 vectors that the LSH tables consider
+    SIMILAR (shared hyperplane bucket in any of the 4 tables — the
+    shared _lsh_bucket_frame machinery) yet carry a DIFFERENT label —
+    exactly the near-miss negatives a contrastive loss learns most
+    from. Scoring is the exact integer milli-unit dot product; the
+    candidate set comes from bucket-equality joins, never an all-pairs
+    sweep — the same 100 TB posture as the dedup/ANN family. Label
+    lookups stay keyed joins (label table scales with the corpus)."""
+    buckets = _lsh_bucket_frame(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    anch = buckets.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("anchor_id"), "l", "bucket"
+    )
+    cand = (
+        anch.join(
+            buckets.select(F.col("vec_id").alias("negative_id"), "l", "bucket"),
+            ["l", "bucket"],
+        )
+        .filter(F.col("negative_id") != F.col("anchor_id"))
+        .select("anchor_id", "negative_id")
+        .distinct()
+    )
+    la = lab.select(F.col("vec_id").alias("anchor_id"), F.col("label").alias("la"))
+    lb = lab.select(
+        F.col("vec_id").alias("negative_id"), F.col("label").alias("lb")
+    )
+    typed = (
+        cand.join(la, "anchor_id")
+        .join(lb, "negative_id")
+        .filter(F.col("la") != F.col("lb"))
+        .select("anchor_id", "negative_id")
+    )
+    q = _quantized(spark, sf_dir)
+    qa = q.select(F.col("vec_id").alias("anchor_id"), F.col("v").alias("va"))
+    qb = q.select(F.col("vec_id").alias("negative_id"), F.col("v").alias("vb"))
+    scored = (
+        typed.join(qa, "anchor_id")
+        .join(qb, "negative_id")
+        .select(
+            "anchor_id",
+            "negative_id",
+            _int_dot("va", "vb").cast("bigint").alias("dot_units"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("dot_units").desc(), "negative_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("anchor_id", "negative_id", "dot_units", "rank")
     )

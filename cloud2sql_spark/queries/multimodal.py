@@ -23,6 +23,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cloud2sql_spark.catalog import load_table
 from cloud2sql_spark.registry import register
@@ -599,3 +600,99 @@ def multimodal_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return mm.mapInPandas(cuts, "doc_id BIGINT, frame_idx INT, diff_l1 BIGINT")
+
+
+@register(
+    "multimodal_audio_peaks",
+    oracle="""
+    WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+               FROM documents),
+    s AS (SELECT doc_id, text, n,
+                 CASE WHEN n >= 32 THEN (n - 32) // 16 + 1 ELSE 0 END AS nw
+          FROM b),
+    w AS (SELECT doc_id, text, nw, unnest(range(0, nw)) AS win_idx FROM s),
+    e AS (SELECT doc_id, win_idx, nw,
+                 CAST(list_aggregate(
+                          list_transform(
+                              string_split(substr(text, win_idx * 16 + 1, 32),
+                                           ''),
+                              c -> ascii(c)),
+                          'sum') AS BIGINT) AS energy
+          FROM w),
+    lagged AS (
+      SELECT doc_id, win_idx, energy, nw,
+             lag(energy)  OVER (PARTITION BY doc_id ORDER BY win_idx)
+                 AS prev_e,
+             lead(energy) OVER (PARTITION BY doc_id ORDER BY win_idx)
+                 AS next_e,
+             sum(energy)  OVER (PARTITION BY doc_id) AS tot_e
+      FROM e)
+    SELECT doc_id, CAST(win_idx AS INT) AS win_idx, energy
+    FROM lagged
+    WHERE prev_e IS NOT NULL AND next_e IS NOT NULL
+      AND energy > prev_e AND energy > next_e
+      AND energy * nw > tot_e
+    """,
+)
+def multimodal_audio_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-peak picking over the audio-window energy track — the
+    constellation step of an audio fingerprinter (Wang 2003): a window
+    is a PEAK when its energy strictly exceeds both neighbours AND the
+    per-document mean (the integer cross-multiplication
+    energy·n_windows > total — no division). Windowing/energy reuse the
+    multimodal_audio_window 32/16 framing; the peak test is two lag/lead
+    windows plus one per-doc sum on the SAME (doc, win_idx) partitioning
+    — a single shuffle over the window rows, embarrassingly parallel by
+    document. A real pipeline would FFT each window and peak-pick per
+    frequency band; the byte-energy track stands in per the module's
+    codec-stub mandate."""
+    mm = (
+        _with_payload(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "payload")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, es = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = arr.size
+                if n < 32:
+                    continue
+                nw = (n - 32) // 16 + 1
+                starts = np.arange(nw) * 16
+                cs = np.concatenate(([0], np.cumsum(arr)))
+                window_sums = cs[starts + 32] - cs[starts]
+                ids.extend([doc_id] * nw)
+                idxs.extend(range(nw))
+                es.extend(int(x) for x in window_sums)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "win_idx": pd.array(idxs, dtype="int32"),
+                    "energy": pd.array(es, dtype="int64"),
+                }
+            )
+
+    e = mm.mapInPandas(energies, "doc_id BIGINT, win_idx INT, energy BIGINT")
+    wdoc = Window.partitionBy("doc_id")
+    word = wdoc.orderBy("win_idx")
+    lagged = e.select(
+        "doc_id",
+        "win_idx",
+        "energy",
+        F.lag("energy").over(word).alias("prev_e"),
+        F.lead("energy").over(word).alias("next_e"),
+        F.sum("energy").over(wdoc).alias("tot_e"),
+        F.count(F.lit(1)).over(wdoc).alias("nw"),
+    )
+    return lagged.filter(
+        F.col("prev_e").isNotNull()
+        & F.col("next_e").isNotNull()
+        & (F.col("energy") > F.col("prev_e"))
+        & (F.col("energy") > F.col("next_e"))
+        & (F.col("energy") * F.col("nw") > F.col("tot_e"))
+    ).select("doc_id", "win_idx", "energy")

@@ -153,6 +153,9 @@ PROBE_KEYS = [
     "events_survival_table",
     "events_bot_regularity",
     "graph_degree_assortativity",
+    "multimodal_audio_peaks",
+    "events_forecast_snaive",
+    "sample_contrastive_pairs",
 ]
 
 # Operators whose CONTRACT is exact all-pairs computation (the dedup

@@ -921,3 +921,30 @@ def test_assortativity_single_moment_aggregate(spark, sf_dir):
     aggregate; no cartesian anywhere."""
     plan = _physical(_QUERIES["graph_degree_assortativity"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_audio_peaks_single_window_shuffle(spark, sf_dir):
+    """multimodal_audio_peaks: lag/lead/sum share one (doc_id)
+    partitioning — a single exchange beyond the input repartition, and
+    no joins."""
+    plan = _physical(_QUERIES["multimodal_audio_peaks"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_snaive_joins_on_aggregate_not_fact(spark, sf_dir):
+    """events_forecast_snaive: the self-join sits above the daily
+    aggregate — the fact scan shuffles once into it."""
+    plan = _physical(_QUERIES["events_forecast_snaive"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    first_join = plan.find("Join")
+    assert first_join != -1, plan
+    assert "HashAggregate" in plan[first_join:], plan
+
+
+def test_contrastive_pairs_bucketed_no_allpairs(spark, sf_dir):
+    """sample_contrastive_pairs: candidates come from bucket equality —
+    no cartesian, no nested-loop join."""
+    plan = _physical(_QUERIES["sample_contrastive_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
