@@ -1827,7 +1827,9 @@ def events_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = ev.groupBy("user_id").agg(
         F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
     )
-    b = ev.agg(F.max("ts").alias("stream_end"))
+    # stream end derives from the per-user aggregate already in hand —
+    # no second scan of the fact table
+    b = u.agg(F.max("last_ts").alias("stream_end"))
     day_us = 86400000000
     lab = u.join(F.broadcast(b)).select(
         F.expr(
@@ -1843,27 +1845,20 @@ def events_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("churned").cast("bigint").alias("n_events"),
         F.sum(1 - F.col("churned")).cast("bigint").alias("n_censored"),
     )
-    total = F.broadcast(lab.agg(F.count(F.lit(1)).cast("bigint").alias("tot")))
+    # n_risk IS the reverse cumulative — one window over the bounded
+    # day rows, no global total, no cross join
     w = (
         Window.orderBy("duration_days")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    return (
-        day.join(total)
-        .select(
-            "duration_days",
-            (
-                F.col("tot")
-                - F.coalesce(
-                    F.sum(F.col("n_events") + F.col("n_censored")).over(w),
-                    F.lit(0),
-                )
-            )
-            .cast("bigint")
-            .alias("n_risk"),
-            "n_events",
-            "n_censored",
-        )
+    return day.select(
+        "duration_days",
+        F.sum(F.col("n_events") + F.col("n_censored"))
+        .over(w)
+        .cast("bigint")
+        .alias("n_risk"),
+        "n_events",
+        "n_censored",
     )
 
 
@@ -1886,7 +1881,7 @@ def events_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(gs * gs) AS BIGINT) AS sumsq_sec
       FROM g GROUP BY user_id)
     SELECT user_id, n_gaps, sum_sec, sumsq_sec,
-           CAST(4 * n_gaps * (n_gaps * sumsq_sec - sum_sec * sum_sec)
+           CAST(4 * (n_gaps * sumsq_sec - sum_sec * sum_sec)
                     < sum_sec * sum_sec AS BOOLEAN) AS is_bot
     FROM m WHERE n_gaps >= 5
     """,
@@ -1895,9 +1890,9 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bot detection by inter-event-time REGULARITY: humans are bursty
     (coefficient of variation of gaps near or above 1), schedulers are
     metronomic (CV ≪ 1). The flag CV < 0.5 is evaluated without a
-    single double: CV² = n(nΣg²−S²)/S² < ¼  ⇔  4n(nΣg²−S²) < S², exact
-    in int64 at second resolution (30-day span ⇒ S ≤ 2.6e6 s, the
-    worst product ~3e17). One (user, ts) window for the lag, one keyed
+    single double: population CV² = (nΣg²−S²)/S² < ¼  ⇔  4(nΣg²−S²)
+    < S², exact in int64 at second resolution (30-day span ⇒
+    S ≤ 2.6e6 s, so 4nΣg² ≲ 1e17 even at thousands of gaps/user). One (user, ts) window for the lag, one keyed
     aggregate — the same two-shuffle shape at any user count; gaps use
     the TIMESTAMP_NTZ-safe timestampdiff idiom."""
     ev = load_table(spark, sf_dir, "events")
@@ -1921,7 +1916,7 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, s, s2 = F.col("n_gaps"), F.col("sum_sec"), F.col("sumsq_sec")
     return m.filter(n >= 5).select(
         "user_id", "n_gaps", "sum_sec", "sumsq_sec",
-        (4 * n * (n * s2 - s * s) < s * s).alias("is_bot"),
+        (4 * (n * s2 - s * s) < s * s).alias("is_bot"),
     )
 
 

@@ -259,6 +259,23 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUDIO_WIN, _AUDIO_HOP = 32, 16
+
+
+def _audio_energy(arr):
+    """(starts, per-window byte-sum energies) for the shared 32/16 audio
+    framing — the ONE definition both multimodal_audio_window and
+    multimodal_audio_peaks (and their oracles) must agree with."""
+    import numpy as np
+
+    n = arr.size
+    nw = (n - _AUDIO_WIN) // _AUDIO_HOP + 1
+    starts = np.arange(nw) * _AUDIO_HOP
+    cs = np.concatenate(([0], np.cumsum(arr, dtype=np.int64)))
+    return starts, cs[starts + _AUDIO_WIN] - cs[starts]
+
+
+
 @register(
     "multimodal_audio_window",
     oracle="""
@@ -304,21 +321,21 @@ def multimodal_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import numpy as np
 
-        size, hop = 32, 16
+        size = _AUDIO_WIN
         for pdf in batches:
             ids, idxs, energies, sums = [], [], [], []
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
                 arr = np.frombuffer(b, dtype=np.uint8)
-                n = arr.size
-                if n < size:
+                if arr.size < size:
                     continue
-                view = np.lib.stride_tricks.sliding_window_view(arr, size)[::hop]
-                e = view.sum(axis=1, dtype=np.int64)
-                for wi in range(view.shape[0]):
+                starts, e = _audio_energy(arr)
+                for wi, st in enumerate(starts):
                     ids.append(doc_id)
                     idxs.append(wi)
                     energies.append(int(e[wi]))
-                    sums.append(hashlib.md5(view[wi].tobytes()).hexdigest())
+                    sums.append(
+                        hashlib.md5(arr[st:st + size].tobytes()).hexdigest()
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -658,14 +675,11 @@ def multimodal_audio_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, idxs, es = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
-                n = arr.size
-                if n < 32:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                if arr.size < _AUDIO_WIN:
                     continue
-                nw = (n - 32) // 16 + 1
-                starts = np.arange(nw) * 16
-                cs = np.concatenate(([0], np.cumsum(arr)))
-                window_sums = cs[starts + 32] - cs[starts]
+                starts, window_sums = _audio_energy(arr)
+                nw = starts.size
                 ids.extend([doc_id] * nw)
                 idxs.extend(range(nw))
                 es.extend(int(x) for x in window_sums)
