@@ -212,6 +212,9 @@ _R05_ADDITIONS = [
     "multimodal_audio_peaks",
     "events_forecast_snaive",
     "sample_contrastive_pairs",
+    "win_running_distinct",
+    "events_hourly_profile",
+    "text_cross_source_overlap",
 ]
 
 HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS + _R05_ADDITIONS

@@ -2057,3 +2057,48 @@ def events_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bias_cents_total"),
         )
     )
+
+
+@register(
+    "events_hourly_profile",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hh,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM events GROUP BY event_type, hour(ts)),
+    pk AS (
+      SELECT event_type, hh, n, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, hh) AS rnk
+      FROM h)
+    SELECT event_type, hh AS hour, n, cents,
+           CAST(rnk = 1 AS BOOLEAN) AS is_peak_hour
+    FROM pk
+    """,
+)
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day traffic shape per event type, with the peak hour
+    flagged — the capacity-planning profile behind autoscaling
+    schedules. One (type, hour) aggregate (≤ 24·|types| rows), one
+    bounded window for the argmax with the deterministic (count DESC,
+    hour) tie-break; money stays exact integer cents. The fact table
+    shuffles once into the 120-row profile regardless of scale."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "hour")
+    return h.select(
+        "event_type",
+        "hour",
+        "n",
+        "cents",
+        (F.row_number().over(w) == 1).alias("is_peak_hour"),
+    )

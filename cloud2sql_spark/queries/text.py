@@ -920,3 +920,46 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "phrase")
         .limit(20)
     )
+
+
+@register(
+    "text_cross_source_overlap",
+    oracle="""
+    WITH d AS (
+      SELECT text, source, count(*) AS n FROM documents
+      GROUP BY text, source),
+    x AS (
+      SELECT text,
+             CAST(count(*) AS BIGINT) AS n_sources,
+             CAST(sum(n) AS BIGINT) AS n_docs,
+             min(source) AS first_source
+      FROM d GROUP BY text)
+    SELECT text, n_sources, n_docs, first_source
+    FROM x WHERE n_sources >= 2
+    """,
+)
+def text_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate detection — text that appears in MULTIPLE
+    sources is the contamination/plagiarism signal plain dedup_exact
+    (which collapses within-corpus copies) does not expose: a benchmark
+    answer leaking into a crawl shows up here first. Two keyed
+    aggregates on the same text-prefixed key (the second reuses the
+    first's clustering); at 100 TB the text key would be its md5 digest
+    (the dedup_exact convention) so the shuffle carries 16-byte keys,
+    not documents."""
+    # Partition by text ONCE: the (text, source) aggregate's clustering
+    # is satisfied by the coarser text hash, and the text-level rollup
+    # reuses it — one exchange end to end.
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "text"
+    )
+    d = docs.groupBy("text", "source").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        d.groupBy("text")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.min("source").alias("first_source"),
+        )
+        .filter(F.col("n_sources") >= 2)
+    )

@@ -446,3 +446,58 @@ def win_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w_vals", ((F.col("w_n") + 1) / 2).cast("int")
         ).alias("sliding_median_cents"),
     )
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN row_number() OVER (
+                      PARTITION BY user_id, event_type
+                      ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events)
+    SELECT user_id, event_id,
+           CAST(sum(first_seen) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT) AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT DISTINCT per user over time — the window frame SQL
+    cannot express directly (DISTINCT inside a windowed aggregate is
+    unsupported in both engines): decomposed into a first-occurrence
+    flag (row_number = 1 on the (user, type) ordering) plus a running
+    SUM of flags on the (user) ordering. Both windows hash-partition on
+    user_id — the second reuses the first's shuffle (one Exchange
+    total, plan-tested), so the trick costs one extra in-partition sort,
+    not a shuffle. The standard cardinality-over-time primitive
+    (features-seen, vocabulary-growth curves) at any user count."""
+    # One explicit user_id partitioning serves BOTH windows: the
+    # (user, type) window's clustering requirement is satisfied by the
+    # coarser user_id hash (subset-of-clustering-keys rule), so neither
+    # window adds an exchange of its own.
+    ev = load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "first_seen"
+        ),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_run).cast("bigint").alias(
+            "distinct_types_so_far"
+        ),
+    )

@@ -156,6 +156,9 @@ PROBE_KEYS = [
     "multimodal_audio_peaks",
     "events_forecast_snaive",
     "sample_contrastive_pairs",
+    "win_running_distinct",
+    "events_hourly_profile",
+    "text_cross_source_overlap",
 ]
 
 # Operators whose CONTRACT is exact all-pairs computation (the dedup

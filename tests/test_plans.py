@@ -948,3 +948,28 @@ def test_contrastive_pairs_bucketed_no_allpairs(spark, sf_dir):
     plan = _physical(_QUERIES["sample_contrastive_pairs"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_running_distinct_single_exchange(spark, sf_dir):
+    """win_running_distinct: both windows share the user_id hash
+    partitioning — exactly one Exchange."""
+    plan = _physical(_QUERIES["win_running_distinct"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_hourly_profile_bounded_window(spark, sf_dir):
+    """events_hourly_profile: the argmax window sits above the
+    (type, hour) aggregate, never over the fact rows."""
+    plan = _physical(_QUERIES["events_hourly_profile"](spark, sf_dir))
+    pos = plan.find("Window")
+    assert pos != -1, plan
+    assert "HashAggregate" in plan[pos:], plan
+
+
+def test_cross_source_reuses_clustering(spark, sf_dir):
+    """text_cross_source_overlap: the text-level re-aggregate reuses the
+    (text, source) clustering — one Exchange, no join."""
+    plan = _physical(_QUERIES["text_cross_source_overlap"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
