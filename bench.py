@@ -38,7 +38,12 @@ R01_SET = [
     "multimodal_frames",
 ]
 
-HEADLINE = [
+# Frozen per-round sets (ADVICE r05): each R0N_SET is EXACTLY the headline
+# keys that round's bench timed, so rNN_set_total stays comparable to the
+# historical BENCH_r0N.json recordings forever. Never derive these by
+# subtraction from the growing HEADLINE — that silently absorbs later
+# additions (the r05 bug).
+R02_SET = [
     "agg_groupby",
     "agg_count_distinct",
     "agg_rollup",
@@ -78,7 +83,7 @@ HEADLINE = [
     "multimodal_frames",
 ]
 
-_R03_ADDITIONS = [
+_R03_ADDITIONS = [  # new keys first timed in round 3
     "events_path_transitions",
     "events_anomaly_zscore",
     "events_rolling_dau",
@@ -217,7 +222,28 @@ _R05_ADDITIONS = [
     "text_cross_source_overlap",
 ]
 
-HEADLINE = HEADLINE + _R03_ADDITIONS + _R04_ADDITIONS + _R05_ADDITIONS
+_R06_ADDITIONS: list[str] = [
+    "win_conditional_streak_reset",
+    "events_interval_merge",
+    "agg_theil_index",
+    "text_hashing_trick_features",
+    "dedup_minhash_banding_curve",
+    "events_rfm_segments",
+    "join_temporal_foreign_key",
+    "embed_whitening_stats",
+    "dedup_sorted_neighborhood",
+    "events_markov_next_state",
+    "agg_winsorized_stats",
+    "scan_rowgroup_stats",
+    "graph_label_propagation",
+    "multimodal_silence_segments",
+    "sample_importance_reweight",
+]
+
+R03_SET = R02_SET + _R03_ADDITIONS
+R04_SET = R03_SET + _R04_ADDITIONS
+R05_SET = R04_SET + _R05_ADDITIONS
+HEADLINE = R05_SET + _R06_ADDITIONS
 
 
 def main() -> None:
@@ -281,20 +307,12 @@ def main() -> None:
     )
     # like-for-like round deltas: the headline set GROWS every round, so the
     # raw total is not comparable across rounds. rNN_set_total restricts to
-    # the exact keys that round timed (r01: 29 keys @ 20.03s; r02: 37 keys
-    # @ 22.27s recorded in BENCH_r0N.json).
-    r02_set = [
-        k
-        for k in HEADLINE
-        if k not in _R03_ADDITIONS and k not in _R04_ADDITIONS
-    ]
-    r02_total = round(
-        sum(v for k, v in per_query.items() if k in set(r02_set)), 3
-    )
-    r03_set = [k for k in HEADLINE if k not in _R04_ADDITIONS]
-    r03_total = round(
-        sum(v for k, v in per_query.items() if k in set(r03_set)), 3
-    )
+    # the frozen keys that round timed (r01: 29 keys; r02: 37; r03: 47;
+    # r04: 109; r05: 161 — recorded in BENCH_r0N.json).
+    def _subtotal(keys: list[str]) -> float:
+        ks = set(keys)
+        return round(sum(v for k, v in per_query.items() if k in ks), 3)
+
     print(
         json.dumps(
             {
@@ -304,8 +322,10 @@ def main() -> None:
                 "queries": per_query,
                 "n_queries": len(per_query),
                 "r01_set_total": r01_total,
-                "r02_set_total": r02_total,
-                "r03_set_total": r03_total,
+                "r02_set_total": _subtotal(R02_SET),
+                "r03_set_total": _subtotal(R03_SET),
+                "r04_set_total": _subtotal(R04_SET),
+                "r05_set_total": _subtotal(R05_SET),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

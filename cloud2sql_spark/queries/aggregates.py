@@ -1046,7 +1046,7 @@ def agg_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS BIGINT) AS n,
              sum(cents) AS s1,
              sum(cents * cents) AS s2,
-             sum(cents * cents * cents) AS s3,
+             sum(CAST(cents AS HUGEINT) * cents * cents) AS s3,
              sum(CAST(cents * cents AS HUGEINT)
                  * CAST(cents * cents AS HUGEINT)) AS s4
       FROM c GROUP BY event_type),
@@ -1078,9 +1078,13 @@ def agg_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population skewness and excess kurtosis per event_type from EXACT
     integer raw moments — the agg_ols_two_factor recipe applied to
-    higher moments: value is exact 2-decimal money, so cents/cents²/
-    cents³ sum associatively in int64 and cents⁴ (which tops 2⁶³ at the
-    observed value range) in DECIMAL(38,0) (HUGEINT on the oracle side)
+    higher moments: value is exact 2-decimal money, so cents and cents²
+    sum associatively in int64, while cents³ and cents⁴ (Σcents² ≈ 1e15
+    at sf0.1, so Σcents³ is within reach of 2⁶³ at modest scale-up and
+    cents⁴ tops it outright) ride DECIMAL(38,0) (HUGEINT on the oracle
+    side) — the asymmetric-overflow hazard ADVICE r05 flagged: int64
+    wraps/errors on Spark while DuckDB auto-widens, so both wide sums
+    are widened EXPLICITLY on both engines
     — any partitioning yields the same bits in ONE map-side-combined
     scan. The central-moment and skew/kurtosis formulas then run in
     IEEE doubles with IDENTICAL association on both engines (each cast,
@@ -1099,7 +1103,7 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("c").alias("s1"),
         F.sum("c2").alias("s2"),
-        F.sum(F.col("c2") * F.col("c")).alias("s3"),
+        F.sum(F.col("c2").cast("decimal(38,0)") * F.col("c")).alias("s3"),
         F.sum(F.col("c2").cast("decimal(19,0)") * F.col("c2")).alias("s4"),
     )
 

@@ -16,6 +16,8 @@ collects.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from cloud2sql_spark.checkpointing import truncate_lineage
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -677,7 +679,9 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (the oracle recursive CTE carries the same hop < 6 bound, and
     its UNION-recursion dedups on (node, hop) so bipartite parity re-visits
     stay bounded by nodes x hops, never path-enumeration). Each superstep
-    ends in an eager localCheckpoint: plain persist leaves the logical
+    ends in an eager lineage truncation (truncate_lineage — executor-local
+    blocks by default, reliable checkpoint() to a durable dir on a cluster
+    via SPARK_GRAFT_RELIABLE_CHECKPOINT=1): plain persist leaves the logical
     plan growing by three shuffles per round (the optimizer replans the
     whole nested union every superstep — observed as 400 -> 600 -> 800
     task stages and an eventual driver OOM), while checkpointing truncates
@@ -692,11 +696,11 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = half.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionByName(
         half.select(F.col("s").alias("src"), F.col("p").alias("dst"))
     )
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(truncate_lineage)
     seed = li.agg(
         F.concat(F.lit("s"), F.min("l_suppkey").cast("string")).alias("node")
     ).withColumn("hop", F.lit(0))
-    visited = seed.localCheckpoint(eager=True)
+    visited = seed.transform(truncate_lineage)
     frontier = visited
     for hop in range(1, 7):
         nxt = (
@@ -705,11 +709,11 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited, "node", "left_anti")
             .withColumn("hop", F.lit(hop))
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).transform(truncate_lineage)
         frontier = nxt
     return visited.groupBy("hop").agg(F.count(F.lit(1)).alias("n_nodes"))
 
@@ -1708,7 +1712,8 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     even when the core empties (the near-regular co-purchase graph is
     all-or-nothing: sf0.001 collapses to ∅, sf0.01 retains a 1857-node
     core). Scale shape: each round is ONE pass — und ⋈ alive ⋈ alive →
-    induced-degree aggregate — localCheckpoint'ed eagerly so round r's
+    induced-degree aggregate — lineage-truncated eagerly (see
+    cloud2sql_spark.checkpointing for the local-vs-reliable trade) so round r's
     plan references a materialized alive set, never the 3^r-reference
     lineage that hung _min_label_propagate before its extraction; the
     per-round stats read the SAME checkpointed degree frame. Edges
@@ -1725,11 +1730,11 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spark.sql.shuffle.partitions-wide ones (the vanilla-session 400-task
     # stages that made the first cut 3x slower on tiny per-round frames).
     p = spark.sparkContext.defaultParallelism
-    und_u = und.repartition(p, "u").localCheckpoint(eager=True)
-    und_v = und_u.repartition(p, "v").localCheckpoint(eager=True)
+    und_u = und.repartition(p, "u").transform(truncate_lineage)
+    und_v = und_u.repartition(p, "v").transform(truncate_lineage)
     alive = (
         und_u.select("u").repartition(p, "u").distinct()
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     traces = []
     prev_count = None
@@ -1760,7 +1765,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition(p, "u")
             .groupBy("u")
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         traces.append(
             F.broadcast(alive.agg(F.count(F.lit(1)).cast("bigint").alias("n_alive")))

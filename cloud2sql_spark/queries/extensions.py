@@ -25,6 +25,8 @@ Scale design (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+
+from cloud2sql_spark.checkpointing import truncate_lineage
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1209,7 +1211,7 @@ def _min_label_propagate(
                     F.col("cl"), F.coalesce(F.col("jl"), F.col("cl"))
                 ).alias("new_label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         changed = joined.filter(F.col("new_label") != F.col("label")).count()
         labels.unpersist()
@@ -1369,10 +1371,10 @@ _MESSY_URL_SQL = """
              CASE WHEN path <> '/' THEN regexp_replace(path, '/$', '')
                   ELSE path END ||
              CASE WHEN len(list_filter(string_split(query, '&'),
-                                       x -> x <> '' AND x NOT LIKE 'utm_%')) > 0
+                                       x -> x <> '' AND NOT starts_with(x, 'utm_'))) > 0
                   THEN '?' || array_to_string(
                          list_sort(list_filter(string_split(query, '&'),
-                                   x -> x <> '' AND x NOT LIKE 'utm_%')), '&')
+                                   x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&')
                   ELSE '' END AS canonical_url
       FROM parts)
     SELECT canonical_url,

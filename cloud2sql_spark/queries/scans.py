@@ -36,8 +36,27 @@ def _tmp(name: str) -> str:
 
 
 # Leftover per-applicationId fixture dirs older than this are swept the
-# next time any session builds a fixture for the same operator.
-_STALE_FIXTURE_SECONDS = 2 * 3600
+# next time any session builds a fixture for the same operator. Margin is
+# deliberately ABOVE the longest observed session (~6h driver round): a
+# still-running session can hold a lazy DataFrame over a fixture it built
+# hours ago, and reads do not bump any mtime, so a tight margin would let a
+# concurrent session delete the directory out from under an in-flight scan
+# (ADVICE r05).
+_STALE_FIXTURE_SECONDS = 8 * 3600
+
+
+def _fixture_age(path: str, now: float) -> float:
+    """Age of a fixture dir = now minus the NEWEST mtime among the dir and
+    its direct children. Directory mtime alone only reflects entry
+    create/delete; a rebuild that rewrites files in place would look stale
+    by dir mtime while its contents are fresh."""
+    newest = os.path.getmtime(path)
+    try:
+        for f in os.listdir(path):
+            newest = max(newest, os.path.getmtime(os.path.join(path, f)))
+    except OSError:
+        pass
+    return now - newest
 
 
 def _app_fixture_dir(op: str, leaf: str) -> str:
@@ -45,9 +64,9 @@ def _app_fixture_dir(op: str, leaf: str) -> str:
 
     The appId in `leaf` prevents concurrent sessions clobbering each
     other's fixtures mid-read; without a sweep, though, every PAST
-    application leaks a full table copy in /tmp. Age-gated cleanup (mtime
-    older than 2h) removes those leftovers while staying safe for any
-    session that could actually still be running."""
+    application leaks a full table copy in /tmp. Age-gated cleanup
+    (newest content mtime older than 8h) removes those leftovers while
+    staying safe for any session that could actually still be running."""
     import time
 
     parent = os.path.join(_TMP_ROOT, op)
@@ -58,7 +77,7 @@ def _app_fixture_dir(op: str, leaf: str) -> str:
             continue
         p = os.path.join(parent, d)
         try:
-            if now - os.path.getmtime(p) > _STALE_FIXTURE_SECONDS:
+            if _fixture_age(p, now) > _STALE_FIXTURE_SECONDS:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass

@@ -675,7 +675,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(ln((CAST(bc.cab AS DOUBLE) / (SELECT total_b FROM bt))
                     / ((CAST(a.c AS DOUBLE) / (SELECT total_w FROM t))
                        * (CAST(b.c AS DOUBLE) / (SELECT total_w FROM t)))),
-                 4) AS pmi
+                 4) + 0.0 AS pmi
     FROM bc
     JOIN wc a ON bc.w1 = a.token
     JOIN wc b ON bc.w2 = b.token
@@ -735,7 +735,11 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(b), "w2")
         .join(F.broadcast(total_w))
         .join(F.broadcast(total_b))
-        .select("w1", "w2", "cab", F.round(pmi, 4).alias("pmi"))
+        # ``+ 0.0`` canonicalizes IEEE -0.0 (a PMI that rounds to zero from
+        # below) to +0.0 on BOTH engines: the driver's value-hash does not
+        # canonicalize signed zero (r05 red row; precedent multimodal_resize
+        # r02), and -0.0 + 0.0 == +0.0 under round-to-nearest.
+        .select("w1", "w2", "cab", (F.round(pmi, 4) + F.lit(0.0)).alias("pmi"))
     )
 
 

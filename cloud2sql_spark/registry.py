@@ -65,65 +65,15 @@ _loaded = False
 # order); everything else follows in registration order. Unknown names are
 # ignored, so the list may name ops before their module lands.
 _PRIORITY = [
-    # Round 5: the 27 keys that have never had a driver CORRECTNESS row
-    # (they fell past round 4's 50-slot window; VERDICT r04 "What's wrong"
-    # #3 lists them verbatim). They take the first slots.
-    "tpch_q4",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-    "graph_pagerank",
-    "sim_search_pq_adc",
-    "fn_ip_parse",
-    "join_cidr_contains",
-    "join_asof_nearest",
-    "multimodal_audio_window",
-    "text_pmi_bigrams",
-    "text_repetition",
-    "sample_temperature",
-    "sample_dedup_weighted",
-    "sample_interleave",
-    "sample_balanced",
-    "sort_zorder_cluster",
-    "scan_vacuum_retention",
-    "events_concurrency_sweep",
-    "udtf_table_arg",
-    "agg_weighted_percentile",
-    # The one red r04 row — libm-unsafe round-to-6 contract replaced with
-    # guard-banded quantization; prove the repair.
-    "fn_trig",
-    # dedup_containment was green r04 but its candidate join gained a
-    # df-cap this round (same machinery as dedup_ngram_capped); re-prove
-    # the output is unchanged under the new plan.
-    "dedup_containment",
-    # New in round 5 (driver signal on first exposure).
-    "tpch_q1",
-    "tpch_q12",
-    "tpch_q21",
-    "dedup_url_canonical",
-    "text_boilerplate_lines",
-    "sample_curriculum",
-    "events_ab_lift",
-    "multimodal_patchify",
-    "profile_table",
-    "constraint_check",
-    "mv_incremental_refresh",
-    "events_gap_interpolate",
-    "graph_triangle_count",
-    "sink_partition_overwrite_dynamic",
-    "join_scd2_point_in_time",
-    "fn_geo_haversine",
-    "sample_epoch_shuffle",
-    "embed_covariance_gram",
-    "events_cuped_adjusted",
-    "embed_knn_graph",
-    "events_window_funnel",
+    # Round 6 slot plan (VERDICT r05 "Next round" #1/#3): the driver records
+    # only the FIRST 50 keys. Slots 1-31: the keys that have never had a
+    # driver CORRECTNESS row (fell past round 5's window; VERDICT r05 lists
+    # them verbatim). Slot 32: text_pmi_bigrams, red in r05 on a -0.0
+    # hash-only mismatch, repaired with +0.0 canonicalization on both
+    # engines. Slots 33-47: keys NEW in round 6 (driver signal on first
+    # exposure; registration capped at the free-slot budget so
+    # CORRECTNESS_r06 covers 100% of the registry). Remaining slots:
+    # stalest r01-green keys, re-proven for drift.
     "scan_merge_on_read",
     "stream_interval_join_outer",
     "fn_uuid_deterministic",
@@ -133,23 +83,50 @@ _PRIORITY = [
     "udtf_polymorphic",
     "dedup_media_phash",
     "events_anomaly_mad",
-    # Remaining slots: the stalest driver evidence — the r01 cohort (last
-    # proven four rounds ago) — re-prove the core relational surface.
+    "scan_compaction_plan",
+    "agg_skew_kurtosis",
+    "win_running_distinct",
+    "sort_range_boundaries",
+    "sample_contrastive_pairs",
+    "graph_kcore_peel",
+    "events_survival_table",
+    "events_bot_regularity",
+    "graph_degree_assortativity",
+    "events_forecast_snaive",
+    "events_hourly_profile",
+    "text_rake_keywords",
+    "text_cross_source_overlap",
+    "multimodal_scene_cut",
+    "multimodal_audio_peaks",
+    "embed_mips_topk",
+    "embed_pca_project",
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
+    "quality_drift_tv",
+    # r05's one red row, repaired (-0.0 canonicalized on both engines).
+    "text_pmi_bigrams",
+    # New in round 6 (first driver exposure).
+    "win_conditional_streak_reset",
+    "events_interval_merge",
+    "agg_theil_index",
+    "text_hashing_trick_features",
+    "dedup_minhash_banding_curve",
+    "events_rfm_segments",
+    "join_temporal_foreign_key",
+    "embed_whitening_stats",
+    "dedup_sorted_neighborhood",
+    "events_markov_next_state",
+    "agg_winsorized_stats",
+    "scan_rowgroup_stats",
+    "graph_label_propagation",
+    "multimodal_silence_segments",
+    "sample_importance_reweight",
+    # Stalest driver evidence: r01 cohort re-proofs fill remaining slots.
     "agg_groupby",
-    "agg_rollup",
-    "scan_parquet_pruned",
-    "sink_parquet_snapshot",
-    "sink_bucketed_join",
-    "join_inner_equi",
-    "join_broadcast_dim",
     "join_multiway_star",
-    "join_semi",
-    "join_anti",
-    "join_asof",
-    "join_skew_salted",
     "win_running_sum",
-    "topk_per_group",
-    "project_nested_path",
 ]
 
 
