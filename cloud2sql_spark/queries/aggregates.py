@@ -1132,3 +1132,167 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
         (m4 / (m2 * m2) - 3).alias("kurtosis_excess"),
     )
+
+
+@register(
+    "agg_theil_index",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE value > 0),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM c GROUP BY event_type),
+    t AS (
+      SELECT c.event_type, g.n,
+             CAST(round((CAST(c.cents AS DOUBLE) / (CAST(g.s AS DOUBLE) / g.n))
+                        * ln(CAST(c.cents AS DOUBLE) / (CAST(g.s AS DOUBLE) / g.n))
+                        * 1e9, 0) AS BIGINT) AS q
+      FROM c JOIN g ON c.event_type = g.event_type)
+    SELECT event_type, max(n) AS n,
+           round(CAST(sum(q) AS DOUBLE) / (max(n) * 1e9), 6) AS theil_t
+    FROM t GROUP BY event_type
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality index per event type — T = (1/n)·Σ (x/μ)·ln(x/μ),
+    the decomposable entropy measure behind revenue-concentration and
+    data-mixture-imbalance reports. Floating ln sums are partition-order
+    dependent, so the contract quantizes each row's term to integer
+    NANO-units and sums those (associative int64; the fixed-point trick
+    the iterative ops use): a last-ulp ln() disagreement between engines
+    moves one quantum (1e-9), which the final 6-decimal round cannot see
+    after the /n·1e9 normalization. μ comes from exact integer cents
+    sums; the per-row ratio mirrors the oracle's association exactly.
+    Plan: one cents aggregate (5 rows, broadcast back) + one map-side
+    combined term sum — two scans, no window, no skew exposure."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    c = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    g = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    j = c.join(F.broadcast(g), "event_type")
+    ratio = F.col("cents").cast("double") / (
+        F.col("s").cast("double") / F.col("n")
+    )
+    q = F.round(ratio * F.log(ratio) * F.lit(1e9), 0).cast("bigint")
+    return (
+        j.select("event_type", "n", q.alias("q"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.round(
+                F.sum("q").cast("double") / (F.max("n") * F.lit(1e9)), 6
+            ).alias("theil_t"),
+        )
+    )
+
+
+@register(
+    "agg_winsorized_stats",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c),
+    b AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             max(CASE WHEN rn = (n * 5 + 99) // 100 THEN cents END) AS lo_c,
+             max(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END) AS hi_c
+      FROM r GROUP BY event_type),
+    w AS (
+      SELECT r.event_type, b.n, b.lo_c, b.hi_c,
+             least(greatest(r.cents, b.lo_c), b.hi_c) AS wc
+      FROM r JOIN b ON r.event_type = b.event_type),
+    m AS (
+      SELECT event_type, max(n) AS n, max(lo_c) AS lo_c, max(hi_c) AS hi_c,
+             CAST(sum(wc) AS BIGINT) AS s1,
+             CAST(sum(CAST(wc AS HUGEINT) * wc) AS DECIMAL(38,0)) AS s2
+      FROM w GROUP BY event_type)
+    SELECT event_type, n, lo_c, hi_c,
+           round((CAST(s1 AS DOUBLE) / n) / 100, 6) AS winsor_mean,
+           round(sqrt(CAST(s2 AS DOUBLE) / n
+                      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                 / 100, 6) AS winsor_std
+    FROM m
+    """,
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean/std per event type (5th/95th percentile clamp) —
+    the outlier-robust summary behind reward clipping and metric
+    guardrails. Percentile bounds use the EXACT rank-order statistic
+    (row at integer ceil(p·n), computed as (n·p_num + 99) // 100 in pure
+    int64 — no float percentile interpolation to disagree across
+    engines), deterministic under the (cents, event_id) tie-break. The
+    clamp bounds (≤ |types| rows) broadcast back onto the ranked rows —
+    which reuse the SAME event_type hash exchange as the ranking window
+    — then one map-side-combined moment aggregate: exact int64 Σwc and
+    DECIMAL(38,0) Σwc² (the ADVICE r05 overflow posture), with the
+    mean/variance double math mirroring the oracle's association
+    token-for-token."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    ).repartition(spark.sparkContext.defaultParallelism, "event_type")
+    wt = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wt.orderBy("cents", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    b = r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n * 5 + 99) div 100"), F.col("cents")
+            )
+        ).alias("lo_c"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n * 95 + 99) div 100"), F.col("cents")
+            )
+        ).alias("hi_c"),
+    )
+    w = r.select("event_type", "cents").join(
+        F.broadcast(b), "event_type"
+    ).select(
+        "event_type",
+        "n",
+        "lo_c",
+        "hi_c",
+        F.least(F.greatest(F.col("cents"), F.col("lo_c")), F.col("hi_c")).alias("wc"),
+    )
+    m = w.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("lo_c").alias("lo_c"),
+        F.max("hi_c").alias("hi_c"),
+        F.sum("wc").cast("bigint").alias("s1"),
+        F.sum(F.col("wc").cast("decimal(19,0)") * F.col("wc"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    mean_c = F.col("s1").cast("double") / F.col("n")
+    msq = F.col("s2").cast("double") / F.col("n")
+    return m.select(
+        "event_type",
+        "n",
+        "lo_c",
+        "hi_c",
+        F.round(mean_c / 100, 6).alias("winsor_mean"),
+        F.round(F.sqrt(msq - mean_c * mean_c) / 100, 6).alias("winsor_std"),
+    )

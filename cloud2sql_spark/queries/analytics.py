@@ -2107,3 +2107,328 @@ def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         (F.row_number().over(w) == 1).alias("is_peak_hour"),
     )
+
+
+@register(
+    "events_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS s,
+             date_diff('microsecond', TIMESTAMP '1970-01-01', ts)
+                 + 600000000 AS e
+      FROM events),
+    pm AS (
+      SELECT user_id, event_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max_e
+      FROM iv),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                      THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY s, event_id) AS isle
+      FROM pm),
+    g AS (
+      SELECT user_id, isle, min(s) AS st, max(e) AS en
+      FROM isl GROUP BY user_id, isle)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(en - st) AS BIGINT) AS covered_us,
+           CAST(max(en - st) AS BIGINT) AS longest_us
+    FROM g GROUP BY user_id
+    """,
+)
+def events_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval merge per user — each event opens a 10-minute
+    activity interval; touching/overlapping intervals coalesce into
+    maximal islands (the session-stitching primitive behind billing
+    meters and uptime reports, distinct from stream_session's gap rule:
+    intervals have EXTENT, and a long interval can swallow several
+    short ones). Classic two-window decomposition: running max(end)
+    over the strictly-preceding frame finds island starts (start >
+    prev-max-end), a running sum of starts numbers the islands — no
+    self-join, no recursion. All three windows and the final aggregate
+    cluster on user_id, so the whole operator rides ONE hash exchange;
+    time is exact integer epoch-microseconds (NTZ-safe idiom) end to
+    end."""
+    ev = load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
+    us = F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts)")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("s"),
+        (us + F.lit(600_000_000)).alias("e"),
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("s", "event_id")
+    pm = iv.withColumn(
+        "prev_max_e",
+        F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    isl = pm.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum(
+            F.when(
+                F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")),
+                1,
+            ).otherwise(0)
+        )
+        .over(w_ord)
+        .alias("isle"),
+    )
+    g = isl.groupBy("user_id", "isle").agg(
+        F.min("s").alias("st"), F.max("e").alias("en")
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(F.col("en") - F.col("st")).cast("bigint").alias("covered_us"),
+        F.max(F.col("en") - F.col("st")).cast("bigint").alias("longest_us"),
+    )
+
+
+@register(
+    "events_rfm_segments",
+    oracle="""
+    WITH mx AS (
+      SELECT max(date_diff('microsecond', TIMESTAMP '1970-01-01', ts))
+                 AS gmax
+      FROM events),
+    u AS (
+      SELECT user_id,
+             (SELECT gmax FROM mx)
+                 - max(date_diff('microsecond', TIMESTAMP '1970-01-01', ts))
+                 AS rec_us,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS mon_c
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT user_id, mon_c,
+             ntile(5) OVER (ORDER BY rec_us, user_id) AS r_score,
+             ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_score,
+             ntile(5) OVER (ORDER BY mon_c DESC, user_id) AS m_score
+      FROM u)
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(mon_c) AS BIGINT) AS segment_cents
+    FROM s GROUP BY r_score, f_score, m_score
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation — the
+    marketing-analytics workhorse: per-user metrics, ntile(5) on each
+    axis, segment rollup. Determinism: every ntile ordering carries a
+    user_id tie-break, recency is exact integer microseconds against
+    the global max (one broadcast scalar), money is integer cents.
+    Scale shape: the fact table collapses to one row per user in a
+    map-side-combined aggregate BEFORE any window; the three ntile
+    windows then run over |users| rows. The unpartitioned ntile is the
+    honest cost of exact global quantiles — at 100 TB (billions of
+    users) the documented switch is approx percentile boundaries +
+    range-partitioned rank, trading exactness for a single-pass
+    distributed sort."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts)")
+    u = ev.groupBy("user_id").agg(
+        F.max(us).alias("umax"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("mon_c"),
+    )
+    gmax = ev.agg(F.max(us).alias("gmax"))
+    u = u.join(F.broadcast(gmax)).withColumn(
+        "rec_us", F.col("gmax") - F.col("umax")
+    )
+    s = u.select(
+        "user_id",
+        "mon_c",
+        F.ntile(5).over(Window.orderBy("rec_us", "user_id")).alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("freq").desc(), "user_id"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("mon_c").desc(), "user_id"))
+        .alias("m_score"),
+    )
+    return s.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("mon_c").cast("bigint").alias("segment_cents"),
+    )
+
+
+@register(
+    "events_markov_next_state",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    t AS (
+      SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type),
+    tot AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS row_total FROM t
+      GROUP BY event_type)
+    SELECT t.event_type AS cur_type, t.next_type, t.n, tot.row_total,
+           round(CAST(t.n AS DOUBLE) / tot.row_total, 6) AS p
+    FROM t JOIN tot ON t.event_type = tot.event_type
+    """,
+)
+def events_markov_next_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — P(next event type | current), the building block of
+    next-action prediction and journey simulation. One (user, time)
+    window produces the lagged pairs, one map-side-combined count per
+    (cur, next) cell (≤ |types|² rows), and the row-normalizer joins
+    back as a broadcast. Probabilities are one double division mirroring
+    the oracle's association, rounded to 6; counts are exact. The
+    fact-table shuffle is the single user_id window — transition cells
+    are tiny at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = t.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("row_total")
+    )
+    return (
+        t.join(F.broadcast(tot), "event_type")
+        .select(
+            F.col("event_type").alias("cur_type"),
+            "next_type",
+            "n",
+            "row_total",
+            F.round(
+                F.col("n").cast("double") / F.col("row_total"), 6
+            ).alias("p"),
+        )
+    )
+
+
+def _lpa_oracle(rounds: int, mod: int) -> str:
+    """Unrolled synchronous label-propagation CTE chain (one MATERIALIZED
+    CTE per round — DuckDB inlines plain chained CTEs, which goes
+    exponential when round i references round i-1 twice)."""
+    ctes = [
+        f"""pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM pl a JOIN pl b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    und AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    l0 AS MATERIALIZED (
+      SELECT node, CASE WHEN node % {mod} = 0 THEN node END AS label
+      FROM (SELECT DISTINCT u AS node FROM und))"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""c{i} AS (
+      SELECT und.u AS node, l.label AS nl, count(*) AS c
+      FROM und JOIN l{i - 1} l ON und.v = l.node
+      WHERE l.label IS NOT NULL GROUP BY und.u, l.label),
+    p{i} AS (
+      SELECT node, nl,
+             row_number() OVER (PARTITION BY node ORDER BY c DESC, nl) AS rk
+      FROM c{i}),
+    l{i} AS MATERIALIZED (
+      SELECT b.node,
+             CASE WHEN b.node % {mod} = 0 THEN b.node
+                  ELSE coalesce(p.nl, b.label) END AS label
+      FROM l{i - 1} b
+      LEFT JOIN (SELECT node, nl FROM p{i} WHERE rk = 1) p
+        ON b.node = p.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM l{rounds} GROUP BY label"""
+    )
+
+
+_LPA_ROUNDS = 3
+_LPA_SEED_MOD = 7
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(_LPA_ROUNDS, _LPA_SEED_MOD),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the part co-purchase graph
+    — seed nodes (id % 7 == 0) carry their own id as a community label;
+    every other node adopts, each synchronous round, the MAJORITY label
+    among its labeled neighbors (ties to the smallest label — the same
+    deterministic argmax row_number idiom as the oracle), keeping its
+    previous label when no neighbor is labeled; seeds stay clamped.
+    The CONTRACT is a fixed 3 rounds (a production run iterates to
+    quiescence with the identical per-round plan); output is the label
+    histogram, the community-size profile. Unlike dedup_cluster_cc's
+    min-id connected components, majority voting is frontier-free —
+    every node recomputes every round — which is exactly the Pregel
+    shape: one neighbor join + one (node, label) count + one argmax
+    window per superstep, each round's result lineage-truncated
+    (cloud2sql_spark.checkpointing: executor-local by default, reliable
+    checkpoint() on a cluster) so round r never replays rounds < r.
+    Edges reuse the persisted _copurchase_edges cache; every shuffle
+    runs at the pinned defaultParallelism width."""
+    p = spark.sparkContext.defaultParallelism
+    e = _copurchase_edges(spark, sf_dir)
+    und = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(p, "v")
+        .transform(truncate_lineage)
+    )
+    seed = F.col("node") % _LPA_SEED_MOD == 0
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.when(seed, F.col("node")).alias("label"))
+        .repartition(p, "node")
+        .transform(truncate_lineage)
+    )
+    rk_w = Window.partitionBy("node").orderBy(F.col("c").desc(), "nl")
+    for _ in range(_LPA_ROUNDS):
+        nbr = (
+            und.join(
+                labels.filter(F.col("label").isNotNull()).select(
+                    F.col("node").alias("v"), F.col("label").alias("nl")
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"), "nl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pick = (
+            nbr.withColumn("rk", F.row_number().over(rk_w))
+            .filter(F.col("rk") == 1)
+            .select("node", F.col("nl").alias("win_nl"))
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node",
+                F.when(seed, F.col("node"))
+                .otherwise(F.coalesce(F.col("win_nl"), F.col("label")))
+                .alias("label"),
+            )
+            .repartition(p, "node")
+            .transform(truncate_lineage)
+        )
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )

@@ -501,3 +501,59 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_types_so_far"
         ),
     )
+
+
+@register(
+    "win_conditional_streak_reset",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100, 0) AS BIGINT) >= 10000 AS hit
+      FROM events),
+    grp AS (
+      SELECT user_id, event_id, ts, hit,
+             sum(CASE WHEN hit THEN 0 ELSE 1 END) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS g
+      FROM c)
+    SELECT user_id, event_id,
+           CAST(CASE WHEN hit THEN
+                  sum(CASE WHEN hit THEN 1 ELSE 0 END) OVER (
+                      PARTITION BY user_id, g ORDER BY ts, event_id)
+                ELSE 0 END AS BIGINT) AS streak
+    FROM grp
+    """,
+)
+def win_conditional_streak_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional streak with reset — per user, the running count of
+    CONSECUTIVE events whose value clears a threshold (>= 100.00),
+    snapping back to 0 the moment one misses. The standard
+    gaps-and-islands decomposition: a running count of MISSES is the
+    island id (each miss starts a new island), and the streak is the
+    running count of hits WITHIN the island — no self-join, no
+    recursion. Both windows cluster on user_id (the island window's
+    (user, g) keys are a superset), so the finer window reuses the
+    coarser one's hash exchange: ONE shuffle total at any scale, the
+    same subset-of-clustering-keys reuse win_running_distinct pins.
+    Money compares as exact integer cents; streaks are exact integers
+    — no float anywhere in the contract."""
+    ev = load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
+    hit = F.round(F.col("value") * 100, 0).cast("bigint") >= 10000
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    grp = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        hit.alias("hit"),
+    ).withColumn(
+        "g", F.sum(F.when(F.col("hit"), 0).otherwise(1)).over(w_user)
+    )
+    w_isle = Window.partitionBy("user_id", "g").orderBy("ts", "event_id")
+    streak = F.when(
+        F.col("hit"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).over(w_isle),
+    ).otherwise(0)
+    return grp.select(
+        "user_id", "event_id", streak.cast("bigint").alias("streak")
+    )
