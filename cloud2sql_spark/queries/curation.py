@@ -1084,3 +1084,73 @@ def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("anchor_id", "negative_id", "dot_units", "rank")
     )
+
+
+@register(
+    "sample_importance_reweight",
+    oracle="""
+    WITH e AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+      GROUP BY lang),
+    t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS k
+      FROM e),
+    w AS (
+      SELECT e.lang, e.n, t.total, t.k,
+             CAST(e.n AS DOUBLE) / t.total AS emp_p,
+             (CAST(t.total AS DOUBLE) / t.k) / e.n AS weight
+      FROM e CROSS JOIN t)
+    SELECT lang, n,
+           round(emp_p, 6) AS emp_p,
+           round(weight, 6) AS weight,
+           round(CAST(n AS DOUBLE) * (weight * weight), 6) AS sum_w2_term,
+           round(CAST(total AS DOUBLE) * total /
+                 sum(CAST(n AS DOUBLE) * (weight * weight)) OVER (), 6)
+               AS effective_sample_size
+    FROM w
+    """,
+)
+def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance re-weighting toward a uniform language mixture — each
+    document's weight is target_p / empirical_p (= total/(k·n_lang)),
+    the estimator-preserving alternative to up/down-sampling when a
+    training run wants a different mixture than the corpus has. Since
+    the weight is constant within a language, everything reduces to the
+    per-language count frame: one map-side-combined aggregate, a
+    broadcast scalar (total, k), and the Kish effective sample size
+    (Σw)²/Σw² — which, with Σ n·w = total exactly under the uniform
+    target, is total²/Σ n·w² — computed via one unpartitioned window
+    over |langs| rows. All divisions mirror the oracle's association;
+    inputs are exact integers. At 100 TB the weight column joins back
+    to documents as a broadcast of |langs| rows — no fact-side shuffle
+    at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = e.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    w = e.join(F.broadcast(t)).select(
+        "lang",
+        "n",
+        "total",
+        (F.col("n").cast("double") / F.col("total")).alias("emp_p"),
+        (
+            (F.col("total").cast("double") / F.col("k")) / F.col("n")
+        ).alias("weight"),
+    )
+    sum_w2 = F.col("n").cast("double") * (F.col("weight") * F.col("weight"))
+    return w.select(
+        "lang",
+        "n",
+        F.round("emp_p", 6).alias("emp_p"),
+        F.round("weight", 6).alias("weight"),
+        F.round(sum_w2, 6).alias("sum_w2_term"),
+        F.round(
+            F.col("total").cast("double")
+            * F.col("total")
+            / F.sum(sum_w2).over(Window.partitionBy()),
+            6,
+        ).alias("effective_sample_size"),
+    )

@@ -755,3 +755,81 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.crossJoin(F.broadcast(dirv)).select(
         "vec_id", _int_dot("v", "dv").cast("bigint").alias("proj_units")
     )
+
+
+@register(
+    "embed_whitening_stats",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+    flat AS (SELECT i AS dim, v[i] AS val
+             FROM q, generate_series(1, 64) g(i)),
+    s AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(val) AS BIGINT) AS s1,
+                 CAST(sum(CAST(val AS HUGEINT) * val) AS DECIMAL(38,0)) AS s2,
+                 CAST(sum(CAST(val AS HUGEINT) * val * val) AS DECIMAL(38,0))
+                     AS s3
+          FROM flat GROUP BY dim),
+    m AS (SELECT dim, n,
+                 CAST(s1 AS DOUBLE) / n AS mu,
+                 CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                     AS m2,
+                 CAST(s3 AS DOUBLE) / n
+                     - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                     + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n) AS m3
+          FROM s)
+    SELECT CAST(dim AS INT) AS dim, n,
+           round(mu / 1000, 6) AS mean_val,
+           round(1 / sqrt(m2 / 1e6 + 1e-6), 6) AS whiten_scale,
+           round(m3 / pow(m2, 1.5), 6) AS skew_after
+    FROM m
+    """,
+)
+def embed_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-whitening statistics per embedding dimension — the
+    (shift, scale) affine each dim needs for zero-mean/unit-variance
+    features, plus the post-whitening SKEWNESS (affine-invariant, from
+    the exact third moment): the residual non-Gaussianity diagonal
+    whitening cannot remove, which tells you whether full ZCA (see
+    embed_covariance_gram) is worth its d² cost. All three raw moments
+    are exact integer sums over milli-unit values (s2/s3 ride
+    DECIMAL(38,0)/HUGEINT — Σval³ outgrows int64 at corpus scale, the
+    ADVICE r05 overflow posture), so any partitioning yields identical
+    bits in ONE map-side-combined 64-group aggregate; the central-
+    moment doubles mirror the oracle token-for-token. The epsilon
+    (1e-6) keeps a constant dim finite — the standard whitening
+    guard."""
+    q = _quantized(spark, sf_dir)
+    flat = q.select(F.posexplode("v").alias("pos", "val")).select(
+        (F.col("pos") + 1).cast("int").alias("dim"), "val"
+    )
+    s = flat.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("val").cast("bigint").alias("s1"),
+        F.sum(F.col("val").cast("decimal(19,0)") * F.col("val"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.sum(
+            F.col("val").cast("decimal(19,0)") * F.col("val") * F.col("val")
+        )
+        .cast("decimal(38,0)")
+        .alias("s3"),
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / n
+        - 3 * mu * (F.col("s2").cast("double") / n)
+        + 2 * mu * mu * mu
+    )
+    return s.select(
+        "dim",
+        "n",
+        F.round(mu / 1000, 6).alias("mean_val"),
+        F.round(1 / F.sqrt(m2 / F.lit(1e6) + F.lit(1e-6)), 6).alias(
+            "whiten_scale"
+        ),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skew_after"),
+    )

@@ -1486,3 +1486,152 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("rep_doc_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, text,
+                      string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id, source, substr(text, 1, 32) AS k,
+                  {_SHINGLES_SQL} AS sg FROM w),
+    ordered AS (
+      SELECT doc_id, source, k, sg,
+             lead(doc_id, 1) OVER so AS n1,
+             lead(doc_id, 2) OVER so AS n2
+      FROM sh
+      WINDOW so AS (PARTITION BY source ORDER BY k, doc_id)),
+    pairs AS (
+      SELECT doc_id AS x, n1 AS y FROM ordered WHERE n1 IS NOT NULL
+      UNION ALL
+      SELECT doc_id AS x, n2 AS y FROM ordered WHERE n2 IS NOT NULL),
+    j AS (
+      SELECT least(p.x, p.y) AS doc_a, greatest(p.x, p.y) AS doc_b,
+             len(list_intersect(a.sg, b.sg)) * 1.0 /
+             len(list_distinct(list_concat(a.sg, b.sg))) AS jaccard
+      FROM pairs p
+      JOIN sh a ON p.x = a.doc_id AND len(a.sg) > 0
+      JOIN sh b ON p.y = b.doc_id AND len(b.sg) > 0)
+    SELECT DISTINCT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup — sort each source's documents by a
+    cheap blocking key (first 32 chars), compare every record only to
+    its w-1=2 following neighbors, verify with exact shingle Jaccard
+    (≥ 0.5). The classic record-linkage alternative to LSH: candidate
+    volume is EXACTLY (w-1)·n regardless of similarity structure, at
+    the cost of recall for dups whose keys sort far apart. Partitioning
+    by source keeps the sort distributed (each partition sorts locally
+    — the real multi-pass SNM shape); the neighbor probe is two lead()
+    calls on that one window, never a self-join. Verification joins
+    ride the shared shingle cache. Determinism: binary string order
+    with doc_id tie-break, exact integer set sizes, one mirrored
+    double division."""
+    sh = _doc_shingles(spark, sf_dir).join(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", F.substring("text", 1, 32).alias("k")
+        ),
+        "doc_id",
+    )
+    so = Window.partitionBy("source").orderBy("k", "doc_id")
+    ordered = sh.select(
+        "doc_id",
+        F.lead("doc_id", 1).over(so).alias("n1"),
+        F.lead("doc_id", 2).over(so).alias("n2"),
+    )
+    pairs = (
+        ordered.select(F.col("doc_id").alias("x"), F.col("n1").alias("y"))
+        .filter(F.col("y").isNotNull())
+        .unionByName(
+            ordered.select(
+                F.col("doc_id").alias("x"), F.col("n2").alias("y")
+            ).filter(F.col("y").isNotNull())
+        )
+    )
+    sgs = _doc_shingles(spark, sf_dir, nonempty=True)
+    a = sgs.select(F.col("doc_id").alias("x"), F.col("sg").alias("sga"))
+    b = sgs.select(F.col("doc_id").alias("y"), F.col("sg").alias("sgb"))
+    j = (
+        pairs.join(a, "x")
+        .join(b, "y")
+        .select(
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            (
+                F.size(F.array_intersect("sga", "sgb")) * F.lit(1.0)
+                / F.size(F.array_union("sga", "sgb"))
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= 0.5).distinct()
+
+
+_BANDING_CONFIGS = [(64, 2), (32, 4), (16, 8), (8, 16)]
+
+
+@register(
+    "dedup_minhash_banding_curve",
+    oracle=f"""
+    WITH truth AS ({_EXACT_JACCARD_PAIRS_SQL.format(thr=0.5)}),
+    cfg AS (SELECT * FROM (VALUES {", ".join(f"({b}, {r})" for b, r in _BANDING_CONFIGS)})
+            t(bands, rows_per_band)),
+    p AS (
+      SELECT cfg.bands, cfg.rows_per_band,
+             CAST(round((1 - pow(1 - pow(truth.jaccard, cfg.rows_per_band),
+                                 cfg.bands)) * 1e9, 0) AS BIGINT) AS q
+      FROM truth CROSS JOIN cfg)
+    SELECT CAST(bands AS INT) AS bands,
+           CAST(rows_per_band AS INT) AS rows_per_band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(q) AS DOUBLE) / (count(*) * 1e9), 6)
+               AS expected_recall,
+           CAST(sum(CASE WHEN q >= 900000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_confident
+    FROM p GROUP BY bands, rows_per_band
+    """,
+)
+def dedup_minhash_banding_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding S-curve evaluation — for each candidate (b, r) split
+    of a 128-hash MinHash signature, the expected recall 1-(1-J^r)^b
+    over the corpus's ACTUAL near-dup pair set (exact Jaccard ≥ 0.5
+    from the shared inverted-index machinery). This is the tuning table
+    an engineer reads before launching a 100 TB dedup: which banding
+    catches the similarity mass this corpus actually has. The pair set
+    reuses _exact_jaccard_pairs (bucketed inverted index, never
+    all-pairs); the 4-row config frame cross-joins as a broadcast.
+    Collision probabilities quantize to integer nano-units before
+    summing (the Theil-index trick) so cross-engine pow() last-ulp
+    noise can never reorder a float sum or flip the 6-decimal round."""
+    truth = _exact_jaccard_pairs(
+        _doc_shingles(spark, sf_dir, nonempty=True), 0.5
+    )
+    cfg = spark.createDataFrame(
+        _BANDING_CONFIGS, "bands INT, rows_per_band INT"
+    )
+    p = truth.crossJoin(F.broadcast(cfg)).select(
+        "bands",
+        "rows_per_band",
+        F.round(
+            (
+                F.lit(1)
+                - F.pow(
+                    F.lit(1) - F.pow("jaccard", F.col("rows_per_band")),
+                    F.col("bands"),
+                )
+            )
+            * F.lit(1e9),
+            0,
+        )
+        .cast("bigint")
+        .alias("q"),
+    )
+    return p.groupBy("bands", "rows_per_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum("q").cast("double") / (F.count(F.lit(1)) * F.lit(1e9)), 6
+        ).alias("expected_recall"),
+        F.sum(F.when(F.col("q") >= 900_000_000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_confident"),
+    )

@@ -1097,3 +1097,78 @@ def join_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").cast("int").alias("score"),
         )
     )
+
+
+@register(
+    "join_temporal_foreign_key",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'signup'
+                  THEN CAST(CAST(round(value * 100, 0) AS BIGINT) % 3 AS INT)
+             END AS tier,
+             CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS is_dim,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100, 0) AS BIGINT) END AS cents
+      FROM events WHERE event_type IN ('signup', 'purchase')),
+    r AS (
+      SELECT user_id, is_dim, cents,
+             last_value(tier IGNORE NULLS) OVER (
+                 PARTITION BY user_id
+                 ORDER BY ts, is_dim DESC, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS effective_tier
+      FROM u)
+    SELECT effective_tier,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM r WHERE is_dim = 0 GROUP BY effective_tier
+    """,
+)
+def join_temporal_foreign_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal foreign-key resolution WITHOUT a range join — each
+    purchase resolves the plan tier set by the user's most recent
+    signup at-or-before its timestamp (same-instant signup wins via the
+    is_dim-first tie-break), the validity-interval FK lookup behind
+    SCD-style dimensions. Instead of the O(|fact|·|versions|) ts <= ts
+    inequality join, version and fact rows UNION into one stream and a
+    single last_value(... IGNORE NULLS) window carries the tier forward
+    — the merge-join-free as-of idiom that shuffles each row exactly
+    once on user_id at any scale (the join_asof docstring's sort-merge
+    alternative, taken to its no-join endpoint). Purchases before any
+    signup report a NULL tier — the referential-integrity signal.
+    Money is exact cents; reference: cloud2sql flattens temporal graph
+    edges the same way before SQL export (/root/reference/cloud2sql/
+    collect.py edge handling)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    u = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", (cents % 3).cast("int")).alias(
+            "tier"
+        ),
+        F.when(F.col("event_type") == "signup", 1).otherwise(0).alias("is_dim"),
+        F.when(F.col("event_type") == "purchase", cents).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("is_dim").desc(), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = u.select(
+        "is_dim",
+        "cents",
+        F.last("tier", ignorenulls=True).over(w).alias("effective_tier"),
+    )
+    return (
+        r.filter(F.col("is_dim") == 0)
+        .groupBy("effective_tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )

@@ -710,3 +710,107 @@ def multimodal_audio_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("energy") > F.col("next_e"))
         & (F.col("energy") * F.col("nw") > F.col("tot_e"))
     ).select("doc_id", "win_idx", "energy")
+
+
+@register(
+    "multimodal_silence_segments",
+    oracle="""
+    WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+               FROM documents),
+    s AS (SELECT doc_id, text, n,
+                 CASE WHEN n >= 32 THEN (n - 32) // 16 + 1 ELSE 0 END AS nw
+          FROM b),
+    w AS (SELECT doc_id, text, nw, unnest(range(0, nw)) AS win_idx FROM s),
+    e AS (SELECT doc_id, win_idx, nw,
+                 CAST(list_aggregate(
+                          list_transform(
+                              string_split(substr(text, win_idx * 16 + 1, 32),
+                                           ''),
+                              c -> ascii(c)),
+                          'sum') AS BIGINT) AS energy
+          FROM w),
+    t AS (SELECT doc_id, win_idx, energy, nw,
+                 sum(energy) OVER (PARTITION BY doc_id) AS tot_e
+          FROM e),
+    sil AS (
+      SELECT doc_id, win_idx,
+             win_idx - row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY win_idx) AS isle
+      FROM t WHERE energy * 2 * nw < tot_e),
+    runs AS (
+      SELECT doc_id, isle, CAST(count(*) AS BIGINT) AS run_len
+      FROM sil GROUP BY doc_id, isle)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(max(run_len) AS BIGINT) AS longest_run,
+           CAST(sum(run_len) AS BIGINT) AS n_silent_windows
+    FROM runs GROUP BY doc_id
+    """,
+)
+def multimodal_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-segment detection over the audio-energy track — windows
+    whose energy sits below HALF the per-document mean (integer
+    cross-multiplication energy·2·nw < total, no division) merge into
+    maximal consecutive runs, the trim/split points a speech pipeline
+    cuts on before transcription. Framing/energy reuse the shared 32/16
+    _audio_energy contract; run detection is the win_idx − row_number
+    gaps-and-islands constant-offset trick on the SAME per-doc
+    partitioning as the energy windows — one shuffle by document,
+    embarrassingly parallel, state bounded by the longest single
+    recording. Docs with no silent window (or too short to frame)
+    correctly emit nothing. The byte-energy track stands in for a real
+    decoder per the module's codec-stub mandate."""
+    mm = (
+        _with_payload(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "payload")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, es = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                if arr.size < _AUDIO_WIN:
+                    continue
+                starts, window_sums = _audio_energy(arr)
+                nw = starts.size
+                ids.extend([doc_id] * nw)
+                idxs.extend(range(nw))
+                es.extend(int(x) for x in window_sums)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "win_idx": pd.array(idxs, dtype="int32"),
+                    "energy": pd.array(es, dtype="int64"),
+                }
+            )
+
+    e = mm.mapInPandas(energies, "doc_id BIGINT, win_idx INT, energy BIGINT")
+    wdoc = Window.partitionBy("doc_id")
+    t = e.select(
+        "doc_id",
+        "win_idx",
+        "energy",
+        F.sum("energy").over(wdoc).alias("tot_e"),
+        F.count(F.lit(1)).over(wdoc).alias("nw"),
+    )
+    sil = t.filter(
+        F.col("energy") * 2 * F.col("nw") < F.col("tot_e")
+    ).select(
+        "doc_id",
+        (
+            F.col("win_idx")
+            - F.row_number().over(wdoc.orderBy("win_idx"))
+        ).alias("isle"),
+    )
+    runs = sil.groupBy("doc_id", "isle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len")
+    )
+    return runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.max("run_len").cast("bigint").alias("longest_run"),
+        F.sum("run_len").cast("bigint").alias("n_silent_windows"),
+    )

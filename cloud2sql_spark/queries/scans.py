@@ -946,3 +946,81 @@ def scan_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("file_seq").cast("int").alias("first_file"),
         F.max("file_seq").cast("int").alias("last_file"),
     )
+
+
+@register(
+    "scan_rowgroup_stats",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey,
+             row_number() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders)
+    SELECT CAST((rn - 1) // 4096 AS INT) AS row_group_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM r GROUP BY (rn - 1) // 4096
+    """,
+)
+def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet row-group footer statistics, read DISTRIBUTED — the
+    metadata pass behind min/max zone-map pruning, compaction triage,
+    and clustering-health reports, done without scanning a single data
+    page: a DataFrame of file paths fans out over executors and an
+    Arrow-batched mapInPandas opens each FOOTER via pyarrow, emitting
+    (row_group, num_rows, stats.min, stats.max) per group. At 100 TB
+    this is the only sane shape — footers are KBs while data is TBs,
+    and the per-file reader parallelizes over the path list exactly
+    like a manifest scan (no driver loop; the one driver-side step
+    here is the bounded FIXTURE build, which stands in for the real
+    lake's already-written files). The fixture writes o_orderkey
+    sorted into exact 4096-row groups (deterministic), so the oracle
+    can re-derive every footer stat from the table itself — an
+    end-to-end proof that footer metadata agrees with the data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    fix_dir = _tmp(f"scan_rowgroup/{os.path.basename(sf_dir)}_fixture")
+    fix = os.path.join(fix_dir, "orders_rg.parquet")
+    if not os.path.exists(fix):
+        os.makedirs(fix_dir, exist_ok=True)
+        t = pq.read_table(src, columns=["o_orderkey"])
+        t = t.sort_by("o_orderkey")
+        tmp_name = fix + ".tmp"
+        pq.write_table(t, tmp_name, row_group_size=4096)
+        os.replace(tmp_name, fix)  # atomic vs a concurrent reader
+
+    paths = spark.createDataFrame([(fix,)], "path STRING").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            gids, nrows, mins, maxs = [], [], [], []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                key_idx = md.schema.names.index("o_orderkey")
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    st = rg.column(key_idx).statistics
+                    gids.append(i)
+                    nrows.append(rg.num_rows)
+                    mins.append(st.min)
+                    maxs.append(st.max)
+            yield pd.DataFrame(
+                {
+                    "row_group_id": pd.Series(gids, dtype="int32"),
+                    "n_rows": pd.Series(nrows, dtype="int64"),
+                    "min_key": pd.Series(mins, dtype="int64"),
+                    "max_key": pd.Series(maxs, dtype="int64"),
+                }
+            )
+
+    return paths.mapInPandas(
+        read_footers,
+        "row_group_id INT, n_rows BIGINT, min_key BIGINT, max_key BIGINT",
+    )

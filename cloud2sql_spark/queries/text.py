@@ -967,3 +967,49 @@ def text_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_sources") >= 2)
     )
+
+
+@register(
+    "text_hashing_trick_features",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    hx AS (
+      SELECT doc_id, substr(md5(term), 1, 4) AS h FROM tok),
+    b AS (
+      SELECT doc_id,
+             CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+                   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+                   + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 64
+                  AS INT) AS bucket
+      FROM hx)
+    SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
+    FROM b GROUP BY doc_id, bucket
+    """,
+)
+def text_hashing_trick_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick (feature-hashing) sparse vectors — each token maps
+    to one of 64 buckets via md5, giving fixed-width features with no
+    vocabulary build or broadcast dictionary: the property that makes
+    the trick THE featurizer at 100 TB, where a vocab table is itself
+    a big-data problem. Bucket = first 16 md5 bits mod 64 (md5 is
+    byte-identical across engines; the oracle re-derives the hex→int
+    conversion digit-by-digit since DuckDB lacks conv()). One explode +
+    one map-side-combined (doc, bucket) count — no joins, no windows,
+    embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select(
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isNotNull())
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("bigint") % 64
+    ).cast("int")
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
