@@ -1152,7 +1152,7 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * 1e9, 0) AS BIGINT) AS q
       FROM c JOIN g ON c.event_type = g.event_type)
     SELECT event_type, max(n) AS n,
-           round(CAST(sum(q) AS DOUBLE) / (max(n) * 1e9), 6) AS theil_t
+           round(CAST(sum(q) AS DOUBLE) / (max(n) * 1e9), 6) + 0.0 AS theil_t
     FROM t GROUP BY event_type
     """,
 )
@@ -1187,8 +1187,13 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.max("n").alias("n"),
-            F.round(
-                F.sum("q").cast("double") / (F.max("n") * F.lit(1e9)), 6
+            # + 0.0 canonicalizes a -0.0 from quantization noise at T≈0
+            # (the driver's value-hash does not canonicalize signed zero)
+            (
+                F.round(
+                    F.sum("q").cast("double") / (F.max("n") * F.lit(1e9)), 6
+                )
+                + F.lit(0.0)
             ).alias("theil_t"),
         )
     )

@@ -780,9 +780,9 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                          * (CAST(s1 AS DOUBLE) / n) AS m3
           FROM s)
     SELECT CAST(dim AS INT) AS dim, n,
-           round(mu / 1000, 6) AS mean_val,
+           round(mu / 1000, 6) + 0.0 AS mean_val,
            round(1 / sqrt(m2 / 1e6 + 1e-6), 6) AS whiten_scale,
-           round(m3 / pow(m2, 1.5), 6) AS skew_after
+           round(m3 / pow(m2, 1.5), 6) + 0.0 AS skew_after
     FROM m
     """,
 )
@@ -827,9 +827,11 @@ def embed_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "dim",
         "n",
-        F.round(mu / 1000, 6).alias("mean_val"),
+        # + 0.0: mean and skewness are signed and can round to -0.0 on
+        # near-zero dims; canonicalize for the driver's value-hash
+        (F.round(mu / 1000, 6) + F.lit(0.0)).alias("mean_val"),
         F.round(1 / F.sqrt(m2 / F.lit(1e6) + F.lit(1e-6)), 6).alias(
             "whiten_scale"
         ),
-        F.round(m3 / F.pow(m2, 1.5), 6).alias("skew_after"),
+        (F.round(m3 / F.pow(m2, 1.5), 6) + F.lit(0.0)).alias("skew_after"),
     )

@@ -1136,10 +1136,9 @@ def join_temporal_foreign_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the merge-join-free as-of idiom that shuffles each row exactly
     once on user_id at any scale (the join_asof docstring's sort-merge
     alternative, taken to its no-join endpoint). Purchases before any
-    signup report a NULL tier — the referential-integrity signal.
-    Money is exact cents; reference: cloud2sql flattens temporal graph
-    edges the same way before SQL export (/root/reference/cloud2sql/
-    collect.py edge handling)."""
+    signup report a NULL tier — the referential-integrity signal a
+    temporal-FK audit exists to surface. Money is exact cents
+    throughout."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("signup", "purchase")
     )

@@ -159,6 +159,22 @@ PROBE_KEYS = [
     "win_running_distinct",
     "events_hourly_profile",
     "text_cross_source_overlap",
+    # round 6 additions
+    "win_conditional_streak_reset",
+    "events_interval_merge",
+    "agg_theil_index",
+    "text_hashing_trick_features",
+    "dedup_minhash_banding_curve",
+    "events_rfm_segments",
+    "join_temporal_foreign_key",
+    "embed_whitening_stats",
+    "dedup_sorted_neighborhood",
+    "events_markov_next_state",
+    "agg_winsorized_stats",
+    "scan_rowgroup_stats",
+    "graph_label_propagation",
+    "multimodal_silence_segments",
+    "sample_importance_reweight",
 ]
 
 # Operators whose CONTRACT is exact all-pairs computation (the dedup
@@ -247,6 +263,18 @@ def synthesize(spark, reps: int) -> None:
 
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # optional key filters after the replication factor: probe only the
+    # named keys (exact match or prefix) instead of the full PROBE_KEYS
+    only = sys.argv[2:]
+    probe_keys = (
+        [
+            k
+            for k in PROBE_KEYS
+            if any(k == o or k.startswith(o) for o in only)
+        ]
+        if only
+        else PROBE_KEYS
+    )
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
@@ -260,7 +288,7 @@ def main() -> None:
         print(f"  {name}: {n} rows", flush=True)
 
     print(f"\n{'key':26s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>6s}", flush=True)
-    for key in PROBE_KEYS:
+    for key in probe_keys:
         fn = qs[key]
         t0 = time.time()
         fn(spark, BASE).count()

@@ -973,3 +973,91 @@ def test_cross_source_reuses_clustering(spark, sf_dir):
     plan = _physical(_QUERIES["text_cross_source_overlap"](spark, sf_dir))
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_streak_reset_single_exchange(spark, sf_dir):
+    """win_conditional_streak_reset: island + streak windows share the
+    user_id clustering — one Exchange, no join."""
+    plan = _physical(_QUERIES["win_conditional_streak_reset"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_interval_merge_single_exchange(spark, sf_dir):
+    """events_interval_merge: prev-max window, island numbering, and both
+    aggregates all cluster on user_id — one Exchange, no join."""
+    plan = _physical(_QUERIES["events_interval_merge"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_theil_broadcasts_group_stats(spark, sf_dir):
+    """agg_theil_index: the 5-row per-type (n, sum) frame joins back as a
+    broadcast — the fact side never shuffles for the join."""
+    plan = _physical(_QUERIES["agg_theil_index"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_winsorized_bounds_broadcast(spark, sf_dir):
+    """agg_winsorized_stats: the percentile-bound frame joins back as a
+    broadcast onto rows that reuse the event_type clustering."""
+    plan = _physical(_QUERIES["agg_winsorized_stats"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_temporal_fk_no_join(spark, sf_dir):
+    """join_temporal_foreign_key: the as-of lookup is the union + carry-
+    forward window — NO join operator anywhere, one user_id exchange."""
+    plan = _physical(_QUERIES["join_temporal_foreign_key"](spark, sf_dir))
+    assert "Join" not in plan, plan
+
+
+def test_markov_normalizer_broadcast(spark, sf_dir):
+    """events_markov_next_state: the row-total normalizer joins the
+    bounded transition cells as a broadcast."""
+    plan = _physical(_QUERIES["events_markov_next_state"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_hashing_trick_no_join_no_window(spark, sf_dir):
+    """text_hashing_trick_features: vocabulary-free means NO join and NO
+    window — explode + one partial-aggregated groupBy only."""
+    plan = _physical(_QUERIES["text_hashing_trick_features"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_banding_curve_config_broadcast_no_cartesian(spark, sf_dir):
+    """dedup_minhash_banding_curve: the 4-row config frame crosses as a
+    broadcast; candidate pairs still come from the inverted index (no
+    CartesianProduct over docs)."""
+    plan = _physical(_QUERIES["dedup_minhash_banding_curve"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_snm_neighbor_probe_is_window_not_selfjoin(spark, sf_dir):
+    """dedup_sorted_neighborhood: candidates come from lead() windows —
+    the only joins are the two shingle lookups, no inequality join."""
+    plan = _physical(_QUERIES["dedup_sorted_neighborhood"](spark, sf_dir))
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_silence_segments_doc_partitioned(spark, sf_dir):
+    """multimodal_silence_segments: all windows/aggregates cluster by
+    doc_id after the energy pass — no join."""
+    plan = _physical(_QUERIES["multimodal_silence_segments"](spark, sf_dir))
+    assert "Join" not in plan, plan
+
+
+def test_reweight_scalar_broadcast(spark, sf_dir):
+    """sample_importance_reweight: the (total, k) scalar joins the
+    per-language counts as a broadcast; the fact table is aggregated
+    before any join."""
+    plan = _physical(_QUERIES["sample_importance_reweight"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
