@@ -1,0 +1,51 @@
+"""Structural checks for the PyInstaller spec (reference distribution
+parity: the reference ships a frozen console binary from its own spec).
+PyInstaller itself is not in this container, so the spec cannot be built
+here — these tests pin what CAN break silently: the spec must stay valid
+Python, and every module/data path it names must exist, so a refactor
+that moves a collector can't strand the frozen build."""
+
+from __future__ import annotations
+
+import ast
+import importlib
+import os
+
+SPEC = os.path.join(os.path.dirname(__file__), "..", "cloud2sql_spark.spec")
+
+
+def _spec_tree() -> ast.Module:
+    with open(SPEC) as fh:
+        return ast.parse(fh.read())
+
+
+def test_spec_is_valid_python():
+    tree = _spec_tree()
+    calls = {
+        node.func.id
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
+    }
+    # the three build stages PyInstaller requires
+    assert {"Analysis", "PYZ", "EXE"} <= calls
+
+
+def test_spec_hidden_imports_exist():
+    tree = _spec_tree()
+    hidden = next(
+        ast.literal_eval(node.value)
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Assign)
+        and any(
+            isinstance(t, ast.Name) and t.id == "_HIDDEN" for t in node.targets
+        )
+    )
+    assert hidden, "hiddenimports list is empty"
+    for mod in hidden:
+        importlib.import_module(mod)
+
+
+def test_spec_entry_script_and_datas_exist():
+    root = os.path.dirname(SPEC)
+    assert os.path.exists(os.path.join(root, "cloud2sql_spark", "cli.py"))
+    assert os.path.isdir(os.path.join(root, "cloud2sql_spark", "etl"))
