@@ -2401,7 +2401,6 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(p, "node")
         .transform(truncate_lineage)
     )
-    rk_w = Window.partitionBy("node").orderBy(F.col("c").desc(), "nl")
     for _ in range(_LPA_ROUNDS):
         nbr = (
             und.join(
@@ -2413,10 +2412,16 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("u").alias("node"), "nl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # argmax(count) with min-label ties as ONE aggregate:
+        # max(struct(c, -nl)) orders by count then by -label, so the
+        # winner is (max count, min label) — the same row the oracle's
+        # row_number(ORDER BY c DESC, nl) picks, without the per-round
+        # sort + window pass (labels are positive part keys, so -nl is
+        # a safe total order).
         pick = (
-            nbr.withColumn("rk", F.row_number().over(rk_w))
-            .filter(F.col("rk") == 1)
-            .select("node", F.col("nl").alias("win_nl"))
+            nbr.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("nl")).alias("neg"))).alias("top"))
+            .select("node", (-F.col("top.neg")).alias("win_nl"))
         )
         labels = (
             labels.join(pick, "node", "left")
