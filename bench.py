@@ -308,7 +308,9 @@ def main() -> None:
     # like-for-like round deltas: the headline set GROWS every round, so the
     # raw total is not comparable across rounds. rNN_set_total restricts to
     # the frozen keys that round timed (r01: 29 keys; r02: 37; r03: 47;
-    # r04: 109; r05: 161 — recorded in BENCH_r0N.json).
+    # r04: 111; r05: 163 — matching the historical BENCH_r0N.json
+    # recordings, whose n_queries run one higher because they also time
+    # the shared shingle_build step).
     def _subtotal(keys: list[str]) -> float:
         ks = set(keys)
         return round(sum(v for k, v in per_query.items() if k in ks), 3)

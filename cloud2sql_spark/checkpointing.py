@@ -16,7 +16,12 @@ modes, same semantics, different fault-tolerance:
   ``SparkContext.setCheckpointDir`` (HDFS/S3 on a cluster). Survives
   executor loss — the 1000-executor posture for long loops, where the
   probability of losing at least one executor across N supersteps is
-  material. Costs one distributed-FS write+read per superstep.
+  material. Costs one distributed-FS write+read per superstep, and the
+  checkpoint files are NOT auto-deleted when the job ends: set
+  ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` at session
+  build (cleans each superstep's files once its DataFrame is GC'd) or
+  sweep the checkpoint dir per run — otherwise every superstep leaks a
+  materialized copy of its frame to durable storage.
 
 Select reliable mode per call (``reliable=True``) or globally via
 ``SPARK_GRAFT_RELIABLE_CHECKPOINT=1``; the checkpoint directory comes from
@@ -40,12 +45,26 @@ _ENV_DIR = "SPARK_GRAFT_CHECKPOINT_DIR"
 
 def _ensure_checkpoint_dir(df: DataFrame) -> None:
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is None:
-        default = os.path.join(
-            tempfile.gettempdir(),
-            f"spark-graft-ckpt-{sc.applicationId}",
+    env_dir = os.environ.get(_ENV_DIR)
+    current = sc.getCheckpointDir()
+    if env_dir:
+        # Always honor an explicit durable dir, even when some earlier
+        # call already registered a default: first-call-wins here would
+        # silently keep writing checkpoints to driver-local tmp on a
+        # cluster, defeating the fault tolerance reliable mode is for.
+        # (Re-setting only redirects FUTURE checkpoints — already-written
+        # ones stay readable at their original location.)
+        want = env_dir.removeprefix("file:").rstrip("/")
+        have = (current or "").removeprefix("file:").rstrip("/")
+        if not have.endswith(want):
+            sc.setCheckpointDir(env_dir)
+    elif current is None:
+        sc.setCheckpointDir(
+            os.path.join(
+                tempfile.gettempdir(),
+                f"spark-graft-ckpt-{sc.applicationId}",
+            )
         )
-        sc.setCheckpointDir(os.environ.get(_ENV_DIR, default))
 
 
 def truncate_lineage(df: DataFrame, reliable: bool | None = None) -> DataFrame:

@@ -1099,14 +1099,19 @@ def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w AS (
       SELECT e.lang, e.n, t.total, t.k,
              CAST(e.n AS DOUBLE) / t.total AS emp_p,
-             (CAST(t.total AS DOUBLE) / t.k) / e.n AS weight
+             (CAST(t.total AS DOUBLE) / t.k) / e.n AS weight,
+             CAST(round(CAST(e.n AS DOUBLE)
+                        * (((CAST(t.total AS DOUBLE) / t.k) / e.n)
+                           * ((CAST(t.total AS DOUBLE) / t.k) / e.n))
+                        * 1e9, 0) AS BIGINT) AS q
       FROM e CROSS JOIN t)
     SELECT lang, n,
            round(emp_p, 6) AS emp_p,
            round(weight, 6) AS weight,
-           round(CAST(n AS DOUBLE) * (weight * weight), 6) AS sum_w2_term,
+           round(CAST(q AS DOUBLE) / 1e9, 6) AS sum_w2_term,
            round(CAST(total AS DOUBLE) * total /
-                 sum(CAST(n AS DOUBLE) * (weight * weight)) OVER (), 6)
+                 (CAST(CAST(sum(q) OVER () AS DECIMAL(38,0)) AS DOUBLE)
+                  / 1e9), 6)
                AS effective_sample_size
     FROM w
     """,
@@ -1140,17 +1145,35 @@ def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total").cast("double") / F.col("k")) / F.col("n")
         ).alias("weight"),
     )
-    sum_w2 = F.col("n").cast("double") * (F.col("weight") * F.col("weight"))
+    # Σ n·w² is quantized to integer nano-units BEFORE the window sum
+    # (the Theil-index trick): a raw float sum over the window is
+    # accumulation-order dependent across engines, and the ESS division
+    # would amplify a last-ulp difference across a 6-decimal round.
+    # DECIMAL(38,0) mirrors the oracle's HUGEINT widening of sum(q).
+    q = F.round(
+        F.col("n").cast("double")
+        * (F.col("weight") * F.col("weight"))
+        * F.lit(1e9),
+        0,
+    ).cast("bigint")
+    w = w.withColumn("q", q)
+    sum_q = (
+        F.sum(F.col("q").cast("decimal(19,0)"))
+        .over(Window.partitionBy())
+        .cast("decimal(38,0)")
+    )
     return w.select(
         "lang",
         "n",
         F.round("emp_p", 6).alias("emp_p"),
         F.round("weight", 6).alias("weight"),
-        F.round(sum_w2, 6).alias("sum_w2_term"),
+        F.round(F.col("q").cast("double") / F.lit(1e9), 6).alias(
+            "sum_w2_term"
+        ),
         F.round(
             F.col("total").cast("double")
             * F.col("total")
-            / F.sum(sum_w2).over(Window.partitionBy()),
+            / (sum_q.cast("double") / F.lit(1e9)),
             6,
         ).alias("effective_sample_size"),
     )

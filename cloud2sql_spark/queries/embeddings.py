@@ -782,7 +782,7 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(dim AS INT) AS dim, n,
            round(mu / 1000, 6) + 0.0 AS mean_val,
            round(1 / sqrt(m2 / 1e6 + 1e-6), 6) AS whiten_scale,
-           round(m3 / pow(m2, 1.5), 6) + 0.0 AS skew_after
+           round(m3 / (m2 * sqrt(m2)), 6) + 0.0 AS skew_after
     FROM m
     """,
 )
@@ -833,5 +833,8 @@ def embed_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1 / F.sqrt(m2 / F.lit(1e6) + F.lit(1e-6)), 6).alias(
             "whiten_scale"
         ),
-        (F.round(m3 / F.pow(m2, 1.5), 6) + F.lit(0.0)).alias("skew_after"),
+        # m2 * sqrt(m2), never pow(m2, 1.5): sqrt is IEEE
+        # correctly-rounded on both engines, pow is not (the fn_trig
+        # libm lesson; agg_skew_kurtosis set the precedent)
+        (F.round(m3 / (m2 * F.sqrt(m2)), 6) + F.lit(0.0)).alias("skew_after"),
     )

@@ -983,13 +983,20 @@ def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "orders.parquet")
     fix_dir = _tmp(f"scan_rowgroup/{os.path.basename(sf_dir)}_fixture")
     fix = os.path.join(fix_dir, "orders_rg.parquet")
-    if not os.path.exists(fix):
+    # Rebuild when missing OR older than the source: the driver
+    # regenerates the sf datasets between rounds under the same path, and
+    # a stale fixture would silently disagree with the fresh oracle. The
+    # staging name is pid-unique and the publish is an atomic rename, so
+    # two concurrent sessions never interleave writes into one file —
+    # both write identical bytes (the build is deterministic) and the
+    # last rename wins harmlessly.
+    if not os.path.exists(fix) or os.path.getmtime(fix) < os.path.getmtime(src):
         os.makedirs(fix_dir, exist_ok=True)
         t = pq.read_table(src, columns=["o_orderkey"])
         t = t.sort_by("o_orderkey")
-        tmp_name = fix + ".tmp"
+        tmp_name = f"{fix}.{os.getpid()}.tmp"
         pq.write_table(t, tmp_name, row_group_size=4096)
-        os.replace(tmp_name, fix)  # atomic vs a concurrent reader
+        os.replace(tmp_name, fix)
 
     paths = spark.createDataFrame([(fix,)], "path STRING").repartition(
         spark.sparkContext.defaultParallelism

@@ -13,7 +13,7 @@ import sys
 import time
 import traceback
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
@@ -21,8 +21,9 @@ from tests.oracle import compare
 
 SF_DIR = os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 spec = importlib.util.spec_from_file_location(
-    "__spark_entry__", "/root/repo/__spark_entry__.py"
+    "__spark_entry__", os.path.join(_REPO, "__spark_entry__.py")
 )
 mod = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(mod)
