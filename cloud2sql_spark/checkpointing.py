@@ -54,9 +54,12 @@ def _ensure_checkpoint_dir(df: DataFrame) -> None:
         # cluster, defeating the fault tolerance reliable mode is for.
         # (Re-setting only redirects FUTURE checkpoints — already-written
         # ones stay readable at their original location.)
+        # getCheckpointDir() reports the registered dir PLUS a per-set
+        # random UUID subdir, so "already pointing at env_dir" means the
+        # env path is a proper prefix of the current one.
         want = env_dir.removeprefix("file:").rstrip("/")
         have = (current or "").removeprefix("file:").rstrip("/")
-        if not have.endswith(want):
+        if not (have == want or have.startswith(want + "/")):
             sc.setCheckpointDir(env_dir)
     elif current is None:
         sc.setCheckpointDir(

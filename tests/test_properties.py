@@ -515,3 +515,29 @@ def test_reliable_checkpoint_path(spark, sf_dir, monkeypatch, tmp_path):
     assert used is not None
     local = used.removeprefix("file:")
     assert any(files for _, _, files in os.walk(local)), used
+
+
+def test_reliable_checkpoint_dir_env_honored_after_default(spark, monkeypatch, tmp_path):
+    """Regression: SPARK_GRAFT_CHECKPOINT_DIR must redirect future
+    checkpoints even when an earlier reliable call already registered
+    the tmp default — first-call-wins silently kept cluster checkpoints
+    on driver-local disk."""
+    from cloud2sql_spark.checkpointing import truncate_lineage
+
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR", raising=False)
+    truncate_lineage(spark.range(10), reliable=True)  # registers a default
+    ckdir = str(tmp_path / "durable-ckpt")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", ckdir)
+    out = truncate_lineage(
+        spark.range(50).selectExpr("sum(id) AS s"), reliable=True
+    )
+    assert out.collect()[0]["s"] == 1225
+    # getCheckpointDir() appends a per-set UUID subdir under the
+    # registered path — assert the env dir is a path prefix
+    used = spark.sparkContext.getCheckpointDir()
+    assert used is not None and used.removeprefix("file:").startswith(
+        ckdir.rstrip("/") + "/"
+    ), used
+    import os
+
+    assert any(files for _, _, files in os.walk(ckdir)), "no checkpoint data"
