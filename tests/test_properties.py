@@ -541,3 +541,134 @@ def test_reliable_checkpoint_dir_env_honored_after_default(spark, monkeypatch, t
     import os
 
     assert any(files for _, _, files in os.walk(ckdir)), "no checkpoint data"
+
+
+def _write_events(spark, tmp_path, rows):
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [
+            (i, datetime.fromisoformat(ts), u, et, v, "{}")
+            for (i, ts, u, et, v) in rows
+        ],
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+
+def _events_oracle_check(spark, tmp_path, key):
+    import duckdb
+
+    from cloud2sql_spark.registry import oracle_sql, queries
+    from tests.oracle import compare
+
+    con = duckdb.connect()
+    # Spark writes events.parquet as a DIRECTORY of part files
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/events.parquet/*.parquet')"
+    )
+    try:
+        df = queries()[key](spark, str(tmp_path))
+        compare(df, con, oracle_sql()[key], key=f"{key}_edge")
+        return {tuple(r) for r in df.collect()}
+    finally:
+        con.close()
+
+
+def test_interval_merge_touching_and_swallowed(spark, tmp_path):
+    """Edge shapes for events_interval_merge: back-to-back intervals that
+    TOUCH exactly (start == prev end) must merge; an event inside an
+    open interval must be swallowed without extending it past the later
+    of the two ends; an isolated event stands alone. Verified against
+    the oracle AND by explicit expected rows."""
+    rows = [
+        # user 1: e1 opens [0,600s); e2 at +600s touches -> one island
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0),
+        (2, "2024-01-01 00:10:00", 1, "click", 1.0),
+        # user 2: e3 opens [0,600); e4 at +200 extends to +800; e5 at
+        # +780 overlaps e4's tail -> ONE island [0, 1380s)
+        (3, "2024-01-01 00:00:00", 2, "click", 1.0),
+        (4, "2024-01-01 00:03:20", 2, "click", 1.0),
+        (5, "2024-01-01 00:13:00", 2, "click", 1.0),
+        # user 3: two far-apart events -> two islands
+        (6, "2024-01-01 00:00:00", 3, "click", 1.0),
+        (7, "2024-01-01 02:00:00", 3, "click", 1.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = _events_oracle_check(spark, tmp_path, "events_interval_merge")
+    by_user = {u: (n, cov, longest) for (u, n, cov, longest) in out}
+    assert by_user[1] == (1, 1_200_000_000, 1_200_000_000)
+    assert by_user[2] == (1, 1_380_000_000, 1_380_000_000)
+    assert by_user[3] == (2, 1_200_000_000, 600_000_000)
+
+
+def test_temporal_fk_pre_version_and_same_instant(spark, tmp_path):
+    """join_temporal_foreign_key edges: a purchase BEFORE any signup
+    resolves to NULL tier; a purchase at the SAME instant as a signup
+    sees that signup (dim-first tie-break); a later signup re-tiers
+    subsequent purchases only."""
+    rows = [
+        # user 1: purchase before any signup -> NULL tier
+        (1, "2024-01-01 00:00:00", 1, "purchase", 1.00),
+        # signup at t1 sets tier = round(2.00*100) % 3 = 200 % 3 = 2
+        (2, "2024-01-01 01:00:00", 1, "signup", 2.00),
+        # same-instant purchase sees the signup (is_dim DESC tie-break)
+        (3, "2024-01-01 01:00:00", 1, "purchase", 5.00),
+        # re-tier: signup value 4.00 -> 400 % 3 = 1
+        (4, "2024-01-01 02:00:00", 1, "signup", 4.00),
+        (5, "2024-01-01 03:00:00", 1, "purchase", 7.00),
+        # user 2: only purchases -> all NULL tier
+        (6, "2024-01-01 00:30:00", 2, "purchase", 3.00),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = _events_oracle_check(spark, tmp_path, "join_temporal_foreign_key")
+    by_tier = {t: (n, c) for (t, n, c) in out}
+    assert by_tier[None] == (2, 400)  # events 1 and 6
+    assert by_tier[2] == (1, 500)  # event 3 at the signup instant
+    assert by_tier[1] == (1, 700)  # event 5 after the re-tier
+
+
+def test_streak_reset_boundaries(spark, tmp_path):
+    """win_conditional_streak_reset edges: a leading miss starts at 0,
+    an all-hit user counts 1..n, and a hit immediately after a miss
+    restarts at 1 (never resumes the prior streak)."""
+    rows = [
+        # user 1: miss, hit, hit, miss, hit -> 0 1 2 0 1
+        (1, "2024-01-01 00:00:00", 1, "click", 50.00),
+        (2, "2024-01-01 00:01:00", 1, "click", 100.00),
+        (3, "2024-01-01 00:02:00", 1, "click", 250.00),
+        (4, "2024-01-01 00:03:00", 1, "click", 99.99),
+        (5, "2024-01-01 00:04:00", 1, "click", 100.01),
+        # user 2: all hits -> 1 2 3
+        (6, "2024-01-01 00:00:00", 2, "click", 400.00),
+        (7, "2024-01-01 00:01:00", 2, "click", 400.00),
+        (8, "2024-01-01 00:02:00", 2, "click", 400.00),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = _events_oracle_check(
+        spark, tmp_path, "win_conditional_streak_reset"
+    )
+    streaks = {e: s for (_, e, s) in out}
+    assert streaks == {1: 0, 2: 1, 3: 2, 4: 0, 5: 1, 6: 1, 7: 2, 8: 3}
+
+
+def test_winsorized_tiny_groups(spark, tmp_path):
+    """agg_winsorized_stats edges: n=1 and n=2 groups — the integer ceil
+    rank (n*p + 99) // 100 must stay in [1, n], so a singleton clamps to
+    itself (std 0) and a pair clamps to [lo=min, hi=max] (plain mean)."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "solo", 7.00),
+        (2, "2024-01-01 00:00:00", 1, "pair", 1.00),
+        (3, "2024-01-01 00:01:00", 2, "pair", 3.00),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = _events_oracle_check(spark, tmp_path, "agg_winsorized_stats")
+    by_type = {t: rest for (t, *rest) in out}
+    assert by_type["solo"] == [1, 700, 700, 7.0, 0.0]
+    n, lo, hi, mean, std = by_type["pair"]
+    assert (n, lo, hi, mean) == (2, 100, 300, 2.0)
+    assert std == 1.0  # population std of {1.00, 3.00}
