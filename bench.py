@@ -329,6 +329,12 @@ def main() -> None:
                 "r04_set_total": _subtotal(R04_SET),
                 "r05_set_total": _subtotal(R05_SET),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # any HEADLINE key absent from the registry (a rename or
+                # a dropped op) is skipped above — surface it so a silent
+                # skip can't masquerade as a faster subtotal
+                "missing_keys": sorted(
+                    k for k in HEADLINE if k not in registry
+                ),
             }
         )
     )
