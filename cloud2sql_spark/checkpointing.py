@@ -43,31 +43,39 @@ _ENV_RELIABLE = "SPARK_GRAFT_RELIABLE_CHECKPOINT"
 _ENV_DIR = "SPARK_GRAFT_CHECKPOINT_DIR"
 
 
+# What THIS module registered per SparkContext (appId -> dir string).
+# Tracking our own registrations — instead of parsing getCheckpointDir(),
+# whose report appends a per-set UUID subdir and normalizes URI forms
+# (file:///x -> file:/x, port-qualified HDFS authorities) — makes the
+# idempotence check exact for every scheme, and lets us distinguish OUR
+# default from a dir the APPLICATION set explicitly (which we must not
+# override: environment beats our default, but never the app's own
+# setCheckpointDir call).
+_REGISTERED: dict[str, str] = {}
+
+
 def _ensure_checkpoint_dir(df: DataFrame) -> None:
     sc = df.sparkSession.sparkContext
+    app = sc.applicationId
     env_dir = os.environ.get(_ENV_DIR)
-    current = sc.getCheckpointDir()
+    ours = _REGISTERED.get(app)
     if env_dir:
-        # Always honor an explicit durable dir, even when some earlier
-        # call already registered a default: first-call-wins here would
-        # silently keep writing checkpoints to driver-local tmp on a
-        # cluster, defeating the fault tolerance reliable mode is for.
-        # (Re-setting only redirects FUTURE checkpoints — already-written
-        # ones stay readable at their original location.)
-        # getCheckpointDir() reports the registered dir PLUS a per-set
-        # random UUID subdir, so "already pointing at env_dir" means the
-        # env path is a proper prefix of the current one.
-        want = env_dir.removeprefix("file:").rstrip("/")
-        have = (current or "").removeprefix("file:").rstrip("/")
-        if not (have == want or have.startswith(want + "/")):
-            sc.setCheckpointDir(env_dir)
-    elif current is None:
-        sc.setCheckpointDir(
-            os.path.join(
-                tempfile.gettempdir(),
-                f"spark-graft-ckpt-{sc.applicationId}",
-            )
+        if ours == env_dir:
+            return  # already registered exactly this env dir
+        if sc.getCheckpointDir() is not None and ours is None:
+            return  # the application chose its own dir — respect it
+        # first reliable call, or upgrading OUR tmp default to the env
+        # dir (first-call-wins here would silently keep cluster
+        # checkpoints on driver-local tmp; re-setting only redirects
+        # FUTURE checkpoints)
+        sc.setCheckpointDir(env_dir)
+        _REGISTERED[app] = env_dir
+    elif sc.getCheckpointDir() is None:
+        default = os.path.join(
+            tempfile.gettempdir(), f"spark-graft-ckpt-{app}"
         )
+        sc.setCheckpointDir(default)
+        _REGISTERED[app] = default
 
 
 def truncate_lineage(df: DataFrame, reliable: bool | None = None) -> DataFrame:

@@ -1100,18 +1100,15 @@ def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.lang, e.n, t.total, t.k,
              CAST(e.n AS DOUBLE) / t.total AS emp_p,
              (CAST(t.total AS DOUBLE) / t.k) / e.n AS weight,
-             CAST(round(CAST(e.n AS DOUBLE)
-                        * (((CAST(t.total AS DOUBLE) / t.k) / e.n)
-                           * ((CAST(t.total AS DOUBLE) / t.k) / e.n))
-                        * 1e9, 0) AS BIGINT) AS q
+             CAST(round(CAST(e.n AS DOUBLE) * (weight * weight) * 1e9, 0)
+                  AS DECIMAL(38,0)) AS q
       FROM e CROSS JOIN t)
     SELECT lang, n,
            round(emp_p, 6) AS emp_p,
            round(weight, 6) AS weight,
            round(CAST(q AS DOUBLE) / 1e9, 6) AS sum_w2_term,
            round(CAST(total AS DOUBLE) * total /
-                 (CAST(CAST(sum(q) OVER () AS DECIMAL(38,0)) AS DOUBLE)
-                  / 1e9), 6)
+                 (CAST(sum(q) OVER () AS DOUBLE) / 1e9), 6)
                AS effective_sample_size
     FROM w
     """,
@@ -1148,20 +1145,19 @@ def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Σ n·w² is quantized to integer nano-units BEFORE the window sum
     # (the Theil-index trick): a raw float sum over the window is
     # accumulation-order dependent across engines, and the ESS division
-    # would amplify a last-ulp difference across a 6-decimal round.
-    # DECIMAL(38,0) mirrors the oracle's HUGEINT widening of sum(q).
+    # would amplify a last-ulp difference across a 6-decimal round. The
+    # quantized value rides DECIMAL(38,0) from the start — q scales as
+    # total²·1e9/(k²·n), which tops int64 for a minority category in a
+    # billions-of-docs corpus (Spark's non-ANSI bigint cast would clamp
+    # silently while DuckDB's errors — the asymmetric-overflow class).
     q = F.round(
         F.col("n").cast("double")
         * (F.col("weight") * F.col("weight"))
         * F.lit(1e9),
         0,
-    ).cast("bigint")
+    ).cast("decimal(38,0)")
     w = w.withColumn("q", q)
-    sum_q = (
-        F.sum(F.col("q").cast("decimal(19,0)"))
-        .over(Window.partitionBy())
-        .cast("decimal(38,0)")
-    )
+    sum_q = F.sum("q").over(Window.partitionBy()).cast("decimal(38,0)")
     return w.select(
         "lang",
         "n",

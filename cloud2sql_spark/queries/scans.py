@@ -982,21 +982,34 @@ def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = os.path.join(sf_dir, "orders.parquet")
     fix_dir = _tmp(f"scan_rowgroup/{os.path.basename(sf_dir)}_fixture")
-    fix = os.path.join(fix_dir, "orders_rg.parquet")
-    # Rebuild when missing OR older than the source: the driver
-    # regenerates the sf datasets between rounds under the same path, and
-    # a stale fixture would silently disagree with the fresh oracle. The
-    # staging name is pid-unique and the publish is an atomic rename, so
-    # two concurrent sessions never interleave writes into one file —
-    # both write identical bytes (the build is deterministic) and the
-    # last rename wins harmlessly.
-    if not os.path.exists(fix) or os.path.getmtime(fix) < os.path.getmtime(src):
+    # The source's identity (mtime_ns, size) is embedded in the fixture
+    # name: the driver regenerates the sf datasets between rounds under
+    # the SAME path, and regeneration tools (tar -x, rsync -a, mv) can
+    # preserve or backdate mtimes — a newer-than comparison would then
+    # keep serving old-data footers against the fresh oracle. A changed
+    # source simply resolves to a different fixture file. The staging
+    # name is pid-unique and the publish is an atomic rename, so
+    # concurrent sessions never interleave writes (the build is
+    # deterministic; last rename wins harmlessly).
+    st = os.stat(src)
+    fix = os.path.join(
+        fix_dir, f"orders_rg_{st.st_mtime_ns}_{st.st_size}.parquet"
+    )
+    if not os.path.exists(fix):
         os.makedirs(fix_dir, exist_ok=True)
         t = pq.read_table(src, columns=["o_orderkey"])
         t = t.sort_by("o_orderkey")
         tmp_name = f"{fix}.{os.getpid()}.tmp"
         pq.write_table(t, tmp_name, row_group_size=4096)
         os.replace(tmp_name, fix)
+        # drop fixtures built from superseded source generations
+        for old_f in os.listdir(fix_dir):
+            full = os.path.join(fix_dir, old_f)
+            if full != fix and old_f.startswith("orders_rg_"):
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
 
     paths = spark.createDataFrame([(fix,)], "path STRING").repartition(
         spark.sparkContext.defaultParallelism

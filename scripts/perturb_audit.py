@@ -29,7 +29,9 @@ import sys
 import duckdb
 
 SRC = os.environ.get("PERTURB_SRC", "/root/testdata/sf0.001")
-OUT = "/dev/shm/perturb_audit"
+# pid-unique by default so two overlapping audit runs can't rmtree each
+# other's tables mid-verify; override for a stable path if needed
+OUT = os.environ.get("PERTURB_OUT", f"/dev/shm/perturb_audit.{os.getpid()}")
 
 # Structure-preserving rewrites. Money scales by an odd integer (exact in
 # 2 decimals), ids shift, time shifts by a non-round interval, embeddings
@@ -101,11 +103,14 @@ def main() -> int:
     con.close()
     print(f"perturbed tables written to {OUT}", flush=True)
     env = dict(os.environ, VERIFY_SF_DIR=OUT)
-    return subprocess.call(
-        [sys.executable, "scripts/verify_contract.py", *sys.argv[1:]],
-        env=env,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    )
+    try:
+        return subprocess.call(
+            [sys.executable, "scripts/verify_contract.py", *sys.argv[1:]],
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+    finally:
+        shutil.rmtree(OUT, ignore_errors=True)
 
 
 if __name__ == "__main__":
