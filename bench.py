@@ -249,6 +249,13 @@ HEADLINE = R05_SET + _R06_ADDITIONS
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Optional comma-separated key filter for drift forensics (e.g.
+    # re-timing ONE frozen cohort in a session that doesn't also carry
+    # 150 other plans' JVM/cache churn). The driver runs unfiltered.
+    only = {
+        k for k in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if k
+    }
+    headline = [k for k in HEADLINE if not only or k in only]
     spark = get_spark("cloud2sql_spark-bench")
     registry = queries()
 
@@ -285,7 +292,7 @@ def main() -> None:
         per_query["shingle_build"] = min(
             per_query.get("shingle_build", float("inf")), dt
         )
-        for key in HEADLINE:
+        for key in headline:
             fn = registry.get(key)
             if fn is None:
                 continue
