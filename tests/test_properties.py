@@ -672,3 +672,81 @@ def test_winsorized_tiny_groups(spark, tmp_path):
     n, lo, hi, mean, std = by_type["pair"]
     assert (n, lo, hi, mean) == (2, 100, 300, 2.0)
     assert std == 1.0  # population std of {1.00, 3.00}
+
+
+def test_markov_single_event_users_and_self_loops(spark, tmp_path):
+    """events_markov_next_state edges: a single-event user contributes NO
+    transition; consecutive same-type events form self-loop cells; row
+    probabilities are exact ratios over the per-current-type total."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0),  # lone event: no cell
+        (2, "2024-01-01 00:00:00", 2, "view", 1.0),
+        (3, "2024-01-01 00:01:00", 2, "view", 1.0),  # view->view
+        (4, "2024-01-01 00:02:00", 2, "click", 1.0),  # view->click
+        (5, "2024-01-01 00:00:00", 3, "view", 1.0),
+        (6, "2024-01-01 00:01:00", 3, "click", 1.0),  # view->click
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = _events_oracle_check(spark, tmp_path, "events_markov_next_state")
+    cells = {(c, nx): (n, tot, p) for (c, nx, n, tot, p) in out}
+    assert cells[("view", "view")] == (1, 3, round(1 / 3, 6))
+    assert cells[("view", "click")] == (2, 3, round(2 / 3, 6))
+    assert ("click", "view") not in cells  # click is always terminal here
+
+
+def test_rfm_fewer_users_than_quintiles(spark, tmp_path):
+    """events_rfm_segments edge: with 3 users, ntile(5) assigns buckets
+    1..3 (one user each) deterministically via the user_id tie-break —
+    never an empty-bucket error or a >n bucket."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 10.00),
+        (2, "2024-01-02 00:00:00", 2, "view", 20.00),
+        (3, "2024-01-03 00:00:00", 3, "view", 30.00),
+        (4, "2024-01-03 01:00:00", 3, "view", 5.00),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = _events_oracle_check(spark, tmp_path, "events_rfm_segments")
+    assert sum(n for (_, _, _, n, _) in out) == 3  # every user in a segment
+    for (r, f, m, _, _) in out:
+        assert 1 <= r <= 3 and 1 <= f <= 3 and 1 <= m <= 3
+
+
+def test_hashing_trick_empty_and_null_text(spark, tmp_path):
+    """text_hashing_trick_features edges: empty text still produces one
+    token (Spark split('', ' ') = ['']; DuckDB string_split mirrors), and
+    every bucket stays in [0, 64)."""
+    import duckdb
+    import pandas as pd
+
+    from cloud2sql_spark.registry import oracle_sql, queries
+    from tests.oracle import compare
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["", "one", "alpha beta alpha"],
+            "lang": ["en"] * 3,
+            "source": ["web"] * 3,
+            "n_chars": [0, 3, 16],
+        }
+    )
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    try:
+        df = queries()["text_hashing_trick_features"](spark, sf)
+        compare(
+            df, con, oracle_sql()["text_hashing_trick_features"],
+            key="hashing_trick_edge",
+        )
+        rows = df.collect()
+    finally:
+        con.close()
+    assert all(0 <= r["bucket"] < 64 for r in rows)
+    # doc 3: 'alpha' twice -> one bucket with tf=2 (plus beta's bucket,
+    # unless they collide into one)
+    d3 = {r["bucket"]: r["tf"] for r in rows if r["doc_id"] == 3}
+    assert sum(d3.values()) == 3
