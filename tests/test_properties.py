@@ -750,3 +750,109 @@ def test_hashing_trick_empty_and_null_text(spark, tmp_path):
     # unless they collide into one)
     d3 = {r["bucket"]: r["tf"] for r in rows if r["doc_id"] == 3}
     assert sum(d3.values()) == 3
+
+
+def test_label_propagation_tie_clamp_and_isolation(spark, tmp_path):
+    """graph_label_propagation edges on a crafted co-purchase graph:
+    a node with two equally-frequent labeled neighbors takes the SMALLER
+    label; seeds stay clamped; a component with no seed stays unlabeled
+    through all rounds. Also diffed against the unrolled CTE oracle."""
+    from datetime import datetime
+
+    import duckdb
+
+    from cloud2sql_spark.registry import oracle_sql, queries
+    from tests.oracle import compare
+
+    # order 1: parts {7, 10}; order 2: {11, 12}; order 3: {14, 10}
+    # seeds (part % 7 == 0): 7 and 14. Node 10 ties between them -> 7.
+    rows = [
+        (1, 7), (1, 10),
+        (2, 11), (2, 12),
+        (3, 14), (3, 10),
+    ]
+    df = spark.createDataFrame(
+        [
+            (ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             datetime(2024, 1, 1))
+            for (ok, pk) in rows
+        ],
+        "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, "
+        "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, "
+        "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, "
+        "l_linestatus STRING, l_shipdate TIMESTAMP_NTZ",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/lineitem.parquet/*.parquet')"
+    )
+    try:
+        out = queries()["graph_label_propagation"](spark, str(tmp_path))
+        compare(
+            out, con, oracle_sql()["graph_label_propagation"],
+            key="lpa_edge",
+        )
+        hist = {r["label"]: r["n_nodes"] for r in out.collect()}
+    finally:
+        con.close()
+    assert hist == {7: 2, 14: 1, None: 2}
+
+
+def test_snm_and_silence_short_docs(spark, tmp_path):
+    """dedup_sorted_neighborhood + multimodal_silence_segments edges on
+    one fixture: docs too short to shingle (< 3 words) or to frame
+    (< 32 bytes) are excluded; a constant-energy doc has no
+    below-half-mean window; near-identical neighbors within a source
+    are caught. Both ops diffed against their oracles."""
+    import duckdb
+    import pandas as pd
+
+    from cloud2sql_spark.registry import oracle_sql, queries
+    from tests.oracle import compare
+
+    near_a = "the quick brown fox jumps over the lazy dog again " * 3
+    near_b = near_a + "extra tail"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "xy",  # unshingleable AND unframeable
+                near_a,
+                near_b,
+                # constant bytes: every 32-byte window has equal energy
+                "a" * 64,
+            ],
+            "lang": ["en"] * 4,
+            "source": ["web"] * 4,
+            "n_chars": [2, len(near_a), len(near_b), 64],
+        }
+    )
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    try:
+        snm = queries()["dedup_sorted_neighborhood"](spark, sf)
+        compare(
+            snm, con, oracle_sql()["dedup_sorted_neighborhood"],
+            key="snm_edge",
+        )
+        pairs = {(r["doc_a"], r["doc_b"]) for r in snm.collect()}
+        sil = queries()["multimodal_silence_segments"](spark, sf)
+        compare(
+            sil, con, oracle_sql()["multimodal_silence_segments"],
+            key="silence_edge",
+        )
+        sil_docs = {r["doc_id"] for r in sil.collect()}
+    finally:
+        con.close()
+    assert (2, 3) in pairs  # adjacent by sort key, J >= 0.5
+    assert not any(1 in p for p in pairs)  # unshingleable doc never pairs
+    # doc 1 too short to frame; doc 4 constant energy -> neither silent
+    assert 1 not in sil_docs and 4 not in sil_docs
