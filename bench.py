@@ -243,7 +243,11 @@ _R06_ADDITIONS: list[str] = [
 R03_SET = R02_SET + _R03_ADDITIONS
 R04_SET = R03_SET + _R04_ADDITIONS
 R05_SET = R04_SET + _R05_ADDITIONS
-HEADLINE = R05_SET + _R06_ADDITIONS
+# Frozen at end of round 6 (VERDICT r06 item 2): exactly the 179 keys the
+# round-6 bench timed. Round 7 adds no operators (all driver slots were
+# re-proof slots), so HEADLINE == R06_SET this round.
+R06_SET = R05_SET + _R06_ADDITIONS
+HEADLINE = R06_SET
 
 
 def main() -> None:
@@ -322,29 +326,45 @@ def main() -> None:
         ks = set(keys)
         return round(sum(v for k, v in per_query.items() if k in ks), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "n_queries": len(per_query),
-                "r01_set_total": r01_total,
-                "r02_set_total": _subtotal(R02_SET),
-                "r03_set_total": _subtotal(R03_SET),
-                "r04_set_total": _subtotal(R04_SET),
-                "r05_set_total": _subtotal(R05_SET),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # any HEADLINE key absent from the registry (a rename or
-                # a dropped op) is skipped above — surface it so a silent
-                # skip can't masquerade as a faster subtotal
-                "missing_keys": sorted(
-                    k for k in HEADLINE if k not in registry
-                ),
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "n_queries": len(per_query),
+        "r01_set_total": r01_total,
+        "r02_set_total": _subtotal(R02_SET),
+        "r03_set_total": _subtotal(R03_SET),
+        "r04_set_total": _subtotal(R04_SET),
+        "r05_set_total": _subtotal(R05_SET),
+        "r06_set_total": _subtotal(R06_SET),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # any HEADLINE key absent from the registry (a rename or
+        # a dropped op) is skipped above — surface it so a silent
+        # skip can't masquerade as a faster subtotal
+        "missing_keys": sorted(k for k in HEADLINE if k not in registry),
+    }
+    print(json.dumps(result))
+    # Persist the full per-key recording in-repo (VERDICT r06 item 2): the
+    # driver's BENCH_rNN artifact keeps only a ~2000-char tail of stdout,
+    # which drops most per-key timings every round and makes per-key
+    # round-over-round diffs unrecoverable. bench_full_latest.json always
+    # holds the most recent unfiltered run (committed each round, so git
+    # history is the per-round series); bench_history.jsonl appends every
+    # unfiltered run with a timestamp for intra-round forensics. Filtered
+    # runs (SPARK_GRAFT_BENCH_ONLY) are NOT persisted — partial subtotals
+    # would read as regressions.
+    if not only:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        record = dict(result, wall_clock=time.strftime("%Y-%m-%dT%H:%M:%S"))
+        try:
+            with open(os.path.join(repo, "bench_full_latest.json"), "w") as f:
+                json.dump(record, f, indent=1, sort_keys=True)
+                f.write("\n")
+            with open(os.path.join(repo, "bench_history.jsonl"), "a") as f:
+                f.write(json.dumps(record, sort_keys=True) + "\n")
+        except OSError:
+            pass  # read-only checkout: stdout JSON is still authoritative
     spark.stop()
 
 

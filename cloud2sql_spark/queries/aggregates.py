@@ -1152,7 +1152,8 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * 1e9, 0) AS BIGINT) AS q
       FROM c JOIN g ON c.event_type = g.event_type)
     SELECT event_type, max(n) AS n,
-           round(CAST(sum(q) AS DOUBLE) / (max(n) * 1e9), 6) + 0.0 AS theil_t
+           round(CAST(CAST(sum(CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                      AS DOUBLE) / (max(n) * 1e9), 6) + 0.0 AS theil_t
     FROM t GROUP BY event_type
     """,
 )
@@ -1166,6 +1167,11 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves one quantum (1e-9), which the final 6-decimal round cannot see
     after the /n·1e9 normalization. μ comes from exact integer cents
     sums; the per-row ratio mirrors the oracle's association exactly.
+    The nano-unit sum Σq = n·T·1e9 is widened to DECIMAL(38,0) on BOTH
+    engines before summing: a plain int64 sum would wrap silently on
+    Spark once n·T exceeds ~9.2e9 (billions of rows per event_type)
+    while DuckDB's sum(BIGINT) auto-widens to HUGEINT — the same
+    asymmetric-overflow class fixed in agg_skew_kurtosis.
     Plan: one cents aggregate (5 rows, broadcast back) + one map-side
     combined term sum — two scans, no window, no skew exposure."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
@@ -1183,7 +1189,9 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = F.round(ratio * F.log(ratio) * F.lit(1e9), 0).cast("bigint")
     return (
-        j.select("event_type", "n", q.alias("q"))
+        j.select(
+            "event_type", "n", q.cast("decimal(38,0)").alias("q")
+        )
         .groupBy("event_type")
         .agg(
             F.max("n").alias("n"),

@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cloud2sql_spark.catalog import load_table
+from cloud2sql_spark.ntile_scale import (
+    approx_ntile_enabled,
+    boundary_aggs,
+    bucket_score,
+)
 from cloud2sql_spark.registry import register
 
 
@@ -2230,10 +2235,14 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the fact table collapses to one row per user in a
     map-side-combined aggregate BEFORE any window; the three ntile
     windows then run over |users| rows. The unpartitioned ntile is the
-    honest cost of exact global quantiles — at 100 TB (billions of
-    users) the documented switch is approx percentile boundaries +
-    range-partitioned rank, trading exactness for a single-pass
-    distributed sort."""
+    honest cost of exact global quantiles; SPARK_GRAFT_APPROX_NTILE=1
+    switches to the 100 TB path (cloud2sql_spark/ntile_scale.py): one
+    distributed percentile_approx sketch aggregate yields all 12 quintile
+    boundaries, broadcast back for a map-side range assignment — no
+    single-partition sort anywhere. Both paths agree exactly when the
+    boundary values are distinct and the sketch is exact
+    (tests/test_ntile_scale.py); the exact path stays the oracle-checked
+    default."""
     ev = load_table(spark, sf_dir, "events")
     us = F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts)")
     u = ev.groupBy("user_id").agg(
@@ -2247,17 +2256,41 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = u.join(F.broadcast(gmax)).withColumn(
         "rec_us", F.col("gmax") - F.col("umax")
     )
-    s = u.select(
-        "user_id",
-        "mon_c",
-        F.ntile(5).over(Window.orderBy("rec_us", "user_id")).alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("freq").desc(), "user_id"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("mon_c").desc(), "user_id"))
-        .alias("m_score"),
-    )
+    if approx_ntile_enabled():
+        # DESC axes (freq, mon_c) negate the sort key so one helper
+        # serves both directions; all three sketches ride ONE aggregate.
+        ax = u.select(
+            "user_id",
+            "mon_c",
+            F.col("rec_us").alias("kr"),
+            (-F.col("freq")).alias("kf"),
+            (-F.col("mon_c")).alias("km"),
+        )
+        b = ax.agg(
+            *boundary_aggs(
+                {"br": F.col("kr"), "bf": F.col("kf"), "bm": F.col("km")}, 5
+            )
+        )
+        s = ax.join(F.broadcast(b)).select(
+            "mon_c",
+            bucket_score(F.col("kr"), F.col("br")).alias("r_score"),
+            bucket_score(F.col("kf"), F.col("bf")).alias("f_score"),
+            bucket_score(F.col("km"), F.col("bm")).alias("m_score"),
+        )
+    else:
+        s = u.select(
+            "user_id",
+            "mon_c",
+            F.ntile(5)
+            .over(Window.orderBy("rec_us", "user_id"))
+            .alias("r_score"),
+            F.ntile(5)
+            .over(Window.orderBy(F.col("freq").desc(), "user_id"))
+            .alias("f_score"),
+            F.ntile(5)
+            .over(Window.orderBy(F.col("mon_c").desc(), "user_id"))
+            .alias("m_score"),
+        )
     return s.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("mon_c").cast("bigint").alias("segment_cents"),

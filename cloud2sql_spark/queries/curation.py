@@ -21,6 +21,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cloud2sql_spark.catalog import load_table
+from cloud2sql_spark.ntile_scale import (
+    approx_ntile_enabled,
+    boundary_aggs,
+    bucket_score,
+)
 from cloud2sql_spark.queries.extensions import (
     _CAPPED_PAIRS_SQL,
     _LSH_BUCKETS_SQL,
@@ -925,11 +930,13 @@ def sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot straddle a boundary differently across engines.
 
     Scale note: a global ntile needs a total order — ONE all-to-one sort
-    of (difficulty, doc_id) pairs, the operator's only shuffle. At 100 TB
-    the same assignment is computed from an approximate quantile sketch
-    of difficulty (3 cut points, broadcast back as a range join) — the
-    sketch path is sample_temperature's allocate-from-aggregate shape;
-    this exact form doubles as its oracle."""
+    of (difficulty, doc_id) pairs, the operator's only shuffle.
+    SPARK_GRAFT_APPROX_NTILE=1 switches to the 100 TB path
+    (cloud2sql_spark/ntile_scale.py): a distributed percentile_approx
+    sketch yields the 3 stage boundaries, broadcast back for a map-side
+    range assignment — no single-partition sort. Exact on
+    distinct-boundary data (tests/test_ntile_scale.py); the exact form
+    stays the oracle-checked default."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
@@ -951,6 +958,19 @@ def sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("difficulty_milli"),
     )
+    if approx_ntile_enabled():
+        b = diff.agg(
+            *boundary_aggs({"bd": F.col("difficulty_milli")}, 4)
+        )
+        return diff.join(F.broadcast(b)).select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "difficulty_milli",
+            bucket_score(F.col("difficulty_milli"), F.col("bd")).alias(
+                "stage"
+            ),
+        )
     w = Window.orderBy("difficulty_milli", "doc_id")
     return diff.withColumn("stage", F.ntile(4).over(w))
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1002,10 +1003,20 @@ def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp_name = f"{fix}.{os.getpid()}.tmp"
         pq.write_table(t, tmp_name, row_group_size=4096)
         os.replace(tmp_name, fix)
-        # drop fixtures built from superseded source generations
+        # drop fixtures built from superseded source generations —
+        # age-gated by the same _STALE_FIXTURE_SECONDS margin as the
+        # other fixture family: a still-running previous-round session
+        # may hold a lazy DataFrame over the old file, and removing it
+        # mid-scan would fail that session's read. Superseded-but-young
+        # files are left for the next build to reap.
+        now = time.time()
         for old_f in os.listdir(fix_dir):
             full = os.path.join(fix_dir, old_f)
-            if full != fix and old_f.startswith("orders_rg_"):
+            if (
+                full != fix
+                and old_f.startswith("orders_rg_")
+                and now - os.path.getmtime(full) > _STALE_FIXTURE_SECONDS
+            ):
                 try:
                     os.remove(full)
                 except OSError:

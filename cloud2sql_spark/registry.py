@@ -53,80 +53,82 @@ _QUERY_MODULES = [
 _loaded = False
 
 # Driver-visible ordering. The driver's CORRECTNESS file records only the
-# FIRST 50 registered keys per round (observed in rounds 1 and 2), so dict
-# order decides which operators get the hard driver-vs-DuckDB signal each
-# round. Rounds 1+2 together drove 98 distinct keys; 97 passed and
-# multimodal_resize failed only in the driver's canonicalizer (ARRAY cell —
-# repaired to a string signature). Round 3 front-loads: the repaired red
-# row, the 7 keys no driver round has seen yet (late round-2 additions),
-# then every operator new in round 3. The remainder — all driver-proven
-# green in r01/r02 — follows in registration order and re-proves
-# opportunistically as slots allow. Keys listed here come first (in this
-# order); everything else follows in registration order. Unknown names are
-# ignored, so the list may name ops before their module lands.
+# FIRST 50 registered keys per round, so dict order decides which operators
+# get the hard driver-vs-DuckDB signal each round. ROTATION POLICY
+# (standing, VERDICT r06 item 1) — each round _PRIORITY is rebuilt as:
+#   1. keys with a RED driver row (repair + re-prove first);
+#   2. keys whose implementation or oracle changed since their last green
+#      driver row (a local contract pass is necessary but the driver's
+#      vanilla-session run is the authoritative signal);
+#   3. keys with NO driver row yet (new registrations, capped at the free
+#      slot budget so every round covers 100% of what it registers);
+#   4. stalest-first re-proofs: the keys whose most recent green row is
+#      oldest (alphabetical within a round), filling every remaining slot.
+# With 289 keys and 50 slots, rule 4 guarantees every key re-proves at
+# least every ceil(289/50) = 6 rounds against the current fixture
+# generation. Keys listed here come first (in this order); everything else
+# follows in registration order. Unknown names are ignored, so the list
+# may name ops before their module lands.
 _PRIORITY = [
-    # Round 6 slot plan (VERDICT r05 "Next round" #1/#3): the driver records
-    # only the FIRST 50 keys. Slots 1-31: the keys that have never had a
-    # driver CORRECTNESS row (fell past round 5's window; VERDICT r05 lists
-    # them verbatim). Slot 32: text_pmi_bigrams, red in r05 on a -0.0
-    # hash-only mismatch, repaired with +0.0 canonicalization on both
-    # engines. Slots 33-47: keys NEW in round 6 (driver signal on first
-    # exposure; registration capped at the free-slot budget so
-    # CORRECTNESS_r06 covers 100% of the registry). Remaining slots:
-    # stalest r01-green keys, re-proven for drift.
-    "scan_merge_on_read",
-    "stream_interval_join_outer",
-    "fn_uuid_deterministic",
-    "join_record_linkage",
-    "agg_ols_two_factor",
-    "win_median_sliding",
-    "udtf_polymorphic",
-    "dedup_media_phash",
-    "events_anomaly_mad",
-    "scan_compaction_plan",
-    "agg_skew_kurtosis",
-    "win_running_distinct",
-    "sort_range_boundaries",
-    "sample_contrastive_pairs",
-    "graph_kcore_peel",
-    "events_survival_table",
-    "events_bot_regularity",
-    "graph_degree_assortativity",
-    "events_forecast_snaive",
-    "events_hourly_profile",
-    "text_rake_keywords",
-    "text_cross_source_overlap",
-    "multimodal_scene_cut",
-    "multimodal_audio_peaks",
-    "embed_mips_topk",
-    "embed_pca_project",
-    "tpch_q2",
-    "tpch_q11",
-    "tpch_q16",
-    "tpch_q20",
-    "quality_drift_tv",
-    # r05's one red row, repaired (-0.0 canonicalized on both engines).
-    "text_pmi_bigrams",
-    # New in round 6 (first driver exposure).
-    "win_conditional_streak_reset",
-    "events_interval_merge",
+    # Round 7 slot plan: 0 reds, 0 never-tested. Slots 1-5 (rule 2): keys
+    # changed this round — agg_theil_index (nano-sum widened to
+    # DECIMAL(38,0) both engines, ADVICE r06), embed_knn_graph (md5-rank
+    # per-bucket candidate cap, mirrored in the oracle),
+    # events_rfm_segments + sample_curriculum (approx-ntile scale branch;
+    # exact default unchanged), scan_rowgroup_stats (age-gated fixture
+    # reaping, ADVICE r06). Slots 6-50 (rule 4): the 45 keys whose only
+    # green row is round 1 — five fixture generations old. The 49
+    # r02-stale keys rotate in next round.
     "agg_theil_index",
-    "text_hashing_trick_features",
-    "dedup_minhash_banding_curve",
+    "embed_knn_graph",
     "events_rfm_segments",
-    "join_temporal_foreign_key",
-    "embed_whitening_stats",
-    "dedup_sorted_neighborhood",
-    "events_markov_next_state",
-    "agg_winsorized_stats",
+    "sample_curriculum",
     "scan_rowgroup_stats",
-    "graph_label_propagation",
-    "multimodal_silence_segments",
-    "sample_importance_reweight",
-    # Stalest driver evidence: r01 cohort re-proofs fill remaining slots.
-    "agg_groupby",
-    "join_multiway_star",
-    "win_running_sum",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_global",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_rollup",
+    "agg_stats",
+    "filter_boolean",
+    "filter_comparison",
+    "filter_in_between_like",
+    "filter_null",
+    "join_anti",
+    "join_asof",
+    "join_broadcast_dim",
+    "join_cross",
+    "join_full",
+    "join_inner_equi",
+    "join_left",
+    "join_right",
+    "join_self_edges",
+    "join_semi",
+    "join_skew_salted",
+    "join_theta_range",
+    "limit_topk",
+    "project_computed",
+    "project_nested_path",
+    "project_select",
+    "scan_csv_roundtrip",
+    "scan_jdbc",
+    "scan_json_props",
+    "scan_parquet",
+    "scan_parquet_pruned",
+    "set_union_all",
+    "set_union_distinct",
+    "sink_bucketed_join",
+    "sink_jdbc",
+    "sink_parquet_snapshot",
+    "sort_multikey",
+    "topk_per_group",
+    "win_first_last",
+    "win_lag_lead",
+    "win_moving_avg",
+    "win_range_frame",
+    "win_rank_dense",
+    "win_row_number",
 ]
 
 

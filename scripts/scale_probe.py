@@ -26,7 +26,13 @@ from cloud2sql_spark.registry import queries
 from cloud2sql_spark.session import get_spark
 
 BASE = "/root/testdata/sf0.1"
-OUT = "/dev/shm/scale_probe"
+# Default keeps the replica in tmpfs for speed. For CONFIRMATION runs of
+# outlier ratios, set SPARK_GRAFT_PROBE_OUT to a disk-backed dir (e.g.
+# /tmp/scale_probe): with the dataset and the shuffle scratch
+# (spark.local.dir, /dev/shm by default) on SEPARATE filesystems, tmpfs
+# writeback contention — the cause of the round-6 tpch_q20 20.7× phantom
+# — cannot couple the two. Pair with SPARK_GRAFT_PROBE_TRIALS>=3.
+OUT = os.environ.get("SPARK_GRAFT_PROBE_OUT", "/dev/shm/scale_probe")
 
 PROBE_KEYS = [
     "agg_groupby",
@@ -287,17 +293,25 @@ def main() -> None:
         n = spark.read.parquet(os.path.join(OUT, f"{name}.parquet")).count()
         print(f"  {name}: {n} rows", flush=True)
 
+    # Variance protocol (README "Measured scaling"): host contention and
+    # tmpfs writeback can inflate any single run 5-20×, so a ratio is only
+    # believable from interleaved small/big trials in ONE session taking
+    # per-scale MINIMA. Default 1 trial for the broad sweep; use >=3 for
+    # confirming outliers.
+    trials = int(os.environ.get("SPARK_GRAFT_PROBE_TRIALS", "1"))
     print(f"\n{'key':26s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>6s}", flush=True)
     for key in probe_keys:
         fn = qs[key]
-        t0 = time.time()
-        fn(spark, BASE).count()
-        small = time.time() - t0
-        spark.catalog.clearCache()
-        t0 = time.time()
-        fn(spark, OUT).count()
-        big = time.time() - t0
-        spark.catalog.clearCache()
+        small = big = float("inf")
+        for _ in range(trials):
+            t0 = time.time()
+            fn(spark, BASE).count()
+            small = min(small, time.time() - t0)
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, OUT).count()
+            big = min(big, time.time() - t0)
+            spark.catalog.clearCache()
         note = ""
         if key in QUADRATIC_BY_CONTRACT:
             note = "  (exact all-pairs ground truth: inherent work is "

