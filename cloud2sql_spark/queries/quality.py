@@ -14,11 +14,18 @@ delta-window aggregate, touching only delta rows of the fact table.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloud2sql_spark.catalog import load_table
 from cloud2sql_spark.registry import register
+
+
+def approx_profile_enabled() -> bool:
+    """True when the caller opted into sketch-based column profiling."""
+    return os.environ.get("SPARK_GRAFT_APPROX_PROFILE", "") == "1"
 
 _PROFILE_COLS = [
     "o_orderkey",
@@ -72,10 +79,18 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack() — driver-free, and the scan cost is independent of column
     count the way a per-column loop is not. min/max render through
     DECIMAL(18,2) for the money column so both engines print identical
-    strings. n_distinct is exact (count_distinct expands to one
-    aggregate; at 100 TB swap in approx_count_distinct per the
-    agg_approx_distinct posture)."""
+    strings. n_distinct is exact by default — but six exact
+    count-distincts over different columns force Catalyst's Expand
+    (each input row replicated once per distinct column inside the
+    aggregate, 7x the scan volume at 100 TB). The opt-in
+    ``SPARK_GRAFT_APPROX_PROFILE=1`` path swaps in
+    approx_count_distinct (HLL++ sketches, map-side mergeable, NO
+    Expand — one true single-pass scan); every non-cardinality
+    statistic stays exact and identical. tests/test_approx_profile.py
+    pins the Expand-free plan and the <=5%-rsd cardinality bound; the
+    exact path remains the oracle-checked default."""
     orders = load_table(spark, sf_dir, "orders")
+    nd = F.approx_count_distinct if approx_profile_enabled() else F.count_distinct
 
     def min_max(c: str) -> list:
         if c == "o_totalprice":
@@ -92,7 +107,7 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in _PROFILE_COLS:
         aggs += [
             F.count(c).alias(f"nn_{c}"),
-            F.count_distinct(c).alias(f"nd_{c}"),
+            nd(c).alias(f"nd_{c}"),
             *min_max(c),
         ]
     one = orders.agg(*aggs)
