@@ -353,8 +353,10 @@ def main() -> None:
     # history is the per-round series); bench_history.jsonl appends every
     # unfiltered run with a timestamp for intra-round forensics. Filtered
     # runs (SPARK_GRAFT_BENCH_ONLY) are NOT persisted — partial subtotals
-    # would read as regressions.
-    if not only:
+    # would read as regressions — and neither are runs at a non-headline
+    # scale factor: a quick sf0.001 smoke run must not clobber the
+    # round's committed sf0.1 recording with sub-second timings.
+    if not only and os.path.basename(os.path.normpath(sf_dir)) == "sf0.1":
         repo = os.path.dirname(os.path.abspath(__file__))
         record = dict(result, wall_clock=time.strftime("%Y-%m-%dT%H:%M:%S"))
         try:

@@ -30,10 +30,10 @@ helper serves both directions.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+from cloud2sql_spark.flags import flag_enabled
 
 # Sketch accuracy: error is at most rank/accuracy of the row count. 10k
 # (Spark's default) bounds boundary-rank error to 0.01% — at 1e9 users a
@@ -43,7 +43,7 @@ _ACCURACY = 10_000
 
 def approx_ntile_enabled() -> bool:
     """True when the caller opted into the no-global-sort quantile path."""
-    return os.environ.get("SPARK_GRAFT_APPROX_NTILE", "") == "1"
+    return flag_enabled("SPARK_GRAFT_APPROX_NTILE")
 
 
 def boundary_aggs(axes: dict[str, Column], n: int) -> list[Column]:
@@ -60,11 +60,34 @@ def boundary_aggs(axes: dict[str, Column], n: int) -> list[Column]:
     ]
 
 
-def bucket_score(sort_key: Column, boundaries: Column) -> Column:
+def bucket_score(
+    sort_key: Column,
+    boundaries: Column,
+    n: int | None = None,
+    nulls_last: bool = False,
+) -> Column:
     """1 + count of boundaries strictly below ``sort_key`` (INT, 1..n).
 
     Matches exact ntile on distinct-valued data with exact boundaries:
     rank <= k*m/n  <=>  value <= boundary_k.
+
+    NULL sort keys mirror the exact window's placement. Spark's default
+    null ordering is NULLS FIRST for ASC — a NULL key compares to no
+    boundary, the filter drops every element, and the score is 1, which
+    is exactly where ``ntile`` over an ASC window puts NULL rows. A DESC
+    axis sorts NULLS LAST, so its caller (who negated the key — negation
+    keeps NULL NULL) must pass ``nulls_last=True`` with ``n`` to pin
+    NULLs to bucket n instead. (percentile_approx additionally ignores
+    NULLs when sketching boundaries, whereas exact ntile counts NULL
+    rows toward bucket sizes — part of the documented approximation
+    trade alongside tie splitting.)
     """
     hits = F.size(F.filter(boundaries, lambda b: b < sort_key))
-    return (hits + F.lit(1)).cast("int")
+    score = (hits + F.lit(1)).cast("int")
+    if nulls_last:
+        if n is None:
+            raise ValueError("nulls_last=True requires the bucket count n")
+        return F.when(sort_key.isNull(), F.lit(n).cast("int")).otherwise(
+            score
+        )
+    return score

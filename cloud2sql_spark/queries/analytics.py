@@ -15,11 +15,10 @@ collects.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 from cloud2sql_spark.checkpointing import truncate_lineage
+from cloud2sql_spark.flags import flag_enabled
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1251,7 +1250,23 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def degree_orient_enabled() -> bool:
     """True when the caller opted into (degree, id) edge orientation."""
-    return os.environ.get("SPARK_GRAFT_DEGREE_ORIENT", "") == "1"
+    return flag_enabled("SPARK_GRAFT_DEGREE_ORIENT")
+
+
+def _oriented_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented co-purchase edges, persisted per (session, sf_dir)
+    in the same session-tracked cache as the id-oriented frame (under a
+    distinct key): like its parent, the reoriented frame feeds the
+    adjacency build, both join legs, and the node/edge stats, so an
+    unpersisted version would recompute the degree aggregate and both
+    |V|-row joins per consumer."""
+    key = (spark.sparkContext.applicationId, sf_dir, "oriented")
+    if key in _TRIANGLE_EDGE_CACHE:
+        _TRIANGLE_EDGE_CACHE[key] = _TRIANGLE_EDGE_CACHE.pop(key)
+        return _TRIANGLE_EDGE_CACHE[key]
+    o = _degree_orient(_copurchase_edges(spark, sf_dir)).persist()
+    _TRIANGLE_EDGE_CACHE[key] = o
+    return o
 
 
 def _degree_orient(e: DataFrame) -> DataFrame:
@@ -1331,9 +1346,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     fewer shuffle); the oracle's 3-way self-join is the independent
     formulation of the same multiset, so the check is
     algorithm-diverse."""
-    e = _copurchase_edges(spark, sf_dir)
-    if degree_orient_enabled():
-        e = _degree_orient(e)
+    e = (
+        _oriented_copurchase_edges(spark, sf_dir)
+        if degree_orient_enabled()
+        else _copurchase_edges(spark, sf_dir)
+    )
     # Sorted-adjacency intersection instead of the textbook wedge join:
     # e1⋈e2 on v=u materializes Σ outdeg² wedge rows (measured 49M at
     # sf0.1 for 1.2M edges, avg degree ~120 — 5s of the operator's 7s)
@@ -2311,23 +2328,38 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     if approx_ntile_enabled():
         # DESC axes (freq, mon_c) negate the sort key so one helper
         # serves both directions; all three sketches ride ONE aggregate.
+        # Persisted because it feeds BOTH the boundary aggregate (under
+        # the broadcast exchange) and the scoring join probe — exchange
+        # reuse does not fire across a broadcast boundary, so without
+        # the cache the per-user aggregation of events runs twice. The
+        # frame is |users| rows; computed once per call on a path meant
+        # for one-shot scale runs, Spark's LRU eviction bounds residue.
         ax = u.select(
             "user_id",
             "mon_c",
             F.col("rec_us").alias("kr"),
             (-F.col("freq")).alias("kf"),
             (-F.col("mon_c")).alias("km"),
-        )
+        ).persist()
         b = ax.agg(
             *boundary_aggs(
                 {"br": F.col("kr"), "bf": F.col("kf"), "bm": F.col("km")}, 5
             )
         )
+        # DESC axes pass nulls_last: the exact windows sort NULLS LAST
+        # (freq can't be NULL, but mon_c can when every value is NULL),
+        # landing NULL keys in bucket 5, not 1. The ASC recency axis
+        # keeps the NULLS FIRST -> bucket 1 default, matching its
+        # exact window.
         s = ax.join(F.broadcast(b)).select(
             "mon_c",
             bucket_score(F.col("kr"), F.col("br")).alias("r_score"),
-            bucket_score(F.col("kf"), F.col("bf")).alias("f_score"),
-            bucket_score(F.col("km"), F.col("bm")).alias("m_score"),
+            bucket_score(
+                F.col("kf"), F.col("bf"), n=5, nulls_last=True
+            ).alias("f_score"),
+            bucket_score(
+                F.col("km"), F.col("bm"), n=5, nulls_last=True
+            ).alias("m_score"),
         )
     else:
         s = u.select(

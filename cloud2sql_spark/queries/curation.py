@@ -959,6 +959,11 @@ def sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("difficulty_milli"),
     )
     if approx_ntile_enabled():
+        # persisted: diff feeds both the boundary aggregate (under the
+        # broadcast exchange) and the scoring probe — without the cache
+        # the documents scan + tokenization runs twice (exchange reuse
+        # does not cross a broadcast boundary)
+        diff = diff.persist()
         b = diff.agg(
             *boundary_aggs({"bd": F.col("difficulty_milli")}, 4)
         )

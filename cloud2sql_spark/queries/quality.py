@@ -14,18 +14,17 @@ delta-window aggregate, touching only delta rows of the fact table.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloud2sql_spark.catalog import load_table
+from cloud2sql_spark.flags import flag_enabled
 from cloud2sql_spark.registry import register
 
 
 def approx_profile_enabled() -> bool:
     """True when the caller opted into sketch-based column profiling."""
-    return os.environ.get("SPARK_GRAFT_APPROX_PROFILE", "") == "1"
+    return flag_enabled("SPARK_GRAFT_APPROX_PROFILE")
 
 _PROFILE_COLS = [
     "o_orderkey",

@@ -1012,15 +1012,16 @@ def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         now = time.time()
         for old_f in os.listdir(fix_dir):
             full = os.path.join(fix_dir, old_f)
-            if (
-                full != fix
-                and old_f.startswith("orders_rg_")
-                and now - os.path.getmtime(full) > _STALE_FIXTURE_SECONDS
-            ):
-                try:
+            if full == fix or not old_f.startswith("orders_rg_"):
+                continue
+            # getmtime sits inside the try: a concurrent session's reaper
+            # can remove the file between listdir and stat, and that race
+            # must stay harmless, not crash the fixture build
+            try:
+                if now - os.path.getmtime(full) > _STALE_FIXTURE_SECONDS:
                     os.remove(full)
-                except OSError:
-                    pass
+            except OSError:
+                pass
 
     paths = spark.createDataFrame([(fix,)], "path STRING").repartition(
         spark.sparkContext.defaultParallelism

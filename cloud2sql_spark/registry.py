@@ -70,20 +70,26 @@ _loaded = False
 # follows in registration order. Unknown names are ignored, so the list
 # may name ops before their module lands.
 _PRIORITY = [
-    # Round 7 slot plan: 0 reds, 0 never-tested. Slots 1-5 (rule 2): keys
+    # Round 7 slot plan: 0 reds, 0 never-tested. Slots 1-7 (rule 2): keys
     # changed this round — agg_theil_index (nano-sum widened to
     # DECIMAL(38,0) both engines, ADVICE r06), embed_knn_graph (md5-rank
     # per-bucket candidate cap, mirrored in the oracle),
     # events_rfm_segments + sample_curriculum (approx-ntile scale branch;
     # exact default unchanged), scan_rowgroup_stats (age-gated fixture
-    # reaping, ADVICE r06). Slots 6-50 (rule 4): the 45 keys whose only
-    # green row is round 1 — five fixture generations old. The 49
-    # r02-stale keys rotate in next round.
+    # reaping, ADVICE r06), graph_triangle_count (opt-in degree
+    # orientation; id-oriented default unchanged), profile_table (opt-in
+    # approx-distinct profiling; exact default unchanged). Slots 8-50
+    # (rule 4): the first 43 of the 45 keys whose only green row is
+    # round 1 — five fixture generations old. The two displaced r01 keys
+    # (win_rank_dense, win_row_number) plus the 49 r02-stale keys rotate
+    # in next round.
     "agg_theil_index",
     "embed_knn_graph",
     "events_rfm_segments",
     "sample_curriculum",
     "scan_rowgroup_stats",
+    "graph_triangle_count",
+    "profile_table",
     "agg_count_distinct",
     "agg_cube",
     "agg_global",

@@ -298,7 +298,9 @@ def main() -> None:
     # believable from interleaved small/big trials in ONE session taking
     # per-scale MINIMA. Default 1 trial for the broad sweep; use >=3 for
     # confirming outliers.
-    trials = int(os.environ.get("SPARK_GRAFT_PROBE_TRIALS", "1"))
+    # floor at 1: a zero/negative value would skip the timing loop and
+    # print inf/nan ratios after the expensive synthesis already ran
+    trials = max(1, int(os.environ.get("SPARK_GRAFT_PROBE_TRIALS", "1")))
     print(f"\n{'key':26s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>6s}", flush=True)
     for key in probe_keys:
         fn = qs[key]

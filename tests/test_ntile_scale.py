@@ -121,3 +121,41 @@ def test_exact_default_path_unchanged(spark, sf_dir, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_APPROX_NTILE", raising=False)
     plan = _physical(_QUERIES["sample_curriculum"](spark, sf_dir))
     assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_bucket_score_null_semantics(spark):
+    """NULL sort keys must mirror the exact window's null placement:
+    bucket 1 on ASC axes (Spark's NULLS FIRST default — the helper's
+    default), bucket n on negated DESC axes (NULLS LAST) via
+    nulls_last=True. Found in review: before the fix a NULL monetary
+    key jumped from the exact path's bucket 5 to the approx path's
+    bucket 1."""
+    from pyspark.sql import functions as F
+
+    from cloud2sql_spark.ntile_scale import bucket_score
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None)], "id bigint, k double"
+    ).withColumn("b", F.array(F.lit(2.0), F.lit(5.0), F.lit(7.0)))
+    out = {
+        r["id"]: (r["asc_s"], r["desc_s"])
+        for r in df.select(
+            "id",
+            bucket_score(F.col("k"), F.col("b")).alias("asc_s"),
+            bucket_score(
+                F.col("k"), F.col("b"), n=4, nulls_last=True
+            ).alias("desc_s"),
+        ).collect()
+    }
+    assert out[1] == (4, 4)  # 10.0 above every boundary either way
+    assert out[2] == (1, 4)  # NULL: first bucket ASC, last bucket DESC
+
+
+def test_bucket_score_nulls_last_requires_n():
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cloud2sql_spark.ntile_scale import bucket_score
+
+    with _pytest.raises(ValueError):
+        bucket_score(F.lit(1.0), F.array(F.lit(1.0)), nulls_last=True)
