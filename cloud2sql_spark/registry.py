@@ -68,7 +68,10 @@ _loaded = False
 # least every ceil(289/50) = 6 rounds against the current fixture
 # generation. Keys listed here come first (in this order); everything else
 # follows in registration order. Unknown names are ignored, so the list
-# may name ops before their module lands.
+# may name ops before their module lands. `python scripts/rotation_plan.py
+# <changed-key ...>` computes this list mechanically from the recorded
+# CORRECTNESS_r*.json files (plus the free-slot budget for new
+# registrations); rebuild it with that each round.
 _PRIORITY = [
     # Round 7 slot plan: 0 reds, 0 never-tested. Slots 1-7 (rule 2): keys
     # changed this round — agg_theil_index (nano-sum widened to
