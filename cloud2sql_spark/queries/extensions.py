@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cloud2sql_spark.catalog import load_table
+from cloud2sql_spark.flags import flag_enabled
 from cloud2sql_spark.registry import register
 
 # ---------------------------------------------------------------- helpers
@@ -150,36 +151,114 @@ def _doc_shingles(
 
 
 def _exact_jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
-    """Exact shingle-Jaccard over candidate pairs via inverted-index join:
-    explode shingles, self-join on the shingle, count shared, derive
-    |union| = |a| + |b| - shared. Never materializes the n² pair space."""
-    # persist: both self-join sides read the exploded index; without it the
-    # shingle expression and explode run twice.
+    """Exact shingle-Jaccard pairs ≥ threshold.
+
+    Default plan: inverted-index self-join — explode shingles, join on
+    the shingle with doc_a < doc_b, count shared, derive |union| =
+    na + nb − shared. Candidate volume is Σ_g df(g)²; on THIS corpus max
+    df is 7, so the quadratic term is negligible and the two extra
+    linear shuffles the prefix path needs (global df groupBy + per-doc
+    prefix rank window) cost more than they save (measured 1.7s vs 4.8s
+    at sf0.1).
+
+    ``SPARK_GRAFT_PREFIX_FILTER=1`` swaps in AllPairs prefix filtering
+    (Bayardo/Ma/Srikant, WWW'07) — the plan that survives a heavy-tail
+    shingle distribution at 100 TB, where stop-shingles make Σ df²
+    superlinear. Output is bit-identical (equivalence pinned on the real
+    corpus and a crafted stop-shingle fixture in
+    tests/test_prefix_filter.py); the choice is purely physical."""
+    sized = shingled.withColumn("n", F.size("sg"))
     # explode_outer, not explode: InferFiltersFromGenerate turns a plain
     # explode into a size(sg)>0 AND isnotnull(sg) filter that Catalyst
     # pushes below the repartition exchange — re-evaluating the whole
     # shingle HOF twice per doc inside the single-task scan stage
     # (measured 3× the stage). outer explode infers nothing; the cheap
     # g IS NOT NULL post-filter restores identical rows.
-    sized = shingled.withColumn("n", F.size("sg"))
+    # persist: both consumers (self-join sides / df-count + prefix rank)
+    # read the exploded index twice.
     tok = (
         sized.select("doc_id", "n", F.explode_outer("sg").alias("g"))
         .filter(F.col("g").isNotNull())
         .persist()
     )
-    a, b = tok.alias("a"), tok.alias("b")
-    shared = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
+    if not flag_enabled("SPARK_GRAFT_PREFIX_FILTER"):
+        a, b = tok.alias("a"), tok.alias("b")
+        shared = (
+            a.join(
+                b,
+                (F.col("a.g") == F.col("b.g"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.n").alias("na"),
+                F.col("b.n").alias("nb"),
+            )
+            .agg(F.count("*").alias("inter"))
+        )
+        j = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
+        return shared.filter(j >= threshold).select(
+            "doc_a", "doc_b", j.alias("jaccard")
+        )
+    # --- prefix-filter scale path ---------------------------------------
+    # Order every doc's shingles by one global rare-first total order
+    # (document frequency, then the shingle string) and keep only the
+    # PREFIX of length n − ⌈t·n⌉ + 1. Pigeonhole guarantee: a pair with
+    # J ≥ t has inter ≥ ⌈t·n⌉ common shingles on each side, so its
+    # globally-smallest common shingle cannot sit in either
+    # (⌈t·n⌉−1)-long suffix — it lands in BOTH prefixes, and the prefix
+    # equi-join finds every qualifying pair. Candidates then pass the
+    # length filter (min(na,nb) ≥ t·max(na,nb), another J ≥ t
+    # consequence) and an exact array_intersect verification. A frequent
+    # shingle sorts to the END of every doc — outside the prefix
+    # whenever the doc has ⌈t·n⌉−1 rarer ones — so join volume
+    # concentrates on low-df² terms. The 1e-9 slack on ⌈t·n⌉ and the
+    # length filter only ever LENGTHENS a prefix / loosens the filter
+    # (float noise in t·n must never prune a boundary pair); exactness
+    # comes from the verify step regardless.
+    df_g = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "g")
+    plen = F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
+    prefix = (
+        tok.join(df_g, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= plen)
+        .select("doc_id", "n", "g")
+        .persist()
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least("a.n", "b.n") * F.lit(1.0)
+                >= F.lit(threshold) * F.greatest("a.n", "b.n") - F.lit(1e-9)
+            ),
+        )
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.n").alias("na"),
             F.col("b.n").alias("nb"),
         )
-        .agg(F.count("*").alias("inter"))
+        .distinct()
+    )
+    ver = (
+        cand.join(
+            sized.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sga")),
+            "doc_a",
+        )
+        .join(
+            sized.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("sgb")),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sga", "sgb")))
     )
     j = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
-    return shared.filter(j >= threshold).select(
+    return ver.filter(j >= threshold).select(
         "doc_a", "doc_b", j.alias("jaccard")
     )
 
@@ -376,8 +455,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT shingle-Jaccard pairs (threshold 0.5) via inverted-index
     self-join — the deterministic ground truth the approximate dedup
     variants are judged against. Pair volume is Σ df² over shingles (54k
-    here; at scale, cap df to drop stop-shingles — near-dup pairs always
-    share rare shingles).
+    here); under a heavy-tail shingle distribution at 100 TB, set
+    SPARK_GRAFT_PREFIX_FILTER=1 for the AllPairs prefix-filter plan
+    (identical output, candidates restricted to rare-prefix collisions —
+    see _exact_jaccard_pairs).
 
     nonempty=True builds the SAME index plan as minhash/capped/cc (docs
     with empty shingle sets produce no tokens, hence no pairs — output

