@@ -16,7 +16,9 @@ Scale design (100 TB):
 - MinHash/SimHash banding: candidates come from equality joins on
   (band, signature) — shuffle is keyed and linear in data, never O(n²).
 - Exact n-gram join is an inverted index on rare shingles (max df here 7;
-  at scale add a df-cap to drop stop-shingles before the self-join).
+  under heavy-tail shingle df, SPARK_GRAFT_PREFIX_FILTER=1 swaps in the
+  AllPairs prefix-filter plan — identical output, stop-shingles excluded
+  from the join; see _exact_jaccard_pairs).
 - Brute-force cosine is the small-side baseline; the IVF variant probes
   top-2 of 10 centroid partitions, cutting the scan ~5× and partitioning
   cleanly by centroid id on a cluster.

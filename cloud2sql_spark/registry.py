@@ -81,11 +81,15 @@ _PRIORITY = [
     # exact default unchanged), scan_rowgroup_stats (age-gated fixture
     # reaping, ADVICE r06), graph_triangle_count (opt-in degree
     # orientation; id-oriented default unchanged), profile_table (opt-in
-    # approx-distinct profiling; exact default unchanged). Slots 8-50
-    # (rule 4): the first 43 of the 45 keys whose only green row is
-    # round 1 — five fixture generations old. The two displaced r01 keys
-    # (win_rank_dense, win_row_number) plus the 49 r02-stale keys rotate
-    # in next round.
+    # approx-distinct profiling; exact default unchanged),
+    # dedup_ngram_jaccard + dedup_minhash_banding_curve (opt-in AllPairs
+    # prefix filter in the shared _exact_jaccard_pairs helper;
+    # inverted-index default unchanged). Slots 10-50 (rule 4): the first
+    # 41 of the 45 keys whose only green row is round 1 — five fixture
+    # generations old. The four displaced r01 keys (win_range_frame,
+    # win_rank_dense, win_row_number, win_moving_avg — kept listed below;
+    # the driver takes the first 50) plus the 49 r02-stale keys rotate in
+    # next round.
     "agg_theil_index",
     "embed_knn_graph",
     "events_rfm_segments",
@@ -93,6 +97,8 @@ _PRIORITY = [
     "scan_rowgroup_stats",
     "graph_triangle_count",
     "profile_table",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_banding_curve",
     "agg_count_distinct",
     "agg_cube",
     "agg_global",
