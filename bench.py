@@ -243,9 +243,11 @@ _R06_ADDITIONS: list[str] = [
 R03_SET = R02_SET + _R03_ADDITIONS
 R04_SET = R03_SET + _R04_ADDITIONS
 R05_SET = R04_SET + _R05_ADDITIONS
-# Frozen at end of round 6 (VERDICT r06 item 2): exactly the 179 keys the
-# round-6 bench timed. Round 7 adds no operators (all driver slots were
-# re-proof slots), so HEADLINE == R06_SET this round.
+# Frozen at end of round 6 (VERDICT r06 item 2): exactly the 178 query
+# keys the round-6 bench timed (BENCH_r06's n_queries=179 includes the
+# separate shingle_build warm-up line, which is not a registry key).
+# Round 7 adds no operators (all driver slots were re-proof slots), so
+# HEADLINE == R06_SET this round.
 R06_SET = R05_SET + _R06_ADDITIONS
 HEADLINE = R06_SET
 

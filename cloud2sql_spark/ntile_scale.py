@@ -82,7 +82,11 @@ def bucket_score(
     rows toward bucket sizes — part of the documented approximation
     trade alongside tie splitting.)
     """
-    hits = F.size(F.filter(boundaries, lambda b: b < sort_key))
+    # coalesce to an empty array: percentile_approx over an all-NULL
+    # axis yields a NULL boundaries array, and size(filter(NULL, ...))
+    # would score an out-of-range bucket (NULL/-1 + 1) instead of the
+    # documented bucket 1 every-boundary-missing fallback.
+    hits = F.size(F.filter(F.coalesce(boundaries, F.array()), lambda b: b < sort_key))
     score = (hits + F.lit(1)).cast("int")
     if nulls_last:
         if n is None:

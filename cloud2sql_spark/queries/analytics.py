@@ -1264,6 +1264,15 @@ def _oriented_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _TRIANGLE_EDGE_CACHE:
         _TRIANGLE_EDGE_CACHE[key] = _TRIANGLE_EDGE_CACHE.pop(key)
         return _TRIANGLE_EDGE_CACHE[key]
+    # same 4-frame LRU bound as the parent: a miss here can follow a
+    # parent-side HIT (no eviction ran), so evict before inserting or
+    # the persisted-frame bound silently grows past 4.
+    while len(_TRIANGLE_EDGE_CACHE) >= 4:
+        old = _TRIANGLE_EDGE_CACHE.pop(next(iter(_TRIANGLE_EDGE_CACHE)))
+        try:
+            old.unpersist()
+        except Exception:
+            pass
     o = _degree_orient(_copurchase_edges(spark, sf_dir)).persist()
     _TRIANGLE_EDGE_CACHE[key] = o
     return o

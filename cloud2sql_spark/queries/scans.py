@@ -1003,22 +1003,50 @@ def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp_name = f"{fix}.{os.getpid()}.tmp"
         pq.write_table(t, tmp_name, row_group_size=4096)
         os.replace(tmp_name, fix)
-        # drop fixtures built from superseded source generations —
-        # age-gated by the same _STALE_FIXTURE_SECONDS margin as the
-        # other fixture family: a still-running previous-round session
-        # may hold a lazy DataFrame over the old file, and removing it
-        # mid-scan would fail that session's read. Superseded-but-young
-        # files are left for the next build to reap.
+        # drop fixtures built from superseded source generations — but
+        # age-gate on time-since-SUPERSESSION, not time-since-creation:
+        # a still-running previous-round session may hold a lazy
+        # DataFrame over the old file (reads never bump mtime), and an
+        # old-but-live fixture deleted the instant a new generation
+        # lands would fail that session's read. The fixture's own mtime
+        # cannot carry the supersession time (it records creation), so
+        # the first build that finds an old fixture writes a sidecar
+        # `.superseded` marker — starting the clock — and only a build
+        # that finds a marker older than _STALE_FIXTURE_SECONDS reaps
+        # the pair.
         now = time.time()
         for old_f in os.listdir(fix_dir):
             full = os.path.join(fix_dir, old_f)
-            if full == fix or not old_f.startswith("orders_rg_"):
+            if (
+                full == fix
+                or not old_f.startswith("orders_rg_")
+                or old_f.endswith((".tmp", ".superseded"))
+            ):
                 continue
-            # getmtime sits inside the try: a concurrent session's reaper
-            # can remove the file between listdir and stat, and that race
-            # must stay harmless, not crash the fixture build
+            marker = full + ".superseded"
+            # stat/open/remove sit inside the try: a concurrent
+            # session's reaper can remove files between listdir and
+            # stat, and that race must stay harmless, not crash the
+            # fixture build
             try:
-                if now - os.path.getmtime(full) > _STALE_FIXTURE_SECONDS:
+                if not os.path.exists(marker):
+                    with open(marker, "w"):
+                        pass
+                elif (
+                    now - os.path.getmtime(marker) > _STALE_FIXTURE_SECONDS
+                ):
+                    os.remove(full)
+                    os.remove(marker)
+            except OSError:
+                pass
+        # orphaned markers (fixture already reaped, marker removal
+        # raced): sweep any marker whose fixture is gone
+        for old_f in os.listdir(fix_dir):
+            if not old_f.endswith(".superseded"):
+                continue
+            full = os.path.join(fix_dir, old_f)
+            try:
+                if not os.path.exists(full[: -len(".superseded")]):
                     os.remove(full)
             except OSError:
                 pass

@@ -73,7 +73,7 @@ _loaded = False
 # CORRECTNESS_r*.json files (plus the free-slot budget for new
 # registrations); rebuild it with that each round.
 _PRIORITY = [
-    # Round 7 slot plan: 0 reds, 0 never-tested. Slots 1-7 (rule 2): keys
+    # Round 7 slot plan: 0 reds, 0 never-tested. Slots 1-9 (rule 2): keys
     # changed this round — agg_theil_index (nano-sum widened to
     # DECIMAL(38,0) both engines, ADVICE r06), embed_knn_graph (md5-rank
     # per-bucket candidate cap, mirrored in the oracle),

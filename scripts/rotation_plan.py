@@ -64,7 +64,14 @@ def main() -> None:
     reds = sorted(k for k in registered if k in rows and not rows[k][1])
     untested = sorted(k for k in registered if k not in rows)
     unknown_changed = [k for k in changed if k not in registered]
-    changed = [k for k in changed if k in registered and k not in reds]
+    # a changed key that is red or never-tested already holds a slot in
+    # its own segment — keeping it in `changed` too would double-count
+    # it and silently push a legitimate stale key out of the window
+    changed = [
+        k
+        for k in changed
+        if k in registered and k not in reds and k not in untested
+    ]
     covered = set(reds) | set(changed) | set(untested)
     rest = sorted(
         (k for k in registered if k not in covered and k in rows),
@@ -97,10 +104,10 @@ def main() -> None:
         print(f'    "{k}",')
     print("]")
     if overflow:
-        nxt = overflow[: SLOTS]
+        nxt = overflow[:10]
         print(f"\n# next-round carryover (first {len(nxt)} of "
               f"{len(overflow)} remaining, stalest-first):")
-        for k in nxt[:10]:
+        for k in nxt:
             print(f"#   {k} (r{rows[k][0]:02d})")
 
 

@@ -111,8 +111,9 @@ def test_approx_plan_has_no_global_sort(spark, sf_dir, monkeypatch, key):
     plan = _physical(_QUERIES[key](spark, sf_dir))
     assert "Window" not in plan, plan
     for seg in plan.split("Exchange SinglePartition")[1:]:
-        child = [ln for ln in seg.splitlines()[1:] if ln.strip()][0]
-        assert "Aggregate" in child, plan
+        children = [ln for ln in seg.splitlines()[1:] if ln.strip()]
+        assert children, f"SinglePartition exchange with no child:\n{plan}"
+        assert "Aggregate" in children[0], plan
 
 
 def test_exact_default_path_unchanged(spark, sf_dir, monkeypatch):
@@ -149,6 +150,31 @@ def test_bucket_score_null_semantics(spark):
     }
     assert out[1] == (4, 4)  # 10.0 above every boundary either way
     assert out[2] == (1, 4)  # NULL: first bucket ASC, last bucket DESC
+
+
+def test_bucket_score_null_boundaries(spark):
+    """An all-NULL axis makes percentile_approx return a NULL boundary
+    array; the score must fall back to bucket 1 (documented), never the
+    out-of-range 0/NULL that raw size(filter(NULL, ...)) produces."""
+    from pyspark.sql import functions as F
+
+    from cloud2sql_spark.ntile_scale import bucket_score
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None)], "id bigint, k double"
+    ).withColumn("b", F.lit(None).cast("array<double>"))
+    out = {
+        r["id"]: (r["asc_s"], r["desc_s"])
+        for r in df.select(
+            "id",
+            bucket_score(F.col("k"), F.col("b")).alias("asc_s"),
+            bucket_score(
+                F.col("k"), F.col("b"), n=4, nulls_last=True
+            ).alias("desc_s"),
+        ).collect()
+    }
+    assert out[1] == (1, 1)  # no boundaries -> everything in bucket 1
+    assert out[2] == (1, 4)  # NULL key still follows its null placement
 
 
 def test_bucket_score_nulls_last_requires_n():
