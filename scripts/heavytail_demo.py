@@ -1,0 +1,64 @@
+"""Reproduce the README's prefix-filter heavy-tail measurement.
+
+Synthesizes a corpus where every doc carries ~20 unique rare shingles
+plus 8 corpus-wide stop-shingles (the heavy-tail regime the driver
+corpus — max df 7 — does not exhibit), plants a near-dup pair per 100
+docs, then times `_exact_jaccard_pairs` under both plans:
+
+- default inverted-index self-join: candidate volume includes
+  8 · n_docs² rows from the stop-shingles alone;
+- SPARK_GRAFT_PREFIX_FILTER=1 AllPairs prefix filtering: stop-shingles
+  sort last in every doc's rare-first order and never enter the join.
+
+Both must return the same pair count (2 per planted pair block).
+Measured at 20k docs on local[32]: 71.9s inverted vs 3.5s prefix,
+identical 200 pairs.
+
+Usage: python scripts/heavytail_demo.py [n_docs=20000]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+
+    from cloud2sql_spark.session import get_spark
+    import cloud2sql_spark.queries.extensions as ext
+
+    spark = get_spark("heavytail-demo", cpus=32)
+    stops = [f"stop shingle {i}" for i in range(8)]
+    rows = []
+    for d in range(n):
+        rare = [f"rare {d} {j}" for j in range(20)]
+        if d % 100 == 1:  # planted near-dup with predecessor: J = 20/30
+            rare = [f"rare {d - 1} {j}" for j in range(18)] + [
+                f"rare {d} {j}" for j in (18, 19)
+            ]
+        rows.append((d, stops + rare))
+    sh = (
+        spark.createDataFrame(rows, "doc_id BIGINT, sg ARRAY<STRING>")
+        .repartition(64)
+        .persist()
+    )
+    sh.count()
+
+    results = {}
+    for flag, name in (("", "inverted"), ("1", "prefix")):
+        os.environ["SPARK_GRAFT_PREFIX_FILTER"] = flag
+        t0 = time.time()
+        pairs = ext._exact_jaccard_pairs(sh, 0.5).count()
+        dt = time.time() - t0
+        results[name] = (dt, pairs)
+        print(f"{name}: {dt:.2f}s  pairs={pairs}", flush=True)
+    assert results["inverted"][1] == results["prefix"][1], results
+
+
+if __name__ == "__main__":
+    main()
