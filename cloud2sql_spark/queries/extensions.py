@@ -1607,10 +1607,16 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cost of recall for dups whose keys sort far apart. Partitioning
     by source keeps the sort distributed (each partition sorts locally
     — the real multi-pass SNM shape); the neighbor probe is two lead()
-    calls on that one window, never a self-join. Verification joins
-    ride the shared shingle cache. Determinism: binary string order
-    with doc_id tie-break, exact integer set sizes, one mirrored
-    double division."""
+    calls on that one window, never a self-join — and lead() carries
+    the neighbor's SHINGLE ARRAY too, so verification happens in-place
+    on the window output with zero further joins or shuffles (the
+    earlier shape re-joined the shingle frame twice to fetch arrays;
+    the sort payload grows by |sg| bytes but two pair-frame shuffles
+    disappear). Docs with empty shingle sets ride the window as sort
+    neighbors but verify to Jaccard 0 (or NULL at 0/0), dropping the
+    same pairs the old inner joins dropped — output identical.
+    Determinism: binary string order with doc_id tie-break, exact
+    integer set sizes, one mirrored double division."""
     sh = _doc_shingles(spark, sf_dir).join(
         load_table(spark, sf_dir, "documents").select(
             "doc_id", "source", F.substring("text", 1, 32).alias("k")
@@ -1620,32 +1626,36 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     so = Window.partitionBy("source").orderBy("k", "doc_id")
     ordered = sh.select(
         "doc_id",
+        "sg",
         F.lead("doc_id", 1).over(so).alias("n1"),
+        F.lead("sg", 1).over(so).alias("sg1"),
         F.lead("doc_id", 2).over(so).alias("n2"),
+        F.lead("sg", 2).over(so).alias("sg2"),
     )
     pairs = (
-        ordered.select(F.col("doc_id").alias("x"), F.col("n1").alias("y"))
+        ordered.select(
+            "doc_id",
+            "sg",
+            F.col("n1").alias("y"),
+            F.col("sg1").alias("sgb"),
+        )
         .filter(F.col("y").isNotNull())
         .unionByName(
             ordered.select(
-                F.col("doc_id").alias("x"), F.col("n2").alias("y")
+                "doc_id",
+                "sg",
+                F.col("n2").alias("y"),
+                F.col("sg2").alias("sgb"),
             ).filter(F.col("y").isNotNull())
         )
     )
-    sgs = _doc_shingles(spark, sf_dir, nonempty=True)
-    a = sgs.select(F.col("doc_id").alias("x"), F.col("sg").alias("sga"))
-    b = sgs.select(F.col("doc_id").alias("y"), F.col("sg").alias("sgb"))
-    j = (
-        pairs.join(a, "x")
-        .join(b, "y")
-        .select(
-            F.least("x", "y").alias("doc_a"),
-            F.greatest("x", "y").alias("doc_b"),
-            (
-                F.size(F.array_intersect("sga", "sgb")) * F.lit(1.0)
-                / F.size(F.array_union("sga", "sgb"))
-            ).alias("jaccard"),
-        )
+    j = pairs.select(
+        F.least("doc_id", "y").alias("doc_a"),
+        F.greatest("doc_id", "y").alias("doc_b"),
+        (
+            F.size(F.array_intersect("sg", "sgb")) * F.lit(1.0)
+            / F.size(F.array_union("sg", "sgb"))
+        ).alias("jaccard"),
     )
     return j.filter(F.col("jaccard") >= 0.5).distinct()
 

@@ -84,12 +84,14 @@ _PRIORITY = [
     # approx-distinct profiling; exact default unchanged),
     # dedup_ngram_jaccard + dedup_minhash_banding_curve (opt-in AllPairs
     # prefix filter in the shared _exact_jaccard_pairs helper;
-    # inverted-index default unchanged). Slots 10-50 (rule 4): the first
-    # 41 of the 45 keys whose only green row is round 1 — five fixture
-    # generations old. The four displaced r01 keys (win_range_frame,
-    # win_rank_dense, win_row_number, win_moving_avg — kept listed below;
-    # the driver takes the first 50) plus the 49 r02-stale keys rotate in
-    # next round.
+    # inverted-index default unchanged), dedup_sorted_neighborhood
+    # (lead() now carries the neighbor's shingle array — verification
+    # happens on the window output, the two shingle-frame joins are
+    # gone). Slots 11-50 (rule 4): the first 40 of the 45 keys whose
+    # only green row is round 1 — five fixture generations old. The five
+    # displaced r01 keys (win_moving_avg through win_row_number — kept
+    # listed below; the driver takes the first 50) plus the 49 r02-stale
+    # keys rotate in next round.
     "agg_theil_index",
     "embed_knn_graph",
     "events_rfm_segments",
@@ -99,6 +101,7 @@ _PRIORITY = [
     "profile_table",
     "dedup_ngram_jaccard",
     "dedup_minhash_banding_curve",
+    "dedup_sorted_neighborhood",
     "agg_count_distinct",
     "agg_cube",
     "agg_global",
