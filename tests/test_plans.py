@@ -1039,12 +1039,22 @@ def test_banding_curve_config_broadcast_no_cartesian(spark, sf_dir):
 
 
 def test_snm_neighbor_probe_is_window_not_selfjoin(spark, sf_dir):
-    """dedup_sorted_neighborhood: candidates come from lead() windows —
-    the only joins are the two shingle lookups, no inequality join."""
+    """dedup_sorted_neighborhood: candidates come from lead() windows
+    that also carry the neighbor's shingle array, so verification is a
+    pure projection on the window output. The only equi-join left is
+    the blocking-key attach (shingles ⋈ documents), which the union of
+    the two lead branches duplicates — exactly 2 in the plan; the two
+    per-branch shingle-verify joins of the earlier shape (4 more) must
+    stay gone. No inequality join anywhere."""
     plan = _physical(_QUERIES["dedup_sorted_neighborhood"](spark, sf_dir))
     assert "Window" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    equi = sum(
+        plan.count(n)
+        for n in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert equi == 2, plan
 
 
 def test_silence_segments_doc_partitioned(spark, sf_dir):

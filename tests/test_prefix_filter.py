@@ -97,6 +97,31 @@ def test_boundary_pair_survives_prefix_filter(spark, monkeypatch):
         assert not any(p[:2] == (5, 6) for p in got)
 
 
+def test_prefix_plan_shape(spark, sf_dir, monkeypatch):
+    """Plan pins for both paths of the registered operator: the default
+    inverted-index plan has no per-doc rank window; the prefix plan
+    adds exactly the doc_id-partitioned row_number window plus the
+    candidate/verify joins — and neither path ever degenerates to a
+    cartesian or nested-loop join."""
+    from cloud2sql_spark.registry import queries
+
+    fn = queries()["dedup_ngram_jaccard"]
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    monkeypatch.delenv("SPARK_GRAFT_PREFIX_FILTER", raising=False)
+    default = plan(fn(spark, sf_dir))
+    assert "Window" not in default, default
+    monkeypatch.setenv("SPARK_GRAFT_PREFIX_FILTER", "1")
+    pref = plan(fn(spark, sf_dir))
+    assert "Window" in pref, pref
+    assert "row_number" in pref, pref
+    for p in (default, pref):
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+
+
 def test_low_threshold_full_prefix_equivalence(spark, monkeypatch):
     """At t = 0.1 the prefix length n − ⌈t·n⌉ + 1 equals n for every
     crafted doc — the prefix degenerates to the whole set and the two
