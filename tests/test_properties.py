@@ -856,3 +856,63 @@ def test_snm_and_silence_short_docs(spark, tmp_path):
     assert not any(1 in p for p in pairs)  # unshingleable doc never pairs
     # doc 1 too short to frame; doc 4 constant energy -> neither silent
     assert 1 not in sil_docs and 4 not in sil_docs
+
+
+# ------------------------------------------------- prefix-filter theorem
+
+def _prefix_candidates(docs: dict[int, frozenset[str]], t: float):
+    """The AllPairs pruning exactly as _exact_jaccard_pairs' prefix path
+    computes it (queries/extensions.py): global rare-first (df, g) order,
+    per-doc prefix of length n - ceil(t*n - 1e-9) + 1, candidate pairs =
+    prefix-token collisions passing min >= t*max - 1e-9."""
+    import math
+
+    df: dict[str, int] = {}
+    for sg in docs.values():
+        for g in sg:
+            df[g] = df.get(g, 0) + 1
+    prefixes = {}
+    for d, sg in docs.items():
+        n = len(sg)
+        plen = n - math.ceil(t * n - 1e-9) + 1
+        prefixes[d] = set(sorted(sg, key=lambda g: (df[g], g))[:plen])
+    cand = set()
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            na, nb = len(docs[a]), len(docs[b])
+            if min(na, nb) < t * max(na, nb) - 1e-9:
+                continue
+            if prefixes[a] & prefixes[b]:
+                cand.add((a, b))
+    return cand
+
+
+@given(
+    corpus=st.lists(
+        st.frozensets(
+            st.sampled_from([f"g{i}" for i in range(12)]), min_size=1, max_size=8
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    t=st.sampled_from([0.3, 0.5, 0.6, 2 / 3, 0.75, 0.8, 0.9]),
+)
+@settings(max_examples=500, deadline=None)
+def test_prefix_filter_candidates_are_complete(corpus, t):
+    """COMPLETENESS of the AllPairs pruning (the only property that can
+    silently break — precision is restored by the exact verify step):
+    every pair with true Jaccard >= t must survive both the length
+    filter and the prefix-collision test. A tiny shingle alphabet forces
+    heavy df ties and stop-shingle-like collisions; thresholds include
+    the binary-unrepresentable 0.8 and 2/3 cases the 1e-9 slack exists
+    for."""
+    docs = dict(enumerate(corpus))
+    cand = _prefix_candidates(docs, t)
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(docs[a] & docs[b])
+            union = len(docs[a] | docs[b])
+            if inter / union >= t:
+                assert (a, b) in cand, (docs[a], docs[b], t)
