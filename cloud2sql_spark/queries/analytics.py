@@ -800,7 +800,10 @@ _PAGERANK_EDGE_CACHE_MAX = 4
 
 # Wire into the one reset hook (extensions.clear_shingle_cache) so bench
 # trial resets and fixture-rewrite escapes clear this memo too.
-from cloud2sql_spark.queries.extensions import register_session_cache  # noqa: E402
+from cloud2sql_spark.queries.extensions import (  # noqa: E402
+    evict_lru,
+    register_session_cache,
+)
 
 register_session_cache(_PAGERANK_EDGE_CACHE)
 
@@ -818,12 +821,7 @@ def _pagerank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Eviction unpersists; a previously returned DataFrame still
     # referencing the evicted entry stays CORRECT but silently degrades
     # to recomputing the edge list per action (never an error).
-    while len(_PAGERANK_EDGE_CACHE) >= _PAGERANK_EDGE_CACHE_MAX:
-        old = _PAGERANK_EDGE_CACHE.pop(next(iter(_PAGERANK_EDGE_CACHE)))
-        try:
-            old.unpersist()
-        except Exception:
-            pass
+    evict_lru(_PAGERANK_EDGE_CACHE, _PAGERANK_EDGE_CACHE_MAX)
     li = load_table(spark, sf_dir, "lineitem")
     e0 = li.select("l_partkey", "l_suppkey").distinct()
     fwd = e0.select(
@@ -1213,12 +1211,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _TRIANGLE_EDGE_CACHE:
         _TRIANGLE_EDGE_CACHE[key] = _TRIANGLE_EDGE_CACHE.pop(key)
         return _TRIANGLE_EDGE_CACHE[key]
-    while len(_TRIANGLE_EDGE_CACHE) >= 4:
-        old = _TRIANGLE_EDGE_CACHE.pop(next(iter(_TRIANGLE_EDGE_CACHE)))
-        try:
-            old.unpersist()
-        except Exception:
-            pass
+    evict_lru(_TRIANGLE_EDGE_CACHE, 4)
     # Explicit cluster-width partitioning end to end: the orderkey hash
     # satisfies both the (orderkey, partkey) distinct and the self-join
     # (subset-of-clustering-keys rule), so the whole build runs at
@@ -1264,16 +1257,13 @@ def _oriented_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _TRIANGLE_EDGE_CACHE:
         _TRIANGLE_EDGE_CACHE[key] = _TRIANGLE_EDGE_CACHE.pop(key)
         return _TRIANGLE_EDGE_CACHE[key]
-    # same 4-frame LRU bound as the parent: a miss here can follow a
-    # parent-side HIT (no eviction ran), so evict before inserting or
-    # the persisted-frame bound silently grows past 4.
-    while len(_TRIANGLE_EDGE_CACHE) >= 4:
-        old = _TRIANGLE_EDGE_CACHE.pop(next(iter(_TRIANGLE_EDGE_CACHE)))
-        try:
-            old.unpersist()
-        except Exception:
-            pass
-    o = _degree_orient(_copurchase_edges(spark, sf_dir)).persist()
+    # same 4-frame LRU bound as the parent — but evict AFTER the parent
+    # call: _copurchase_edges may itself insert on a miss, and evicting
+    # first would let that nested insert push the cache to bound+1 (the
+    # parent, inserted last, is never the eviction victim here).
+    o = _degree_orient(_copurchase_edges(spark, sf_dir))
+    evict_lru(_TRIANGLE_EDGE_CACHE, 4)
+    o = o.persist()
     _TRIANGLE_EDGE_CACHE[key] = o
     return o
 

@@ -78,6 +78,24 @@ def register_session_cache(cache: dict) -> None:
     _EXTRA_SESSION_CACHES.append(cache)
 
 
+def evict_lru(cache: dict, bound: int) -> None:
+    """Pop + unpersist oldest entries until the cache is below ``bound``.
+
+    Insertion order doubles as LRU order because every cache HIT
+    re-inserts its key (pop + assign). One shared helper: this loop was
+    copy-pasted into six call sites across three modules, and one copy
+    landed with a subtly wrong placement (eviction before a nested
+    insert, letting the bound overrun) — divergence this extraction
+    prevents. Call immediately before inserting, AFTER any nested call
+    that may itself insert."""
+    while len(cache) >= bound:
+        old = cache.pop(next(iter(cache)))
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+
+
 def clear_shingle_cache() -> None:
     """Unpersist and drop every cached shared frame — shingles, quantized
     embeddings, and any registered module cache (test/ops hook; also the
@@ -115,12 +133,7 @@ def _doc_shingles(
     if key in _SHINGLE_CACHE:
         full = _SHINGLE_CACHE[key]
         return full.filter(F.size("sg") > 0) if nonempty else full
-    while len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
-        old = _SHINGLE_CACHE.pop(next(iter(_SHINGLE_CACHE)))
-        try:
-            old.unpersist()
-        except Exception:
-            pass
+    evict_lru(_SHINGLE_CACHE, _SHINGLE_CACHE_MAX)
     docs = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism * 2
     base = docs.select("doc_id", "text").repartition(par)
@@ -278,12 +291,7 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _QUANT_CACHE:
         return _QUANT_CACHE[key]
-    while len(_QUANT_CACHE) >= _SHINGLE_CACHE_MAX:
-        old = _QUANT_CACHE.pop(next(iter(_QUANT_CACHE)))
-        try:
-            old.unpersist()
-        except Exception:
-            pass
+    evict_lru(_QUANT_CACHE, _SHINGLE_CACHE_MAX)
     emb = load_table(spark, sf_dir, "embeddings")
     qv = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * 1000, 0).cast("long")
@@ -846,12 +854,7 @@ def _lsh_bucket_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         # not be the eviction victim while a caller still holds its frame
         _LSH_BUCKET_CACHE[key] = _LSH_BUCKET_CACHE.pop(key)
         return _LSH_BUCKET_CACHE[key]
-    while len(_LSH_BUCKET_CACHE) >= _SHINGLE_CACHE_MAX:
-        old = _LSH_BUCKET_CACHE.pop(next(iter(_LSH_BUCKET_CACHE)))
-        try:
-            old.unpersist()
-        except Exception:
-            pass
+    evict_lru(_LSH_BUCKET_CACHE, _SHINGLE_CACHE_MAX)
     n_tables, n_planes = 4, 8
     H = np.empty((n_tables, n_planes, 64), dtype=np.int64)
     for t in range(n_tables):

@@ -1020,15 +1020,21 @@ def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             if (
                 full == fix
                 or not old_f.startswith("orders_rg_")
-                or old_f.endswith((".tmp", ".superseded"))
+                or old_f.endswith(".superseded")
             ):
                 continue
-            marker = full + ".superseded"
             # stat/open/remove sit inside the try: a concurrent
             # session's reaper can remove files between listdir and
             # stat, and that race must stay harmless, not crash the
             # fixture build
             try:
+                if old_f.endswith(".tmp"):
+                    # crashed-build staging file: its mtime IS the crash
+                    # time (no marker needed), reap after the margin
+                    if now - os.path.getmtime(full) > _STALE_FIXTURE_SECONDS:
+                        os.remove(full)
+                    continue
+                marker = full + ".superseded"
                 if not os.path.exists(marker):
                     with open(marker, "w"):
                         pass
@@ -1050,6 +1056,15 @@ def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     os.remove(full)
             except OSError:
                 pass
+
+    # a restored source generation (tar -x / rsync -a preserve the
+    # mtime_ns+size identity) can make a previously-superseded fixture
+    # CURRENT again; its stale marker must go, or the next real
+    # supersession would reap the live fixture with no grace window
+    try:
+        os.remove(fix + ".superseded")
+    except OSError:
+        pass
 
     paths = spark.createDataFrame([(fix,)], "path STRING").repartition(
         spark.sparkContext.defaultParallelism

@@ -73,7 +73,7 @@ _loaded = False
 # CORRECTNESS_r*.json files (plus the free-slot budget for new
 # registrations); rebuild it with that each round.
 _PRIORITY = [
-    # Round 7 slot plan: 0 reds, 0 never-tested. Slots 1-9 (rule 2): keys
+    # Round 7 slot plan: 0 reds, 0 never-tested. Slots 1-10 (rule 2): keys
     # changed this round — agg_theil_index (nano-sum widened to
     # DECIMAL(38,0) both engines, ADVICE r06), embed_knn_graph (md5-rank
     # per-bucket candidate cap, mirrored in the oracle),
@@ -89,9 +89,10 @@ _PRIORITY = [
     # happens on the window output, the two shingle-frame joins are
     # gone). Slots 11-50 (rule 4): the first 40 of the 45 keys whose
     # only green row is round 1 — five fixture generations old. The five
-    # displaced r01 keys (win_moving_avg through win_row_number — kept
-    # listed below; the driver takes the first 50) plus the 49 r02-stale
-    # keys rotate in next round.
+    # displaced r01 keys (win_lag_lead, win_moving_avg, win_range_frame,
+    # win_rank_dense, win_row_number — kept listed below; the driver
+    # takes the first 50, ending at win_first_last) plus the 49
+    # r02-stale keys rotate in next round.
     "agg_theil_index",
     "embed_knn_graph",
     "events_rfm_segments",

@@ -10,9 +10,9 @@ docs, then times `_exact_jaccard_pairs` under both plans:
 - SPARK_GRAFT_PREFIX_FILTER=1 AllPairs prefix filtering: stop-shingles
   sort last in every doc's rare-first order and never enter the join.
 
-Both must return the same pair count (2 per planted pair block).
-Measured at 20k docs on local[32]: 71.9s inverted vs 3.5s prefix,
-identical 200 pairs.
+Both must return the same pair count (1 per planted pair block, i.e.
+n_docs/100). Measured at 20k docs on local[32]: 71.9s inverted vs 3.5s
+prefix, identical 200 pairs.
 
 Usage: python scripts/heavytail_demo.py [n_docs=20000]
 """
@@ -37,7 +37,8 @@ def main() -> None:
     rows = []
     for d in range(n):
         rare = [f"rare {d} {j}" for j in range(20)]
-        if d % 100 == 1:  # planted near-dup with predecessor: J = 20/30
+        if d % 100 == 1:  # planted near-dup with predecessor:
+            # shared = 8 stops + 18 rares = 26, union = 30, J = 26/30
             rare = [f"rare {d - 1} {j}" for j in range(18)] + [
                 f"rare {d} {j}" for j in (18, 19)
             ]
