@@ -916,3 +916,34 @@ def test_prefix_filter_candidates_are_complete(corpus, t):
             union = len(docs[a] | docs[b])
             if inter / union >= t:
                 assert (a, b) in cand, (docs[a], docs[b], t)
+
+
+# ---------------------------------------------------------- cache eviction
+
+def test_evict_lru_bound_order_and_unpersist():
+    """The shared LRU evictor: pops oldest-first (insertion order; hits
+    re-insert), stops strictly below the bound, unpersists every victim,
+    and swallows unpersist failures."""
+    from cloud2sql_spark.queries.extensions import evict_lru
+
+    class Frame:
+        def __init__(self, fail=False):
+            self.fail = fail
+            self.unpersisted = False
+
+        def unpersist(self):
+            if self.fail:
+                raise RuntimeError("already freed")
+            self.unpersisted = True
+
+    frames = {k: Frame(fail=(k == "a")) for k in ("a", "b", "c", "d")}
+    cache = dict(frames)
+    # a "hit" on b re-inserts it at the end -> eviction order a, c, d
+    cache["b"] = cache.pop("b")
+    evict_lru(cache, 3)  # len 4 >= 3: evict a, c -> len 2 < 3
+    assert list(cache) == ["d", "b"]
+    assert frames["c"].unpersisted  # victim freed
+    assert not frames["a"].unpersisted  # its failure was swallowed
+    assert not cache["d"].unpersisted and not cache["b"].unpersisted
+    evict_lru(cache, 5)  # already below bound: no-op
+    assert list(cache) == ["d", "b"]
