@@ -17,3 +17,45 @@ import os
 def flag_enabled(name: str) -> bool:
     """True when env var ``name`` is exactly "1" (unset/other = off)."""
     return os.environ.get(name, "") == "1"
+
+
+# ---------------------------------------------------------------------------
+# The flag matrix: every scale-switch flag -> the registry keys whose plan
+# it changes, plus the equivalence class of the switch.
+#
+#   "exact"     — flagged output is bit-identical to the default; the
+#                 standing gate (scripts/flag_matrix.py) re-runs the key's
+#                 DuckDB oracle with the flag ON and hash-compares, exactly
+#                 like the driver does for the default path.
+#   "tolerance" — flagged output is approximate by design; the gate runs a
+#                 key-specific checker that enforces the DOCUMENTED
+#                 tolerance (see each operator's docstring and the checker
+#                 in scripts/flag_matrix.py).
+#
+# This table is the single source of truth the per-round gate iterates —
+# tests/test_flags.py fails if a flag consulted anywhere in the package is
+# missing here (or vice versa), so a new switch cannot land ungated
+# (VERDICT r07 item 1).
+FLAG_MATRIX: dict[str, dict] = {
+    "SPARK_GRAFT_PREFIX_FILTER": {
+        "check": "exact",
+        "keys": [
+            "dedup_ngram_jaccard",
+            "dedup_minhash_banding_curve",
+            "dedup_containment",
+            "dedup_quality_report",
+        ],
+    },
+    "SPARK_GRAFT_DEGREE_ORIENT": {
+        "check": "exact",
+        "keys": ["graph_triangle_count"],
+    },
+    "SPARK_GRAFT_APPROX_NTILE": {
+        "check": "tolerance",
+        "keys": ["events_rfm_segments", "sample_curriculum"],
+    },
+    "SPARK_GRAFT_APPROX_PROFILE": {
+        "check": "tolerance",
+        "keys": ["profile_table"],
+    },
+}

@@ -78,6 +78,20 @@ def register_session_cache(cache: dict) -> None:
     _EXTRA_SESSION_CACHES.append(cache)
 
 
+# Per-call intermediate persists (an op's tok/prefix/posting frames) are
+# not memoized — a repeat invocation rebuilds them — but the storage they
+# pin would otherwise live until Spark's own eviction. Tracking them here
+# lets clear_shingle_cache (the bench/test reset hook) release them along
+# with the session caches (ADVICE r07).
+_EPHEMERAL_PERSISTS: list = []
+
+
+def _track(df: DataFrame) -> DataFrame:
+    """Register a per-call persisted frame for release by the reset hook."""
+    _EPHEMERAL_PERSISTS.append(df)
+    return df
+
+
 def evict_lru(cache: dict, bound: int) -> None:
     """Pop + unpersist oldest entries until the cache is below ``bound``.
 
@@ -108,6 +122,12 @@ def clear_shingle_cache() -> None:
             except Exception:
                 pass
         cache.clear()
+    for df in _EPHEMERAL_PERSISTS:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _EPHEMERAL_PERSISTS.clear()
 
 
 def _doc_shingles(
@@ -191,7 +211,7 @@ def _exact_jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
     # g IS NOT NULL post-filter restores identical rows.
     # persist: both consumers (self-join sides / df-count + prefix rank)
     # read the exploded index twice.
-    tok = (
+    tok = _track(
         sized.select("doc_id", "n", F.explode_outer("sg").alias("g"))
         .filter(F.col("g").isNotNull())
         .persist()
@@ -235,7 +255,7 @@ def _exact_jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
     df_g = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "g")
     plen = F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
-    prefix = (
+    prefix = _track(
         tok.join(df_g, "g")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= plen)
@@ -431,9 +451,9 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    buckets = sig.select(
-        "doc_id", F.posexplode(band_sigs).alias("band", "sig")
-    ).persist()
+    buckets = _track(
+        sig.select("doc_id", F.posexplode(band_sigs).alias("band", "sig")).persist()
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -555,7 +575,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the banded candidate join reads this 16-byte/doc frame from
     # both sides; without it the shingle+md5 map runs twice (no exchange
     # reuse across join branches)
-    sig = shingled.mapInPandas(simhash_sig, "doc_id BIGINT, s BIGINT").persist()
+    sig = _track(
+        shingled.mapInPandas(simhash_sig, "doc_id BIGINT, s BIGINT").persist()
+    )
 
     # Banded candidate generation (Manku/Das Sarma-style): cut the 64 bits
     # into 11 bands (ceil(64/11)=6-bit chunks). Any pair at hamming <= 10
@@ -642,9 +664,11 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "block", (F.col("vec_id") % n_blocks).cast("int")
     )
     # persist: the B-row packed frame feeds both sides of the block-pair join
-    blocks = q.groupBy("block").agg(
-        F.collect_list(F.struct("vec_id", "v")).alias("vecs")
-    ).persist()
+    blocks = _track(
+        q.groupBy("block")
+        .agg(F.collect_list(F.struct("vec_id", "v")).alias("vecs"))
+        .persist()
+    )
     a, b = blocks.alias("a"), blocks.alias("b")
     bp = a.join(b, F.col("a.block") <= F.col("b.block")).select(
         F.col("a.block").alias("block_a"),
@@ -993,7 +1017,7 @@ def _capped_sr_meta(spark: SparkSession, sf_dir: str, df_cap: int = 10) -> DataF
         shingled.select("doc_id", F.explode_outer("sg").alias("g"))
         .filter(F.col("g").isNotNull())
     )
-    byg_all = (
+    byg_all = _track(
         tok.groupBy("g")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .persist()
@@ -1038,6 +1062,73 @@ def _capped_sr_meta(spark: SparkSession, sf_dir: str, df_cap: int = 10) -> DataF
         F.col("nr").alias("rb"),
     )
     return sr.join(F.broadcast(ma), "doc_a").join(F.broadcast(mb), "doc_b")
+
+
+def _containment_prefix_candidates(
+    spark: SparkSession, sf_dir: str, threshold: float, df_cap: int = 10
+) -> DataFrame:
+    """Prefix-filtered candidate pairs for df-capped CONTAINMENT
+    (``SPARK_GRAFT_PREFIX_FILTER=1`` path of dedup_containment).
+
+    Output-equivalent to _capped_sr_meta's candidate generation for any
+    pair that can reach the final output (shares >= 1 rare shingle AND
+    C >= threshold), while (a) never materializing a posting array for
+    ANY shingle — document frequency comes from a plain groupBy count,
+    so a df=10^9 stop-shingle costs one counter, not one 8 GB
+    collect_list row — and (b) joining only a rare-first PREFIX of the
+    smaller doc against the rare inverted index, so join volume is
+    Σ_g prefix_df(g)·df(g) <= df_cap · |prefix tokens| — linear.
+
+    Containment has no size-ratio filter (a tiny doc inside a huge one
+    has C = 1.0), so the Jaccard path's symmetric prefix join does not
+    apply; the correct adaptation is ASYMMETRIC — prefix side = the
+    smaller doc of the pair (n, doc_id lexicographic tie-break), probe
+    side = the full rare index. Pigeonhole proof: let A be the smaller
+    doc (m = nA). An output pair has inter >= ⌈t·nA⌉ and, from the
+    capped candidate semantics, sr >= 1 shared RARE shingles; shared
+    stop-shingles number at most nA − rA, so
+    sr >= s_min = max(1, ⌈t·nA⌉ − (nA − rA)). Order A's rA rare
+    shingles by the global rare-first order (df, g): if no shared rare
+    shingle sat within the first rA − s_min + 1 positions, all s_min of
+    them would fit in the last s_min − 1 — contradiction. And
+    rA − s_min + 1 = min(rA, nA − ⌈t·nA⌉ + 1), i.e. the standard
+    AllPairs prefix length applied to the rare-ordered list. The 1e-9
+    ceil slack only ever lengthens the prefix (float noise in t·n must
+    never prune a boundary pair); candidates are verified exactly on
+    full shingle arrays afterwards, so equality with the default path
+    is structural (property-tested in tests/test_prefix_filter.py on
+    the real corpus and a crafted heavy-tail one)."""
+    shingled = _doc_shingles(spark, sf_dir, nonempty=True)
+    sized = shingled.withColumn("n", F.size("sg"))
+    tok = _track(
+        sized.select("doc_id", "n", F.explode_outer("sg").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .persist()
+    )
+    df_g = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # rare inverted index: tokens of df<=cap shingles only; persisted
+    # because it feeds both the prefix build and the probe side
+    rare = _track(tok.join(df_g.filter(F.col("df") <= df_cap), "g").persist())
+    w = Window.partitionBy("doc_id").orderBy("df", "g")
+    plen = (
+        F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
+    )
+    pref = rare.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= plen
+    )
+    a, b = pref.alias("a"), rare.alias("b")
+    a_is_smaller = (F.col("a.n") < F.col("b.n")) | (
+        (F.col("a.n") == F.col("b.n"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & a_is_smaller)
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
 
 
 def _verify_pairs(
@@ -1346,14 +1437,25 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact pruning bound inter <= sr + min(na-ra, nb-rb) (derivation
     in dedup_ngram_capped) filters candidates before the array fetch,
     with the denominator swapped to min(na, nb). The oracle replicates
-    the same cap, keeping the op deterministic and hash-checkable."""
+    the same cap, keeping the op deterministic and hash-checkable.
+
+    ``SPARK_GRAFT_PREFIX_FILTER=1`` swaps candidate generation for the
+    asymmetric prefix-filtered form (_containment_prefix_candidates):
+    bit-identical output, no posting arrays anywhere, join volume
+    linear in the rare-token count — the plan that survives a
+    heavy-tail shingle distribution at 100 TB."""
     thr = 0.8
-    sr_meta = _capped_sr_meta(spark, sf_dir)
-    upper = F.col("sr") + F.least(
-        F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")
-    )
-    c_upper = upper * 1.0 / F.least("na", "nb")
-    verified = _verify_pairs(spark, sf_dir, sr_meta.filter(c_upper >= thr))
+    if flag_enabled("SPARK_GRAFT_PREFIX_FILTER"):
+        verified = _verify_pairs(
+            spark, sf_dir, _containment_prefix_candidates(spark, sf_dir, thr)
+        )
+    else:
+        sr_meta = _capped_sr_meta(spark, sf_dir)
+        upper = F.col("sr") + F.least(
+            F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")
+        )
+        c_upper = upper * 1.0 / F.least("na", "nb")
+        verified = _verify_pairs(spark, sf_dir, sr_meta.filter(c_upper >= thr))
     c = (
         F.size(F.array_intersect("sg_a", "sg_b"))
         * 1.0

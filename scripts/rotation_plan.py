@@ -30,6 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SLOTS = 50
+# How many queued keys the carryover comment previews (the queue itself is
+# the full overflow list, stalest-first — see the printed header).
+CARRYOVER_PREVIEW = 10
 
 
 def latest_rows() -> dict[str, tuple[int, bool]]:
@@ -104,9 +107,12 @@ def main() -> None:
         print(f'    "{k}",')
     print("]")
     if overflow:
-        nxt = overflow[:10]
-        print(f"\n# next-round carryover (first {len(nxt)} of "
-              f"{len(overflow)} remaining, stalest-first):")
+        # PREVIEW only (ADVICE r07): the real next-round queue is ALL of
+        # `overflow`, stalest-first; this just shows its head so the
+        # printed plan stays short.
+        nxt = overflow[:CARRYOVER_PREVIEW]
+        print(f"\n# next-round carryover preview (first {len(nxt)} of "
+              f"{len(overflow)} queued keys, stalest-first):")
         for k in nxt:
             print(f"#   {k} (r{rows[k][0]:02d})")
 

@@ -1043,9 +1043,12 @@ def test_snm_neighbor_probe_is_window_not_selfjoin(spark, sf_dir):
     that also carry the neighbor's shingle array, so verification is a
     pure projection on the window output. The only equi-join left is
     the blocking-key attach (shingles ⋈ documents), which the union of
-    the two lead branches duplicates — exactly 2 in the plan; the two
+    the two lead branches duplicates — 2 in the plan today; the two
     per-branch shingle-verify joins of the earlier shape (4 more) must
-    stay gone. No inequality join anywhere."""
+    stay gone, so the guard is <= 2 rather than == 2 (ADVICE r07: AQE
+    exchange reuse or a Spark-version join-selection change may merge
+    the duplicated attach without any behavior change). No inequality
+    join anywhere."""
     plan = _physical(_QUERIES["dedup_sorted_neighborhood"](spark, sf_dir))
     assert "Window" in plan, plan
     assert "CartesianProduct" not in plan, plan
@@ -1054,7 +1057,7 @@ def test_snm_neighbor_probe_is_window_not_selfjoin(spark, sf_dir):
         plan.count(n)
         for n in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
     )
-    assert equi == 2, plan
+    assert equi <= 2, plan
 
 
 def test_silence_segments_doc_partitioned(spark, sf_dir):

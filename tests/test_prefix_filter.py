@@ -136,3 +136,119 @@ def test_low_threshold_full_prefix_equivalence(spark, monkeypatch):
     pref = _rows(_exact_jaccard_pairs(sh, 0.1))
     assert pref == base
     assert any(p[:2] == (5, 6) for p in base)  # found via stop-shingle
+
+
+# ---------------------------------------------------------- containment
+
+def _containment_rows(spark, sf_dir):
+    from cloud2sql_spark.registry import queries
+
+    return sorted(
+        (r.doc_a, r.doc_b, round(r.containment, 9))
+        for r in queries()["dedup_containment"](spark, sf_dir).collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def containment_corpus(tmp_path_factory):
+    """Heavy-tail corpus for the containment prefix path: a stop
+    shingle (df 30+, above the cap) shared by filler docs, a fully
+    CONTAINED doc (C = 1.0 against a 5x larger container — the
+    asymmetric case Jaccard prefix filtering cannot express), a pair
+    sitting EXACTLY at C = 0.8 on the smaller side (n=5, inter=4 — the
+    ⌈t·n⌉ float-slack hazard), and an equal-size pair at C = 0.8 (the
+    n-tie doc_id tie-break branch of the asymmetric join)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = {
+        # container: 50 unique words -> 48 unique trigrams
+        1: " ".join(f"w{i}" for i in range(50)),
+        # contained: its first 10 words -> 8 trigrams, all in doc 1
+        2: " ".join(f"w{i}" for i in range(10)),
+        # boundary pair: doc 3 has 5 trigrams; doc 4 shares 4 of them
+        # (bridging trigrams past p6 are doc-4-only) -> C(3,4) = 0.8
+        3: "p1 p2 p3 p4 p5 p6 p7",
+        4: "p1 p2 p3 p4 p5 p6 x1 x2 x3 x4",
+        # equal-size pair: both 7 words / 5 trigrams, sharing 4 -> 0.8
+        5: "q1 q2 q3 q4 q5 q6 q7",
+        6: "q1 q2 q3 q4 q5 q6 r1",
+    }
+    # stop-shingle fillers: every one carries 'aa bb cc' (df = 30,
+    # above the rare cap) plus unique words; pairwise they share ONLY
+    # stop/bridge shingles
+    for i in range(30):
+        texts[100 + i] = f"aa bb cc f{i}a f{i}b f{i}c"
+    d = str(tmp_path_factory.mktemp("containment_corpus"))
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids]),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(["crafted"] * len(ids)),
+                "n_chars": pa.array(
+                    [len(texts[i]) for i in ids], pa.int64()
+                ),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    return d
+
+
+def test_containment_prefix_matches_default_on_real_corpus(
+    spark, sf_dir, monkeypatch
+):
+    monkeypatch.delenv("SPARK_GRAFT_PREFIX_FILTER", raising=False)
+    base = _containment_rows(spark, sf_dir)
+    monkeypatch.setenv("SPARK_GRAFT_PREFIX_FILTER", "1")
+    pref = _containment_rows(spark, sf_dir)
+    assert pref == base
+    assert len(base) > 0  # planted near-dups contain each other
+
+
+def test_containment_prefix_matches_default_on_heavy_tail(
+    spark, containment_corpus, monkeypatch
+):
+    monkeypatch.delenv("SPARK_GRAFT_PREFIX_FILTER", raising=False)
+    base = _containment_rows(spark, containment_corpus)
+    monkeypatch.setenv("SPARK_GRAFT_PREFIX_FILTER", "1")
+    pref = _containment_rows(spark, containment_corpus)
+    assert pref == base
+    got = {p[:2] for p in base}
+    # the contained doc, the exact-boundary pair, and the size-tie pair
+    # are all found; stop-shingle-only filler pairs are not
+    assert (1, 2) in got
+    assert (3, 4) in got and any(
+        p[:2] == (3, 4) and p[2] == 0.8 for p in base
+    )
+    assert (5, 6) in got
+    assert not any(a >= 100 and b >= 100 for a, b in got)
+
+
+def test_containment_prefix_plan_has_no_posting_arrays(
+    spark, sf_dir, monkeypatch
+):
+    """The flagged plan must really retire the posting-list build: no
+    collect_list aggregate anywhere (df comes from a plain count), a
+    per-doc rank window appears, and neither path degenerates to a
+    cartesian/nested-loop join."""
+    from cloud2sql_spark.registry import queries
+
+    fn = queries()["dedup_containment"]
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    monkeypatch.delenv("SPARK_GRAFT_PREFIX_FILTER", raising=False)
+    default = plan(fn(spark, sf_dir))
+    assert "collect_list" in default, default
+    monkeypatch.setenv("SPARK_GRAFT_PREFIX_FILTER", "1")
+    pref = plan(fn(spark, sf_dir))
+    assert "collect_list" not in pref, pref
+    assert "row_number" in pref, pref
+    for p in (default, pref):
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
