@@ -367,6 +367,24 @@ def main() -> None:
                 f.write("\n")
             with open(os.path.join(repo, "bench_history.jsonl"), "a") as f:
                 f.write(json.dumps(record, sort_keys=True) + "\n")
+            # Frozen per-round snapshot (VERDICT r07 item 4): _latest is
+            # overwritten by every run, so the round boundary recording
+            # lives in bench_full_r{N}.json too. N = the round currently
+            # being built = one past the newest recorded BENCH_r*.json
+            # (the driver writes that file AFTER the round's bench run).
+            import re
+
+            rounds = [
+                int(m.group(1))
+                for fn in os.listdir(repo)
+                if (m := re.fullmatch(r"BENCH_r(\d+)\.json", fn))
+            ]
+            rnd = (max(rounds) if rounds else 0) + 1
+            with open(
+                os.path.join(repo, f"bench_full_r{rnd:02d}.json"), "w"
+            ) as f:
+                json.dump(record, f, indent=1, sort_keys=True)
+                f.write("\n")
         except OSError:
             pass  # read-only checkout: stdout JSON is still authoritative
     spark.stop()

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,64 +26,16 @@ from cloud2sql_spark.catalog import SCHEMAS, load_table
 from cloud2sql_spark.etl.sinks import write_parquet_snapshot
 from cloud2sql_spark.registry import register
 
-_TMP_ROOT = os.path.join(tempfile.gettempdir(), "cloud2sql_spark")
-
-
-def _tmp(name: str) -> str:
-    path = os.path.join(_TMP_ROOT, name)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    return path
-
-
-# Leftover per-applicationId fixture dirs older than this are swept the
-# next time any session builds a fixture for the same operator. Margin is
-# deliberately ABOVE the longest observed session (~6h driver round): a
-# still-running session can hold a lazy DataFrame over a fixture it built
-# hours ago, and reads do not bump any mtime, so a tight margin would let a
-# concurrent session delete the directory out from under an in-flight scan
-# (ADVICE r05).
-_STALE_FIXTURE_SECONDS = 8 * 3600
-
-
-def _fixture_age(path: str, now: float) -> float:
-    """Age of a fixture dir = now minus the NEWEST mtime among the dir and
-    its direct children. Directory mtime alone only reflects entry
-    create/delete; a rebuild that rewrites files in place would look stale
-    by dir mtime while its contents are fresh."""
-    newest = os.path.getmtime(path)
-    try:
-        for f in os.listdir(path):
-            newest = max(newest, os.path.getmtime(os.path.join(path, f)))
-    except OSError:
-        pass
-    return now - newest
-
-
-def _app_fixture_dir(op: str, leaf: str) -> str:
-    """Per-(sf, applicationId) fixture dir under _TMP_ROOT/<op>/.
-
-    The appId in `leaf` prevents concurrent sessions clobbering each
-    other's fixtures mid-read; without a sweep, though, every PAST
-    application leaks a full table copy in /tmp. Age-gated cleanup
-    (newest content mtime older than 8h) removes those leftovers while
-    staying safe for any session that could actually still be running."""
-    import time
-
-    parent = os.path.join(_TMP_ROOT, op)
-    os.makedirs(parent, exist_ok=True)
-    now = time.time()
-    for d in os.listdir(parent):
-        if d == leaf:
-            continue
-        p = os.path.join(parent, d)
-        try:
-            if _fixture_age(p, now) > _STALE_FIXTURE_SECONDS:
-                shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            pass
-    path = os.path.join(parent, leaf)
-    shutil.rmtree(path, ignore_errors=True)
-    return path
+# The fixture lifecycle (create → mark → age-gate → reap) lives in ONE
+# module — cloud2sql_spark.fixtures (VERDICT r07 item 7). The aliases
+# keep this family's call sites and the lifecycle tests' imports stable.
+from cloud2sql_spark.fixtures import (  # noqa: E402
+    STALE_FIXTURE_SECONDS as _STALE_FIXTURE_SECONDS,
+    TMP_ROOT as _TMP_ROOT,
+    app_fixture_dir as _app_fixture_dir,
+    publish_keyed_fixture as _publish_keyed_fixture,
+    tmp_path as _tmp,
+)
 
 
 @register("scan_parquet", oracle="SELECT * FROM customer")
@@ -993,78 +944,17 @@ def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # concurrent sessions never interleave writes (the build is
     # deterministic; last rename wins harmlessly).
     st = os.stat(src)
-    fix = os.path.join(
-        fix_dir, f"orders_rg_{st.st_mtime_ns}_{st.st_size}.parquet"
-    )
-    if not os.path.exists(fix):
-        os.makedirs(fix_dir, exist_ok=True)
-        t = pq.read_table(src, columns=["o_orderkey"])
-        t = t.sort_by("o_orderkey")
-        tmp_name = f"{fix}.{os.getpid()}.tmp"
-        pq.write_table(t, tmp_name, row_group_size=4096)
-        os.replace(tmp_name, fix)
-        # drop fixtures built from superseded source generations — but
-        # age-gate on time-since-SUPERSESSION, not time-since-creation:
-        # a still-running previous-round session may hold a lazy
-        # DataFrame over the old file (reads never bump mtime), and an
-        # old-but-live fixture deleted the instant a new generation
-        # lands would fail that session's read. The fixture's own mtime
-        # cannot carry the supersession time (it records creation), so
-        # the first build that finds an old fixture writes a sidecar
-        # `.superseded` marker — starting the clock — and only a build
-        # that finds a marker older than _STALE_FIXTURE_SECONDS reaps
-        # the pair.
-        now = time.time()
-        for old_f in os.listdir(fix_dir):
-            full = os.path.join(fix_dir, old_f)
-            if (
-                full == fix
-                or not old_f.startswith("orders_rg_")
-                or old_f.endswith(".superseded")
-            ):
-                continue
-            # stat/open/remove sit inside the try: a concurrent
-            # session's reaper can remove files between listdir and
-            # stat, and that race must stay harmless, not crash the
-            # fixture build
-            try:
-                if old_f.endswith(".tmp"):
-                    # crashed-build staging file: its mtime IS the crash
-                    # time (no marker needed), reap after the margin
-                    if now - os.path.getmtime(full) > _STALE_FIXTURE_SECONDS:
-                        os.remove(full)
-                    continue
-                marker = full + ".superseded"
-                if not os.path.exists(marker):
-                    with open(marker, "w"):
-                        pass
-                elif (
-                    now - os.path.getmtime(marker) > _STALE_FIXTURE_SECONDS
-                ):
-                    os.remove(full)
-                    os.remove(marker)
-            except OSError:
-                pass
-        # orphaned markers (fixture already reaped, marker removal
-        # raced): sweep any marker whose fixture is gone
-        for old_f in os.listdir(fix_dir):
-            if not old_f.endswith(".superseded"):
-                continue
-            full = os.path.join(fix_dir, old_f)
-            try:
-                if not os.path.exists(full[: -len(".superseded")]):
-                    os.remove(full)
-            except OSError:
-                pass
 
-    # a restored source generation (tar -x / rsync -a preserve the
-    # mtime_ns+size identity) can make a previously-superseded fixture
-    # CURRENT again; its stale marker must go, or the next real
-    # supersession would reap the live fixture with no grace window
-    try:
-        os.remove(fix + ".superseded")
-    except OSError:
-        pass
+    def _build(tmp_name: str) -> None:
+        t = pq.read_table(src, columns=["o_orderkey"]).sort_by("o_orderkey")
+        pq.write_table(t, tmp_name, row_group_size=4096)
+
+    fix = _publish_keyed_fixture(
+        fix_dir,
+        "orders_rg_",
+        f"orders_rg_{st.st_mtime_ns}_{st.st_size}.parquet",
+        _build,
+    )
 
     paths = spark.createDataFrame([(fix,)], "path STRING").repartition(
         spark.sparkContext.defaultParallelism

@@ -73,81 +73,69 @@ _loaded = False
 # CORRECTNESS_r*.json files (plus the free-slot budget for new
 # registrations); rebuild it with that each round.
 _PRIORITY = [
-    # Round 7 slot plan: 0 reds, 0 never-tested. Slots 1-10 (rule 2): keys
-    # changed this round — agg_theil_index (nano-sum widened to
-    # DECIMAL(38,0) both engines, ADVICE r06), embed_knn_graph (md5-rank
-    # per-bucket candidate cap, mirrored in the oracle),
-    # events_rfm_segments + sample_curriculum (approx-ntile scale branch;
-    # exact default unchanged), scan_rowgroup_stats (age-gated fixture
-    # reaping, ADVICE r06), graph_triangle_count (opt-in degree
-    # orientation; id-oriented default unchanged), profile_table (opt-in
-    # approx-distinct profiling; exact default unchanged),
-    # dedup_ngram_jaccard + dedup_minhash_banding_curve (opt-in AllPairs
-    # prefix filter in the shared _exact_jaccard_pairs helper;
-    # inverted-index default unchanged), dedup_sorted_neighborhood
-    # (lead() now carries the neighbor's shingle array — verification
-    # happens on the window output, the two shingle-frame joins are
-    # gone). Slots 11-50 (rule 4): the first 40 of the 45 keys whose
-    # only green row is round 1 — five fixture generations old. The five
-    # displaced r01 keys (win_lag_lead, win_moving_avg, win_range_frame,
-    # win_rank_dense, win_row_number — kept listed below; the driver
-    # takes the first 50, ending at win_first_last) plus the 49
-    # r02-stale keys rotate in next round.
-    "agg_theil_index",
-    "embed_knn_graph",
-    "events_rfm_segments",
-    "sample_curriculum",
+    # Round 8 slot plan (computed by `python scripts/rotation_plan.py
+    # dedup_containment scan_rowgroup_stats`): 0 reds, 0 never-tested.
+    # Slots 1-2 (rule 2): keys whose implementation changed this round —
+    # dedup_containment (opt-in asymmetric prefix-filter candidate path;
+    # capped default unchanged) and scan_rowgroup_stats (fixture
+    # lifecycle moved to the shared cloud2sql_spark/fixtures.py module).
+    # The _track() persist-bookkeeping wraps in extensions.py are not
+    # plan changes (same frames, same persists — only release tracking)
+    # and do not consume rule-2 slots. Slots 3-7 (rule 4): the five
+    # displaced r01 win_* keys; slots 8-50: the first 43 of the 48
+    # r02-stale keys. The remaining five r02 keys (udf_grouped_map,
+    # udf_pandas_scalar, udf_python, udtf_python, udtf_python_native)
+    # queue first next round.
+    "dedup_containment",
     "scan_rowgroup_stats",
-    "graph_triangle_count",
-    "profile_table",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_banding_curve",
-    "dedup_sorted_neighborhood",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_global",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_rollup",
-    "agg_stats",
-    "filter_boolean",
-    "filter_comparison",
-    "filter_in_between_like",
-    "filter_null",
-    "join_anti",
-    "join_asof",
-    "join_broadcast_dim",
-    "join_cross",
-    "join_full",
-    "join_inner_equi",
-    "join_left",
-    "join_right",
-    "join_self_edges",
-    "join_semi",
-    "join_skew_salted",
-    "join_theta_range",
-    "limit_topk",
-    "project_computed",
-    "project_nested_path",
-    "project_select",
-    "scan_csv_roundtrip",
-    "scan_jdbc",
-    "scan_json_props",
-    "scan_parquet",
-    "scan_parquet_pruned",
-    "set_union_all",
-    "set_union_distinct",
-    "sink_bucketed_join",
-    "sink_jdbc",
-    "sink_parquet_snapshot",
-    "sort_multikey",
-    "topk_per_group",
-    "win_first_last",
     "win_lag_lead",
     "win_moving_avg",
     "win_range_frame",
     "win_rank_dense",
     "win_row_number",
+    "agg_approx_distinct",
+    "agg_collect",
+    "dedup_cluster_cc",
+    "dedup_embed_cosine",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "dedup_ngram_capped",
+    "dedup_simhash",
+    "fn_array",
+    "fn_cond",
+    "fn_date",
+    "fn_json",
+    "fn_map",
+    "fn_math",
+    "fn_string",
+    "multimodal_cols",
+    "multimodal_decode",
+    "multimodal_frames",
+    "pack_sequences",
+    "sample_stratified",
+    "set_except",
+    "set_intersect",
+    "sim_search_ivf",
+    "sim_search_lsh",
+    "sim_search_topk",
+    "stream_dedup",
+    "stream_foreach_jdbc",
+    "stream_session",
+    "stream_sliding",
+    "stream_stateful_custom",
+    "stream_stream_interval_join",
+    "stream_stream_static_join",
+    "stream_tumbling",
+    "stream_watermark_late",
+    "text_contamination",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_pii_redact",
+    "text_quality",
+    "text_stats",
+    "text_token_count",
+    "text_tokenize_tfidf",
+    "udaf_pandas_grouped_agg",
 ]
 
 
