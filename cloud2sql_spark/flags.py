@@ -44,6 +44,8 @@ FLAG_MATRIX: dict[str, dict] = {
             "dedup_minhash_banding_curve",
             "dedup_containment",
             "dedup_quality_report",
+            "dedup_ngram_capped",
+            "dedup_cluster_cc",
         ],
     },
     "SPARK_GRAFT_DEGREE_ORIENT": {

@@ -1005,47 +1005,89 @@ def _capped_sr_meta(spark: SparkSession, sf_dir: str, df_cap: int = 10) -> DataF
     See dedup_ngram_capped's docstring for the derivation and measured
     effect (436k -> ~350 verify pairs at sf0.1).
 
-    ONE keyed shuffle does df-count + posting-list build + pair
-    generation: groupBy(g) collects the doc list per shingle, then the
-    i<j pairs are emitted combinatorially map-side for rare shingles.
-    The posting-list frame is persisted because it is read twice: once
-    for pair generation, once for the per-doc rare counts (df=1 shingles
-    count as rare there — they cannot be shared, which is exactly what
-    tightens the bound)."""
+    Default plan — ONE keyed shuffle does df-count + posting-list build
+    + pair generation: groupBy(g) collects the doc list per shingle,
+    then the i<j pairs are emitted combinatorially map-side for rare
+    shingles. The posting-list frame is persisted because it is read
+    twice: once for pair generation, once for the per-doc rare counts
+    (df=1 shingles count as rare there — they cannot be shared, which
+    is exactly what tightens the bound). The hazard at 100 TB is the
+    collect_list itself: a df=10^9 stop-shingle materializes ONE
+    gigantic posting array in a single aggregate row before the size
+    filter can drop it.
+
+    ``SPARK_GRAFT_PREFIX_FILTER=1`` retires that hazard for this
+    frame's consumers (dedup_ngram_capped, dedup_cluster_cc;
+    dedup_containment switches to _containment_prefix_candidates
+    instead): document frequency comes from a
+    plain groupBy COUNT (partial-aggregable, constant row width), rare
+    tokens are the df<=cap join, and sr is the rare-token equi
+    self-join's pair count — the identical sr_meta frame, no posting
+    array anywhere, join volume Σ_rare df² <= df_cap · |rare tokens|.
+    On THIS corpus (max df 7) the default is faster — the flagged form
+    shuffles the token set twice — so the flag stays off by default;
+    equivalence is property-tested in tests/test_prefix_filter.py."""
     shingled = _doc_shingles(spark, sf_dir, nonempty=True)
     tok = (
         shingled.select("doc_id", F.explode_outer("sg").alias("g"))
         .filter(F.col("g").isNotNull())
     )
-    byg_all = _track(
-        tok.groupBy("g")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .persist()
-    )
-    rare = byg_all.filter(F.size("ds") <= df_cap)
-    nrare = (
-        rare.select(F.explode("ds").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("nr"))
-    )
-    byg = rare.filter(F.size("ds") >= 2)
-    pairs_expr = F.expr(
-        """
-        flatten(transform(ds, (x, i) ->
-            transform(slice(ds, i + 2, size(ds)),
-                      y -> struct(x AS doc_a, y AS doc_b))))
-        """
-    )
-    # explode_outer + null filter: see _exact_jaccard_pairs (a plain
-    # explode's inferred filter would re-run the pair transform). The
-    # groupBy replaces a distinct — same shuffle volume, but the count it
-    # produces is the sr term of the pruning bound for free.
-    sr = (
-        byg.select(F.explode_outer(pairs_expr).alias("p"))
-        .filter(F.col("p").isNotNull())
-        .groupBy("p.doc_a", "p.doc_b")
-        .agg(F.count(F.lit(1)).alias("sr"))
-    )
+    if flag_enabled("SPARK_GRAFT_PREFIX_FILTER"):
+        tok = _track(tok.persist())
+        df_g = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        # rare token index: persisted because it feeds the per-doc rare
+        # counts and BOTH sides of the pair self-join
+        rare_tok = _track(
+            tok.join(df_g.filter(F.col("df") <= df_cap), "g")
+            .select("doc_id", "g")
+            .persist()
+        )
+        nrare = rare_tok.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("nr")
+        )
+        a, b = rare_tok.alias("a"), rare_tok.alias("b")
+        sr = (
+            a.join(
+                b,
+                (F.col("a.g") == F.col("b.g"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("sr"))
+        )
+    else:
+        byg_all = _track(
+            tok.groupBy("g")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+            .persist()
+        )
+        rare = byg_all.filter(F.size("ds") <= df_cap)
+        nrare = (
+            rare.select(F.explode("ds").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("nr"))
+        )
+        byg = rare.filter(F.size("ds") >= 2)
+        pairs_expr = F.expr(
+            """
+            flatten(transform(ds, (x, i) ->
+                transform(slice(ds, i + 2, size(ds)),
+                          y -> struct(x AS doc_a, y AS doc_b))))
+            """
+        )
+        # explode_outer + null filter: see _exact_jaccard_pairs (a plain
+        # explode's inferred filter would re-run the pair transform). The
+        # groupBy replaces a distinct — same shuffle volume, but the
+        # count it produces is the sr term of the pruning bound for free.
+        sr = (
+            byg.select(F.explode_outer(pairs_expr).alias("p"))
+            .filter(F.col("p").isNotNull())
+            .groupBy("p.doc_a", "p.doc_b")
+            .agg(F.count(F.lit(1)).alias("sr"))
+        )
     meta = (
         shingled.select("doc_id", F.size("sg").alias("n"))
         .join(nrare, "doc_id", "left")

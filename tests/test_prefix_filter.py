@@ -252,3 +252,74 @@ def test_containment_prefix_plan_has_no_posting_arrays(
     for p in (default, pref):
         assert "CartesianProduct" not in p, p
         assert "BroadcastNestedLoopJoin" not in p, p
+
+
+# ------------------------------------------------- capped family (sr meta)
+
+def _capped_rows(spark, sf_dir):
+    from cloud2sql_spark.registry import queries
+
+    return sorted(
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in queries()["dedup_ngram_capped"](spark, sf_dir).collect()
+    )
+
+
+def test_capped_flag_matches_default_on_real_corpus(
+    spark, sf_dir, monkeypatch
+):
+    """The flagged _capped_sr_meta (rare-token self-join, no posting
+    arrays) must produce the identical sr frame and hence identical
+    dedup_ngram_capped output."""
+    monkeypatch.delenv("SPARK_GRAFT_PREFIX_FILTER", raising=False)
+    base = _capped_rows(spark, sf_dir)
+    monkeypatch.setenv("SPARK_GRAFT_PREFIX_FILTER", "1")
+    pref = _capped_rows(spark, sf_dir)
+    assert pref == base
+    assert len(base) > 0
+
+
+def test_capped_flag_matches_default_on_heavy_tail(
+    spark, containment_corpus, monkeypatch
+):
+    monkeypatch.delenv("SPARK_GRAFT_PREFIX_FILTER", raising=False)
+    base = _capped_rows(spark, containment_corpus)
+    monkeypatch.setenv("SPARK_GRAFT_PREFIX_FILTER", "1")
+    pref = _capped_rows(spark, containment_corpus)
+    assert pref == base
+
+
+def test_capped_flag_plan_has_no_posting_arrays(spark, sf_dir, monkeypatch):
+    from cloud2sql_spark.registry import queries
+
+    fn = queries()["dedup_ngram_capped"]
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    monkeypatch.delenv("SPARK_GRAFT_PREFIX_FILTER", raising=False)
+    assert "collect_list" in plan(fn(spark, sf_dir))
+    monkeypatch.setenv("SPARK_GRAFT_PREFIX_FILTER", "1")
+    pref = plan(fn(spark, sf_dir))
+    assert "collect_list" not in pref, pref
+    assert "CartesianProduct" not in pref, pref
+
+
+def test_cluster_cc_flag_matches_default(spark, sf_dir, monkeypatch):
+    """dedup_cluster_cc consumes the capped pair list; the flagged
+    candidate generation must leave its clustering untouched."""
+    from cloud2sql_spark.registry import queries
+
+    fn = queries()["dedup_cluster_cc"]
+
+    def rows(df):
+        return sorted(
+            (r.doc_id, r.cluster_id, r.cluster_size) for r in df.collect()
+        )
+
+    monkeypatch.delenv("SPARK_GRAFT_PREFIX_FILTER", raising=False)
+    base = rows(fn(spark, sf_dir))
+    monkeypatch.setenv("SPARK_GRAFT_PREFIX_FILTER", "1")
+    pref = rows(fn(spark, sf_dir))
+    assert pref == base
+    assert len(base) > 0
