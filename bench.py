@@ -372,14 +372,23 @@ def main() -> None:
             # lives in bench_full_r{N}.json too. N = the round currently
             # being built = one past the newest recorded BENCH_r*.json
             # (the driver writes that file AFTER the round's bench run).
+            # Edge: a re-run AFTER the driver has already recorded the
+            # current round's BENCH file would infer N+1 and mislabel
+            # the snapshot — set SPARK_GRAFT_BENCH_ROUND explicitly in
+            # that window.
             import re
 
+            env_rnd = os.environ.get("SPARK_GRAFT_BENCH_ROUND", "")
             rounds = [
                 int(m.group(1))
                 for fn in os.listdir(repo)
                 if (m := re.fullmatch(r"BENCH_r(\d+)\.json", fn))
             ]
-            rnd = (max(rounds) if rounds else 0) + 1
+            rnd = (
+                int(env_rnd)
+                if env_rnd.isdigit()
+                else (max(rounds) if rounds else 0) + 1
+            )
             with open(
                 os.path.join(repo, f"bench_full_r{rnd:02d}.json"), "w"
             ) as f:

@@ -82,12 +82,24 @@ def register_session_cache(cache: dict) -> None:
 # not memoized — a repeat invocation rebuilds them — but the storage they
 # pin would otherwise live until Spark's own eviction. Tracking them here
 # lets clear_shingle_cache (the bench/test reset hook) release them along
-# with the session caches (ADVICE r07).
+# with the session caches (ADVICE r07). The list itself is BOUNDED: a
+# long session that never calls the reset hook (the driver's 289-key
+# sweep) must not pin every past frame's plan graph for the process
+# lifetime, so the oldest entries are unpersisted and dropped once the
+# window fills — unpersisting a frame sooner than the hook would is
+# always correctness-safe (Spark recomputes).
 _EPHEMERAL_PERSISTS: list = []
+_EPHEMERAL_MAX = 64
 
 
 def _track(df: DataFrame) -> DataFrame:
     """Register a per-call persisted frame for release by the reset hook."""
+    while len(_EPHEMERAL_PERSISTS) >= _EPHEMERAL_MAX:
+        old = _EPHEMERAL_PERSISTS.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
     _EPHEMERAL_PERSISTS.append(df)
     return df
 
@@ -185,6 +197,43 @@ def _doc_shingles(
     return full.filter(F.size("sg") > 0) if nonempty else full
 
 
+def _tok_with_df(shingled: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared token-index build for the prefix-filter family: the
+    exploded (doc_id, n, g) token frame (persisted + tracked — every
+    caller reads it at least twice) and its per-shingle document
+    frequency from a plain partial-aggregable COUNT (never a posting
+    array).
+
+    explode_outer, not explode: InferFiltersFromGenerate turns a plain
+    explode into a size(sg)>0 AND isnotnull(sg) filter that Catalyst
+    pushes below the repartition exchange — re-evaluating the whole
+    shingle HOF twice per doc inside the single-task scan stage
+    (measured 3× the stage). outer explode infers nothing; the cheap
+    g IS NOT NULL post-filter restores identical rows. One definition
+    so a fix to either hazard reaches every flagged plan at once."""
+    sized = shingled.withColumn("n", F.size("sg"))
+    tok = _track(
+        sized.select("doc_id", "n", F.explode_outer("sg").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .persist()
+    )
+    df_g = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return tok, df_g
+
+
+def _prefix_len(threshold: float) -> Column:
+    """AllPairs prefix length n − ⌈t·n⌉ + 1 over the column ``n``. The
+    1e-9 slack inside ceil() is load-bearing: binary-unrepresentable
+    thresholds (0.8·5 → 4.0000000000000002) must round DOWN so float
+    noise only ever LENGTHENS a prefix — a short prefix silently loses
+    boundary pairs (property-tested in tests/test_prefix_filter.py)."""
+    return (
+        F.col("n")
+        - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
+        + 1
+    )
+
+
 def _exact_jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
     """Exact shingle-Jaccard pairs ≥ threshold.
 
@@ -203,19 +252,7 @@ def _exact_jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
     corpus and a crafted stop-shingle fixture in
     tests/test_prefix_filter.py); the choice is purely physical."""
     sized = shingled.withColumn("n", F.size("sg"))
-    # explode_outer, not explode: InferFiltersFromGenerate turns a plain
-    # explode into a size(sg)>0 AND isnotnull(sg) filter that Catalyst
-    # pushes below the repartition exchange — re-evaluating the whole
-    # shingle HOF twice per doc inside the single-task scan stage
-    # (measured 3× the stage). outer explode infers nothing; the cheap
-    # g IS NOT NULL post-filter restores identical rows.
-    # persist: both consumers (self-join sides / df-count + prefix rank)
-    # read the exploded index twice.
-    tok = _track(
-        sized.select("doc_id", "n", F.explode_outer("sg").alias("g"))
-        .filter(F.col("g").isNotNull())
-        .persist()
-    )
+    tok, df_g = _tok_with_df(shingled)
     if not flag_enabled("SPARK_GRAFT_PREFIX_FILTER"):
         a, b = tok.alias("a"), tok.alias("b")
         shared = (
@@ -252,13 +289,11 @@ def _exact_jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
     # length filter only ever LENGTHENS a prefix / loosens the filter
     # (float noise in t·n must never prune a boundary pair); exactness
     # comes from the verify step regardless.
-    df_g = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "g")
-    plen = F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
     prefix = _track(
         tok.join(df_g, "g")
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= plen)
+        .filter(F.col("rn") <= _prefix_len(threshold))
         .select("doc_id", "n", "g")
         .persist()
     )
@@ -1033,8 +1068,7 @@ def _capped_sr_meta(spark: SparkSession, sf_dir: str, df_cap: int = 10) -> DataF
         .filter(F.col("g").isNotNull())
     )
     if flag_enabled("SPARK_GRAFT_PREFIX_FILTER"):
-        tok = _track(tok.persist())
-        df_g = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        tok, df_g = _tok_with_df(shingled)
         # rare token index: persisted because it feeds the per-doc rare
         # counts and BOTH sides of the pair self-join
         rare_tok = _track(
@@ -1141,22 +1175,13 @@ def _containment_prefix_candidates(
     is structural (property-tested in tests/test_prefix_filter.py on
     the real corpus and a crafted heavy-tail one)."""
     shingled = _doc_shingles(spark, sf_dir, nonempty=True)
-    sized = shingled.withColumn("n", F.size("sg"))
-    tok = _track(
-        sized.select("doc_id", "n", F.explode_outer("sg").alias("g"))
-        .filter(F.col("g").isNotNull())
-        .persist()
-    )
-    df_g = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    tok, df_g = _tok_with_df(shingled)
     # rare inverted index: tokens of df<=cap shingles only; persisted
     # because it feeds both the prefix build and the probe side
     rare = _track(tok.join(df_g.filter(F.col("df") <= df_cap), "g").persist())
     w = Window.partitionBy("doc_id").orderBy("df", "g")
-    plen = (
-        F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
-    )
     pref = rare.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= plen
+        F.col("rn") <= _prefix_len(threshold)
     )
     a, b = pref.alias("a"), rare.alias("b")
     a_is_smaller = (F.col("a.n") < F.col("b.n")) | (

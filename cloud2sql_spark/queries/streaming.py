@@ -20,16 +20,14 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloud2sql_spark.catalog import load_table
+from cloud2sql_spark.fixtures import TMP_ROOT as _TMP_ROOT
 from cloud2sql_spark.registry import register
 from cloud2sql_spark.streaming import transforms
-
-_TMP_ROOT = os.path.join(tempfile.gettempdir(), "cloud2sql_spark")
 
 
 @register(

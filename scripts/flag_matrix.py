@@ -70,28 +70,35 @@ def check_profile_table(df, con, oracle: str) -> None:
 def check_sample_curriculum(df, con, oracle: str) -> None:
     """Documented contract (ntile_scale.py): value-range assignment
     replaces rank-splitting of ties, and sketch boundary ranks can move
-    by at most rank/accuracy. With accuracy 10k >= the sf0.01 doc count
-    the sketch is exact, so a stage may differ from exact ntile ONLY
-    when the doc's difficulty value straddles an exact stage boundary
-    (appears in >= 2 exact stages) or sits adjacent to a boundary the
-    sketch's rank convention shifted by one value; either way the
-    flagged stage must lie within [min, max] of the exact stages taken
-    by that difficulty value, widened by the one-value slack. Every
-    non-stage column is exact."""
+    by at most one VALUE (rank/accuracy, with accuracy 10k >= the
+    sf0.01 doc count the sketch holds every value). So a doc's flagged
+    stage must lie within [min, max] of the exact stages taken by its
+    difficulty value OR its immediately adjacent distinct difficulty
+    values (a boundary shifted by one value moves only the docs AT that
+    neighborhood). Interior values — whose neighbors share their exact
+    stage — must match EXACTLY, so a systematic off-by-one bucket bug
+    fails on ~the whole corpus rather than passing under a universal
+    slack. Every non-stage column is exact."""
     got = {r["doc_id"]: r for r in _spark_rows(df)}
     want = {r["doc_id"]: r for r in _oracle_rows(con, oracle)}
     assert set(got) == set(want)
-    # exact stage range per difficulty value
-    by_diff: dict[int, list[int]] = {}
+    # exact stage set per difficulty value, plus each value's sorted
+    # neighbors — the only places a one-value boundary shift can reach
+    by_diff: dict[int, set[int]] = {}
     for r in want.values():
-        by_diff.setdefault(r["difficulty_milli"], []).append(r["stage"])
+        by_diff.setdefault(r["difficulty_milli"], set()).add(r["stage"])
+    ordered = sorted(by_diff)
+    pos = {v: i for i, v in enumerate(ordered)}
     for doc_id, w in want.items():
         g = got[doc_id]
         for col in ("lang", "n_tokens", "difficulty_milli"):
             assert g[col] == w[col], (doc_id, col)
-        stages = by_diff[w["difficulty_milli"]]
-        lo, hi = min(stages) - 1, max(stages) + 1
-        assert lo <= g["stage"] <= hi, (doc_id, g["stage"], stages)
+        i = pos[w["difficulty_milli"]]
+        allowed = set()
+        for j in (i - 1, i, i + 1):
+            if 0 <= j < len(ordered):
+                allowed |= by_diff[ordered[j]]
+        assert g["stage"] in allowed, (doc_id, g["stage"], sorted(allowed))
 
 
 _RFM_AXIS_TIES_SQL = """

@@ -1045,10 +1045,12 @@ def test_snm_neighbor_probe_is_window_not_selfjoin(spark, sf_dir):
     the blocking-key attach (shingles ⋈ documents), which the union of
     the two lead branches duplicates — 2 in the plan today; the two
     per-branch shingle-verify joins of the earlier shape (4 more) must
-    stay gone, so the guard is <= 2 rather than == 2 (ADVICE r07: AQE
-    exchange reuse or a Spark-version join-selection change may merge
-    the duplicated attach without any behavior change). No inequality
-    join anywhere."""
+    stay gone, so the upper guard is <= 2 rather than == 2 (ADVICE r07:
+    AQE exchange reuse or a Spark-version join-selection change may
+    merge the duplicated attach without any behavior change) — but the
+    attach itself must still exist, so the lower guard is >= 1 (zero
+    equi-joins would mean the blocking-key attach vanished entirely).
+    No inequality join anywhere."""
     plan = _physical(_QUERIES["dedup_sorted_neighborhood"](spark, sf_dir))
     assert "Window" in plan, plan
     assert "CartesianProduct" not in plan, plan
@@ -1057,7 +1059,7 @@ def test_snm_neighbor_probe_is_window_not_selfjoin(spark, sf_dir):
         plan.count(n)
         for n in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
     )
-    assert equi <= 2, plan
+    assert 1 <= equi <= 2, plan
 
 
 def test_silence_segments_doc_partitioned(spark, sf_dir):
