@@ -947,3 +947,44 @@ def test_evict_lru_bound_order_and_unpersist():
     assert not cache["d"].unpersisted and not cache["b"].unpersisted
     evict_lru(cache, 5)  # already below bound: no-op
     assert list(cache) == ["d", "b"]
+
+
+def test_track_bounds_ephemeral_persists():
+    """_track keeps the per-call persist ledger bounded: once the window
+    fills, the OLDEST tracked frame is unpersisted and dropped (a long
+    session that never calls the reset hook — the driver's 289-key sweep
+    — must not pin every past frame's plan graph), unpersist failures
+    are swallowed, and clear_shingle_cache still releases the survivors
+    and empties the ledger."""
+    from cloud2sql_spark.queries import extensions as ext
+
+    class Frame:
+        def __init__(self, fail=False):
+            self.fail = fail
+            self.unpersisted = False
+
+        def unpersist(self):
+            if self.fail:
+                raise RuntimeError("already freed")
+            self.unpersisted = True
+
+    saved = list(ext._EPHEMERAL_PERSISTS)
+    ext._EPHEMERAL_PERSISTS.clear()
+    try:
+        frames = [Frame(fail=(i == 1)) for i in range(ext._EPHEMERAL_MAX + 3)]
+        for f in frames:
+            assert ext._track(f) is f  # passthrough contract
+        # ledger holds exactly the newest _EPHEMERAL_MAX frames
+        assert len(ext._EPHEMERAL_PERSISTS) == ext._EPHEMERAL_MAX
+        assert ext._EPHEMERAL_PERSISTS == frames[3:]
+        # the three displaced frames were unpersisted oldest-first
+        # (frame 1's failure swallowed, not re-raised)
+        assert frames[0].unpersisted and frames[2].unpersisted
+        assert not frames[1].unpersisted
+        assert not frames[3].unpersisted  # survivors untouched
+        ext.clear_shingle_cache()
+        assert ext._EPHEMERAL_PERSISTS == []
+        assert frames[-1].unpersisted
+    finally:
+        ext._EPHEMERAL_PERSISTS.clear()
+        ext._EPHEMERAL_PERSISTS.extend(saved)
