@@ -252,6 +252,52 @@ R06_SET = R05_SET + _R06_ADDITIONS
 HEADLINE = R06_SET
 
 
+def freeze_round_snapshot(repo: str, record: dict) -> str | None:
+    """Write bench_full_r{N}.json once per round; never overwrite.
+
+    N = SPARK_GRAFT_BENCH_ROUND if set (must be an integer — a typo must
+    not silently fall back to inference and freeze under the wrong round
+    label, ADVICE r08), else one past the newest BENCH_r*.json (the
+    driver writes that file AFTER the round's bench run).
+
+    Write-once (VERDICT r08 item 2): the first full run of a round
+    freezes the snapshot; later runs — notably the driver's own
+    post-commit pass — must not clobber the committed artifact with a
+    noisy pass. Those runs still land in bench_full_latest.json and
+    bench_history.jsonl. When the builder deliberately wants a better
+    recording to replace the freeze (e.g. the round's final interleaved
+    minimum), set SPARK_GRAFT_BENCH_REFREEZE=1 — the driver never sets
+    it. Returns the frozen path when this call wrote it, None when the
+    freeze already existed and was left untouched.
+    """
+    import re
+
+    env_rnd = os.environ.get("SPARK_GRAFT_BENCH_ROUND", "")
+    if env_rnd and not env_rnd.isdigit():
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_ROUND={env_rnd!r} is not an integer"
+        )
+    rounds = [
+        int(m.group(1))
+        for fn in os.listdir(repo)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", fn))
+    ]
+    rnd = int(env_rnd) if env_rnd else (max(rounds) if rounds else 0) + 1
+    frozen = os.path.join(repo, f"bench_full_r{rnd:02d}.json")
+    refreeze = os.environ.get("SPARK_GRAFT_BENCH_REFREEZE", "") == "1"
+    if os.path.exists(frozen) and not refreeze:
+        print(
+            f"bench: {os.path.basename(frozen)} already frozen; this run "
+            "recorded in bench_full_latest.json / bench_history.jsonl only",
+            file=sys.stderr,
+        )
+        return None
+    with open(frozen, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+        f.write("\n")
+    return frozen
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -367,33 +413,7 @@ def main() -> None:
                 f.write("\n")
             with open(os.path.join(repo, "bench_history.jsonl"), "a") as f:
                 f.write(json.dumps(record, sort_keys=True) + "\n")
-            # Frozen per-round snapshot (VERDICT r07 item 4): _latest is
-            # overwritten by every run, so the round boundary recording
-            # lives in bench_full_r{N}.json too. N = the round currently
-            # being built = one past the newest recorded BENCH_r*.json
-            # (the driver writes that file AFTER the round's bench run).
-            # Edge: a re-run AFTER the driver has already recorded the
-            # current round's BENCH file would infer N+1 and mislabel
-            # the snapshot — set SPARK_GRAFT_BENCH_ROUND explicitly in
-            # that window.
-            import re
-
-            env_rnd = os.environ.get("SPARK_GRAFT_BENCH_ROUND", "")
-            rounds = [
-                int(m.group(1))
-                for fn in os.listdir(repo)
-                if (m := re.fullmatch(r"BENCH_r(\d+)\.json", fn))
-            ]
-            rnd = (
-                int(env_rnd)
-                if env_rnd.isdigit()
-                else (max(rounds) if rounds else 0) + 1
-            )
-            with open(
-                os.path.join(repo, f"bench_full_r{rnd:02d}.json"), "w"
-            ) as f:
-                json.dump(record, f, indent=1, sort_keys=True)
-                f.write("\n")
+            freeze_round_snapshot(repo, record)
         except OSError:
             pass  # read-only checkout: stdout JSON is still authoritative
     spark.stop()
