@@ -39,6 +39,8 @@ import tempfile
 
 from pyspark.sql import DataFrame
 
+from cloud2sql_spark.flags import flag_enabled
+
 _ENV_RELIABLE = "SPARK_GRAFT_RELIABLE_CHECKPOINT"
 _ENV_DIR = "SPARK_GRAFT_CHECKPOINT_DIR"
 
@@ -86,7 +88,10 @@ def truncate_lineage(df: DataFrame, reliable: bool | None = None) -> DataFrame:
     ``reliable=False`` forces executor-local blocks.
     """
     if reliable is None:
-        reliable = os.environ.get(_ENV_RELIABLE, "") == "1"
+        # flag_enabled, not a raw environ read: the scale-switch gate
+        # (FLAG_MATRIX + tests/test_flags.py) discovers switches by their
+        # flag_enabled call sites, and this one had escaped it (ADVICE r08)
+        reliable = flag_enabled("SPARK_GRAFT_RELIABLE_CHECKPOINT")
     if reliable:
         _ensure_checkpoint_dir(df)
         return df.checkpoint(eager=True)

@@ -60,4 +60,23 @@ FLAG_MATRIX: dict[str, dict] = {
         "check": "tolerance",
         "keys": ["profile_table"],
     },
+    # Checkpoint durability switch for the iterative graph loops:
+    # localCheckpoint (executor-local blocks, default — right for
+    # local[32] and fine on a cluster that tolerates recompute-on-loss)
+    # vs reliable checkpoint() to SPARK_GRAFT_CHECKPOINT_DIR (the 1000-
+    # executor posture where losing an executor mid-superstep must not
+    # recompute the whole lineage). Data-identical by construction —
+    # only the storage of the truncation point changes — so the gate
+    # class is "exact". dedup_cluster_cc consults it only on its
+    # distributed >2M-edge path, but belongs here so the gate exercises
+    # the flag through a real consumer.
+    "SPARK_GRAFT_RELIABLE_CHECKPOINT": {
+        "check": "exact",
+        "keys": [
+            "graph_bfs_levels",
+            "graph_kcore_peel",
+            "graph_label_propagation",
+            "dedup_cluster_cc",
+        ],
+    },
 }

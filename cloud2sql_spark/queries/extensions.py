@@ -87,19 +87,39 @@ def register_session_cache(cache: dict) -> None:
 # sweep) must not pin every past frame's plan graph for the process
 # lifetime, so the oldest entries are unpersisted and dropped once the
 # window fills — unpersisting a frame sooner than the hook would is
-# always correctness-safe (Spark recomputes).
+# always correctness-safe (Spark recomputes). The bound is sized so the
+# FIFO can only ever evict frames from long-completed ops: no single op
+# tracks more than ~4 frames, so an in-flight op's frames are always the
+# newest handful and a 256-deep window means ≥60 whole ops ran (and
+# collected) since an evicted frame was tracked. Eviction also logs —
+# the failure mode this guards (a still-referenced frame silently losing
+# its persist and recomputing) is a perf cliff, not a correctness bug,
+# and the log line is what makes it diagnosable (ADVICE r08).
 _EPHEMERAL_PERSISTS: list = []
-_EPHEMERAL_MAX = 64
+_EPHEMERAL_MAX = 256
 
 
 def _track(df: DataFrame) -> DataFrame:
     """Register a per-call persisted frame for release by the reset hook."""
+    evicted = 0
     while len(_EPHEMERAL_PERSISTS) >= _EPHEMERAL_MAX:
         old = _EPHEMERAL_PERSISTS.pop(0)
         try:
             old.unpersist()
         except Exception:
             pass
+        evicted += 1
+    if evicted:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "ephemeral-persist ledger full (%d): unpersisted %d oldest "
+            "frame(s); if a live op's intermediate was evicted its plan "
+            "recomputes instead of reading cache — call "
+            "clear_shingle_cache() between ops or raise _EPHEMERAL_MAX",
+            _EPHEMERAL_MAX,
+            evicted,
+        )
     _EPHEMERAL_PERSISTS.append(df)
     return df
 
@@ -1063,10 +1083,6 @@ def _capped_sr_meta(spark: SparkSession, sf_dir: str, df_cap: int = 10) -> DataF
     shuffles the token set twice — so the flag stays off by default;
     equivalence is property-tested in tests/test_prefix_filter.py."""
     shingled = _doc_shingles(spark, sf_dir, nonempty=True)
-    tok = (
-        shingled.select("doc_id", F.explode_outer("sg").alias("g"))
-        .filter(F.col("g").isNotNull())
-    )
     if flag_enabled("SPARK_GRAFT_PREFIX_FILTER"):
         tok, df_g = _tok_with_df(shingled)
         # rare token index: persisted because it feeds the per-doc rare
@@ -1093,6 +1109,13 @@ def _capped_sr_meta(spark: SparkSession, sf_dir: str, df_cap: int = 10) -> DataF
             .agg(F.count(F.lit(1)).alias("sr"))
         )
     else:
+        # token index built HERE, not above the branch: the flagged arm
+        # derives its own tok from _tok_with_df, and a shared top-level
+        # explode would be a dead expression on that path (ADVICE r08)
+        tok = (
+            shingled.select("doc_id", F.explode_outer("sg").alias("g"))
+            .filter(F.col("g").isNotNull())
+        )
         byg_all = _track(
             tok.groupBy("g")
             .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))

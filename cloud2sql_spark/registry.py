@@ -73,69 +73,69 @@ _loaded = False
 # CORRECTNESS_r*.json files (plus the free-slot budget for new
 # registrations); rebuild it with that each round.
 _PRIORITY = [
-    # Round 8 slot plan (computed by `python scripts/rotation_plan.py
-    # dedup_containment scan_rowgroup_stats`): 0 reds, 0 never-tested.
-    # Slots 1-2 (rule 2): keys whose implementation changed this round —
-    # dedup_containment (opt-in asymmetric prefix-filter candidate path;
-    # capped default unchanged) and scan_rowgroup_stats (fixture
-    # lifecycle moved to the shared cloud2sql_spark/fixtures.py module).
-    # The _track() persist-bookkeeping wraps in extensions.py are not
-    # plan changes (same frames, same persists — only release tracking)
-    # and do not consume rule-2 slots. Slots 3-7 (rule 4): the five
-    # displaced r01 win_* keys; slots 8-50: the first 43 of the 48
-    # r02-stale keys. The remaining five r02 keys (udf_grouped_map,
-    # udf_pandas_scalar, udf_python, udtf_python, udtf_python_native)
-    # queue first next round.
-    "dedup_containment",
-    "scan_rowgroup_stats",
-    "win_lag_lead",
-    "win_moving_avg",
-    "win_range_frame",
-    "win_rank_dense",
-    "win_row_number",
-    "agg_approx_distinct",
-    "agg_collect",
-    "dedup_cluster_cc",
-    "dedup_embed_cosine",
-    "dedup_exact",
-    "dedup_near_minhash",
-    "dedup_ngram_capped",
-    "dedup_simhash",
-    "fn_array",
-    "fn_cond",
-    "fn_date",
-    "fn_json",
-    "fn_map",
-    "fn_math",
-    "fn_string",
-    "multimodal_cols",
-    "multimodal_decode",
-    "multimodal_frames",
-    "pack_sequences",
-    "sample_stratified",
-    "set_except",
-    "set_intersect",
-    "sim_search_ivf",
-    "sim_search_lsh",
-    "sim_search_topk",
-    "stream_dedup",
-    "stream_foreach_jdbc",
-    "stream_session",
-    "stream_sliding",
-    "stream_stateful_custom",
-    "stream_stream_interval_join",
-    "stream_stream_static_join",
-    "stream_tumbling",
-    "stream_watermark_late",
-    "text_contamination",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_pii_redact",
-    "text_quality",
-    "text_stats",
-    "text_token_count",
-    "text_tokenize_tfidf",
-    "udaf_pandas_grouped_agg",
+    # Round 9 slot plan (computed by `python scripts/rotation_plan.py`
+    # with no changed keys): 0 reds, 0 never-tested, 0 rule-2 slots —
+    # this round's code edits build bit-identical default plans
+    # (_capped_sr_meta's token index moved inside the unflagged branch,
+    # _track bound/log bookkeeping, truncate_lineage reading its flag
+    # via flag_enabled instead of a raw environ get), the r08 precedent
+    # for not consuming rule-2 slots. Slots 1-5 (rule 4): the five
+    # r02-stale udf/udtf keys — the whole remaining staleness tail from
+    # VERDICT r08 item 1. Slots 6-50: the first 45 of the 48 r03-stale
+    # keys (alphabetical); the remaining three (text_top_ngrams,
+    # win_ntile_percent, win_pattern_match) stay r03 and queue first
+    # next round — after this round no key's latest green row is older
+    # than r03, the VERDICT r08 target.
+    "udf_grouped_map",
+    "udf_pandas_scalar",
+    "udf_python",
+    "udtf_python",
+    "udtf_python_native",
+    "agg_approx_quantile",
+    "agg_bool_bitwise",
+    "agg_corr_regr",
+    "agg_freq_items",
+    "agg_mode",
+    "agg_percentile_exact",
+    "agg_pivot",
+    "agg_string_agg",
+    "agg_unpivot",
+    "dedup_apply",
+    "dedup_prefix_norm",
+    "embed_dim_stats",
+    "embed_kmeans_assign",
+    "embed_normalize",
+    "events_anomaly_zscore",
+    "events_funnel",
+    "events_path_transitions",
+    "events_retention",
+    "events_rolling_dau",
+    "events_rollup_time",
+    "events_sessionize",
+    "fn_bitwise",
+    "fn_explode_lateral",
+    "fn_format",
+    "fn_hash",
+    "fn_interval_arith",
+    "fn_regex",
+    "fn_struct",
+    "fn_url_parse",
+    "graph_degree",
+    "join_bloom_pruned",
+    "join_interval_overlap",
+    "multimodal_resize",
+    "pipeline_curate_pack",
+    "sample_hash_consistent",
+    "sample_mixture",
+    "sample_weighted",
+    "scan_incremental_files",
+    "scan_orc_roundtrip",
+    "set_except_all",
+    "set_intersect_all",
+    "sink_partitioned_pruned",
+    "subquery_exists",
+    "subquery_scalar",
+    "text_normalize",
 ]
 
 

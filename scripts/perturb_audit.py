@@ -14,9 +14,14 @@ copy. The invariants the oracle conventions legitimately rely on (exact
 vocabulary) are preserved on purpose: the round-4 finding was that
 breaking THOSE fails ~18 keys by design, while everything else must pass.
 
-Usage: python scripts/perturb_audit.py [key-prefix ...]
+Usage: python scripts/perturb_audit.py [--drive=SCRIPT] [key-prefix ...]
 Writes the perturbed tables to /dev/shm/perturb_audit, then drives
-verify_contract against them. Exit code 1 on any FAIL.
+verify_contract (default) against them; ``--drive=flag_matrix`` runs the
+scale-switch gate on the perturbed copy instead (VERDICT r08 item 4 —
+the flagged plans previously had no perturbation coverage; use
+PERTURB_SRC=/root/testdata/sf0.01 for that so the gate's tolerance
+checkers run at the scale they were derived for). Exit code 1 on any
+FAIL.
 """
 
 from __future__ import annotations
@@ -102,10 +107,13 @@ def main() -> int:
         )
     con.close()
     print(f"perturbed tables written to {OUT}", flush=True)
+    drive, args = "verify_contract", list(sys.argv[1:])
+    if args and args[0].startswith("--drive="):
+        drive = args.pop(0).split("=", 1)[1]
     env = dict(os.environ, VERIFY_SF_DIR=OUT)
     try:
         return subprocess.call(
-            [sys.executable, "scripts/verify_contract.py", *sys.argv[1:]],
+            [sys.executable, f"scripts/{drive}.py", *args],
             env=env,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )

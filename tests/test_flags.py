@@ -36,6 +36,40 @@ def test_matrix_covers_every_consulted_flag():
     )
 
 
+# Env vars that are NOT boolean scale switches: value-typed configuration
+# (paths, counts) a matrix row could not gate. Anything else matching
+# SPARK_GRAFT_* in the package must be a FLAG_MATRIX flag.
+_NON_SWITCH_ENV = {
+    "SPARK_GRAFT_SF_DIR",  # dataset location (catalog.py)
+    "SPARK_GRAFT_CPUS",  # local[] parallelism (session.py)
+    "SPARK_GRAFT_CHECKPOINT_DIR",  # reliable-checkpoint target dir
+}
+
+_BARE = re.compile(r"SPARK_GRAFT_[A-Z_]+")
+
+
+def test_no_ungated_flag_literals():
+    """flag_enabled() is how the matrix DISCOVERS switches, so a switch
+    consulted through an aliased import, a wrapper, or a raw
+    os.environ.get would land ungated without failing the call-site test
+    above (ADVICE r08 — SPARK_GRAFT_RELIABLE_CHECKPOINT did exactly
+    this). Belt and suspenders: every SPARK_GRAFT_* literal anywhere in
+    the package (code, docstrings, comments) must be a FLAG_MATRIX flag
+    or a declared non-switch env var."""
+    allowed = set(FLAG_MATRIX) | _NON_SWITCH_ENV
+    offenders = {}
+    for root, _dirs, files in os.walk(_PKG_DIR):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            with open(path) as f:
+                unknown = set(_BARE.findall(f.read())) - allowed
+            if unknown:
+                offenders[os.path.relpath(path, _PKG_DIR)] = sorted(unknown)
+    assert not offenders, offenders
+
+
 def test_matrix_keys_are_registered_with_oracles():
     from cloud2sql_spark.registry import oracle_sql, queries
 

@@ -949,13 +949,16 @@ def test_evict_lru_bound_order_and_unpersist():
     assert list(cache) == ["d", "b"]
 
 
-def test_track_bounds_ephemeral_persists():
+def test_track_bounds_ephemeral_persists(caplog):
     """_track keeps the per-call persist ledger bounded: once the window
     fills, the OLDEST tracked frame is unpersisted and dropped (a long
     session that never calls the reset hook — the driver's 289-key sweep
-    — must not pin every past frame's plan graph), unpersist failures
-    are swallowed, and clear_shingle_cache still releases the survivors
-    and empties the ledger."""
+    — must not pin every past frame's plan graph), eviction logs a
+    warning (an evicted-but-live frame is a silent perf cliff, ADVICE
+    r08), unpersist failures are swallowed, and clear_shingle_cache
+    still releases the survivors and empties the ledger."""
+    import logging
+
     from cloud2sql_spark.queries import extensions as ext
 
     class Frame:
@@ -972,11 +975,16 @@ def test_track_bounds_ephemeral_persists():
     ext._EPHEMERAL_PERSISTS.clear()
     try:
         frames = [Frame(fail=(i == 1)) for i in range(ext._EPHEMERAL_MAX + 3)]
-        for f in frames:
-            assert ext._track(f) is f  # passthrough contract
+        with caplog.at_level(logging.WARNING, logger=ext.__name__):
+            for f in frames:
+                assert ext._track(f) is f  # passthrough contract
         # ledger holds exactly the newest _EPHEMERAL_MAX frames
         assert len(ext._EPHEMERAL_PERSISTS) == ext._EPHEMERAL_MAX
         assert ext._EPHEMERAL_PERSISTS == frames[3:]
+        # the three displacements each fired the eviction warning
+        evict_logs = [r for r in caplog.records
+                      if "ephemeral-persist ledger full" in r.message]
+        assert len(evict_logs) == 3
         # the three displaced frames were unpersisted oldest-first
         # (frame 1's failure swallowed, not re-raised)
         assert frames[0].unpersisted and frames[2].unpersisted
