@@ -73,19 +73,23 @@ _loaded = False
 # CORRECTNESS_r*.json files (plus the free-slot budget for new
 # registrations); rebuild it with that each round.
 _PRIORITY = [
-    # Round 9 slot plan (computed by `python scripts/rotation_plan.py`
-    # with no changed keys): 0 reds, 0 never-tested, 0 rule-2 slots —
-    # this round's code edits build bit-identical default plans
-    # (_capped_sr_meta's token index moved inside the unflagged branch,
-    # _track bound/log bookkeeping, truncate_lineage reading its flag
-    # via flag_enabled instead of a raw environ get), the r08 precedent
-    # for not consuming rule-2 slots. Slots 1-5 (rule 4): the five
-    # r02-stale udf/udtf keys — the whole remaining staleness tail from
-    # VERDICT r08 item 1. Slots 6-50: the first 45 of the 48 r03-stale
-    # keys (alphabetical); the remaining three (text_top_ngrams,
-    # win_ntile_percent, win_pattern_match) stay r03 and queue first
-    # next round — after this round no key's latest green row is older
-    # than r03, the VERDICT r08 target.
+    # Round 9 slot plan (computed by `python scripts/rotation_plan.py
+    # graph_kcore_peel`): 0 reds, 0 never-tested. Slot 1 (rule 2):
+    # graph_kcore_peel — its superstep bookkeeping changed this round
+    # (folded stats aggregate + literal trace frame; output oracle-
+    # identical, adjudication in the function docstring). The other
+    # code edits build bit-identical default plans (_capped_sr_meta's
+    # token index moved inside the unflagged branch, _track bound/log
+    # bookkeeping, truncate_lineage reading its flag via flag_enabled
+    # instead of a raw environ get) and do not consume rule-2 slots
+    # (the r08 precedent). Slots 2-6 (rule 4): the five r02-stale
+    # udf/udtf keys — the whole remaining staleness tail from VERDICT
+    # r08 item 1. Slots 7-50: the first 44 of the 48 r03-stale keys
+    # (alphabetical); the remaining four (text_normalize,
+    # text_top_ngrams, win_ntile_percent, win_pattern_match) stay r03
+    # and queue first next round — after this round no key's latest
+    # green row is older than r03, the VERDICT r08 target.
+    "graph_kcore_peel",
     "udf_grouped_map",
     "udf_pandas_scalar",
     "udf_python",
@@ -135,7 +139,6 @@ _PRIORITY = [
     "sink_partitioned_pruned",
     "subquery_exists",
     "subquery_scalar",
-    "text_normalize",
 ]
 
 
