@@ -258,7 +258,14 @@ def freeze_round_snapshot(repo: str, record: dict) -> str | None:
     N = SPARK_GRAFT_BENCH_ROUND if set (must be an integer — a typo must
     not silently fall back to inference and freeze under the wrong round
     label, ADVICE r08), else one past the newest BENCH_r*.json (the
-    driver writes that file AFTER the round's bench run).
+    driver writes that file AFTER the round's bench run). Inference has
+    one known bad window: a manual re-run AFTER the driver has recorded
+    the current round's BENCH file infers N+1 and would freeze the NEXT
+    round's label with THIS round's timings — and write-once would then
+    block the next round's genuine snapshot. In that window set
+    SPARK_GRAFT_BENCH_ROUND explicitly; the stderr line below names the
+    frozen file on every freeze so a mislabel is visible in the run log
+    (and `git status` at round start shows the stray file).
 
     Write-once (VERDICT r08 item 2): the first full run of a round
     freezes the snapshot; later runs — notably the driver's own
@@ -295,10 +302,19 @@ def freeze_round_snapshot(repo: str, record: dict) -> str | None:
     with open(frozen, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
         f.write("\n")
+    print(f"bench: froze {os.path.basename(frozen)}", file=sys.stderr)
     return frozen
 
 
 def main() -> None:
+    # Fail a typo'd round override BEFORE the multi-minute timed run, not
+    # at freeze time after it (review r09) — freeze_round_snapshot keeps
+    # its own check for direct callers.
+    env_rnd = os.environ.get("SPARK_GRAFT_BENCH_ROUND", "")
+    if env_rnd and not env_rnd.isdigit():
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_ROUND={env_rnd!r} is not an integer"
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Optional comma-separated key filter for drift forensics (e.g.

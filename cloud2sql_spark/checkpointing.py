@@ -80,6 +80,27 @@ def _ensure_checkpoint_dir(df: DataFrame) -> None:
         _REGISTERED[app] = default
 
 
+def cleanup_default_checkpoint_dirs() -> None:
+    """Remove every checkpoint dir THIS module created under the temp
+    dir. Reliable checkpoint files are not auto-deleted by Spark unless
+    spark.cleaner.referenceTracking.cleanCheckpoints is set, so a
+    harness that flips SPARK_GRAFT_RELIABLE_CHECKPOINT on (the flag
+    matrix gate, every round) would otherwise leave a new
+    spark-graft-ckpt-* directory of materialized frames in /tmp per run
+    (review r09). Only OUR tempdir defaults are removed — an explicit
+    SPARK_GRAFT_CHECKPOINT_DIR (e.g. a shared cluster path) is the
+    application's to manage. Call only when no frame still needs its
+    checkpoint (end of session/gate)."""
+    import shutil
+
+    tmp = tempfile.gettempdir() + os.sep
+    for app in list(_REGISTERED):
+        d = _REGISTERED[app]
+        if d.startswith(tmp):
+            shutil.rmtree(d, ignore_errors=True)
+            del _REGISTERED[app]
+
+
 def truncate_lineage(df: DataFrame, reliable: bool | None = None) -> DataFrame:
     """Eagerly materialize ``df`` and drop its lineage.
 

@@ -68,8 +68,10 @@ FLAG_MATRIX: dict[str, dict] = {
     # recompute the whole lineage). Data-identical by construction —
     # only the storage of the truncation point changes — so the gate
     # class is "exact". dedup_cluster_cc consults it only on its
-    # distributed >2M-edge path, but belongs here so the gate exercises
-    # the flag through a real consumer.
+    # distributed >2M-edge path; the gate forces that path (it zeroes
+    # _CC_UNION_FIND_MAX_EDGES for this row) so the flagged truncation
+    # points run for real at gate scale instead of re-testing the
+    # bounded union-find default.
     "SPARK_GRAFT_RELIABLE_CHECKPOINT": {
         "check": "exact",
         "keys": [

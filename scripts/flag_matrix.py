@@ -198,16 +198,31 @@ def main() -> int:
                 try:
                     # clear shared caches so a prior (default-path) run
                     # in this session can't serve a default-plan frame
-                    from cloud2sql_spark.queries.extensions import (
-                        clear_shingle_cache,
-                    )
+                    from cloud2sql_spark.queries import extensions as ext
 
-                    clear_shingle_cache()
-                    df = qs[key](spark, SF_DIR)
-                    if spec["check"] == "exact":
-                        compare(df, con, oracles[key], key=key)
-                    else:
-                        TOLERANCE_CHECKERS[key](df, con, oracles[key])
+                    ext.clear_shingle_cache()
+                    # dedup_cluster_cc consults RELIABLE_CHECKPOINT only
+                    # on its distributed >2M-edge path; at gate scale the
+                    # bounded union-find would run instead and the row
+                    # would re-test the default plan (review r09). Force
+                    # the distributed loop (the module documents this
+                    # knob for exactly this purpose) so the flagged
+                    # truncation points are genuinely exercised.
+                    force_cc = (
+                        flag == "SPARK_GRAFT_RELIABLE_CHECKPOINT"
+                        and key == "dedup_cluster_cc"
+                    )
+                    saved_cc = ext._CC_UNION_FIND_MAX_EDGES
+                    if force_cc:
+                        ext._CC_UNION_FIND_MAX_EDGES = 0
+                    try:
+                        df = qs[key](spark, SF_DIR)
+                        if spec["check"] == "exact":
+                            compare(df, con, oracles[key], key=key)
+                        else:
+                            TOLERANCE_CHECKERS[key](df, con, oracles[key])
+                    finally:
+                        ext._CC_UNION_FIND_MAX_EDGES = saved_cc
                     status = f"PASS({spec['check']})"
                     n_pass += 1
                 except Exception as exc:  # noqa: BLE001
@@ -222,6 +237,12 @@ def main() -> int:
                 )
         finally:
             os.environ.pop(flag, None)
+
+    # reliable-checkpoint files are not auto-deleted by Spark; sweep the
+    # tempdir default dirs this gate run created (review r09)
+    from cloud2sql_spark.checkpointing import cleanup_default_checkpoint_dirs
+
+    cleanup_default_checkpoint_dirs()
 
     total = sum(len(s["keys"]) for s in FLAG_MATRIX.values())
     print(f"\nflag matrix: {n_pass}/{total} PASS")

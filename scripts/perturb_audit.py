@@ -94,6 +94,18 @@ TRANSFORMS = {
 
 
 def main() -> int:
+    # --drive= is recognized at ANY position, and unknown --options are
+    # rejected BEFORE fixture generation: a misordered `dedup
+    # --drive=flag_matrix` must not fall through as a never-matching key
+    # prefix and report a false PASS of the default driver (review r09).
+    drive, args = "verify_contract", []
+    for a in sys.argv[1:]:
+        if a.startswith("--drive="):
+            drive = a.split("=", 1)[1]
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown option: {a}")
+        else:
+            args.append(a)
     shutil.rmtree(OUT, ignore_errors=True)
     os.makedirs(OUT)
     con = duckdb.connect()
@@ -107,9 +119,6 @@ def main() -> int:
         )
     con.close()
     print(f"perturbed tables written to {OUT}", flush=True)
-    drive, args = "verify_contract", list(sys.argv[1:])
-    if args and args[0].startswith("--drive="):
-        drive = args.pop(0).split("=", 1)[1]
     env = dict(os.environ, VERIFY_SF_DIR=OUT)
     try:
         return subprocess.call(

@@ -543,6 +543,40 @@ def test_reliable_checkpoint_dir_env_honored_after_default(spark, monkeypatch, t
     assert any(files for _, _, files in os.walk(ckdir)), "no checkpoint data"
 
 
+def test_cleanup_default_checkpoint_dirs(monkeypatch, tmp_path):
+    """The sweep removes only the tempdir-default dirs THIS module
+    registered — an explicit app-chosen dir is untouched (review r09:
+    the flag-matrix gate would otherwise leave a spark-graft-ckpt-*
+    directory of reliable-checkpoint files in /tmp per run). Pure
+    filesystem logic — no SparkSession."""
+    import tempfile
+
+    from cloud2sql_spark import checkpointing as cp
+
+    fake_tmp = tmp_path / "tmp"
+    fake_tmp.mkdir()
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(fake_tmp))
+    ours = fake_tmp / "spark-graft-ckpt-app1"
+    ours.mkdir()
+    (ours / "rdd-1").write_text("x")
+    theirs = tmp_path / "explicit" / "cluster-ckpt"
+    theirs.mkdir(parents=True)
+    saved = dict(cp._REGISTERED)
+    cp._REGISTERED.clear()
+    try:
+        cp._REGISTERED["app1"] = str(ours)
+        # registered but NOT under the (monkeypatched) tempdir: stands in
+        # for an explicit SPARK_GRAFT_CHECKPOINT_DIR — must survive
+        cp._REGISTERED["app2"] = str(theirs)
+        cp.cleanup_default_checkpoint_dirs()
+        assert not ours.exists()
+        assert theirs.exists()
+        assert list(cp._REGISTERED) == ["app2"]
+    finally:
+        cp._REGISTERED.clear()
+        cp._REGISTERED.update(saved)
+
+
 def _write_events(spark, tmp_path, rows):
     from datetime import datetime
 
