@@ -41,7 +41,10 @@ from pyspark.sql import DataFrame
 
 from cloud2sql_spark.flags import flag_enabled
 
-_ENV_RELIABLE = "SPARK_GRAFT_RELIABLE_CHECKPOINT"
+# (The reliable/local switch itself is read inline in truncate_lineage
+# via flag_enabled("SPARK_GRAFT_RELIABLE_CHECKPOINT") — the flag-matrix
+# completeness test discovers switches by their literal flag_enabled
+# call sites, so the name must not hide behind a constant.)
 _ENV_DIR = "SPARK_GRAFT_CHECKPOINT_DIR"
 
 
@@ -90,15 +93,22 @@ def cleanup_default_checkpoint_dirs() -> None:
     (review r09). Only OUR tempdir defaults are removed — an explicit
     SPARK_GRAFT_CHECKPOINT_DIR (e.g. a shared cluster path) is the
     application's to manage. Call only when no frame still needs its
-    checkpoint (end of session/gate)."""
+    checkpoint (end of session/gate).
+
+    The _REGISTERED entry is kept (only the files go): the
+    SparkContext's checkpointDir still points at the swept path and
+    cannot be unset, so a LATER reliable checkpoint in the same session
+    recreates the dir — dropping the entry would leave that recreated
+    dir untracked (unsweepable) and make _ensure_checkpoint_dir
+    misclassify our own default as an application-chosen dir, silently
+    ignoring a subsequently-set SPARK_GRAFT_CHECKPOINT_DIR (review r09,
+    second pass)."""
     import shutil
 
     tmp = tempfile.gettempdir() + os.sep
-    for app in list(_REGISTERED):
-        d = _REGISTERED[app]
+    for d in _REGISTERED.values():
         if d.startswith(tmp):
             shutil.rmtree(d, ignore_errors=True)
-            del _REGISTERED[app]
 
 
 def truncate_lineage(df: DataFrame, reliable: bool | None = None) -> DataFrame:

@@ -15,7 +15,11 @@ setup as scripts/verify_contract.py, and checks:
   checker enforcing the operator's DOCUMENTED approximation contract
   (see each checker's docstring).
 
-Usage: python scripts/flag_matrix.py  [exit 1 on any FAIL]
+Usage: python scripts/flag_matrix.py [key-prefix ...]  [exit 1 on any FAIL]
+Positional args filter the checked keys by prefix, same convention as
+verify_contract.py (so `perturb_audit.py --drive=flag_matrix dedup`
+filters instead of silently running everything — review r09). No args =
+the full matrix; the standing per-round gate runs unfiltered.
 Record the summary line in SURVEY.md §8 status each round, next to the
 contract-sweep and perturb-audit lines. tests/test_flags.py guarantees
 the matrix covers every flag the package consults.
@@ -188,11 +192,22 @@ def main() -> int:
         )
     qs, oracles = queries(), oracle_sql()
 
-    n_pass, failed = 0, []
+    prefixes = sys.argv[1:]
+
+    def _selected(keys: list[str]) -> list[str]:
+        if not prefixes:
+            return keys
+        return [k for k in keys if any(k.startswith(p) for p in prefixes)]
+
+    n_pass, n_run, failed = 0, 0, []
     for flag, spec in FLAG_MATRIX.items():
+        keys = _selected(spec["keys"])
+        if not keys:
+            continue
         os.environ[flag] = "1"
         try:
-            for key in spec["keys"]:
+            for key in keys:
+                n_run += 1
                 t0 = time.time()
                 label = f"{flag}:{key}"
                 try:
@@ -244,8 +259,14 @@ def main() -> int:
 
     cleanup_default_checkpoint_dirs()
 
-    total = sum(len(s["keys"]) for s in FLAG_MATRIX.values())
-    print(f"\nflag matrix: {n_pass}/{total} PASS")
+    if prefixes and n_run == 0:
+        # a typo'd prefix must not exit 0 with a hollow "0/0 PASS"
+        print(f"no matrix keys match prefixes {prefixes}", file=sys.stderr)
+        return 1
+    if prefixes:
+        skipped = sum(len(s["keys"]) for s in FLAG_MATRIX.values()) - n_run
+        print(f"\n(prefix filter {prefixes}: {skipped} matrix rows skipped)")
+    print(f"\nflag matrix: {n_pass}/{n_run} PASS")
     if failed:
         print("FAILED:", failed)
         return 1

@@ -571,7 +571,16 @@ def test_cleanup_default_checkpoint_dirs(monkeypatch, tmp_path):
         cp.cleanup_default_checkpoint_dirs()
         assert not ours.exists()
         assert theirs.exists()
-        assert list(cp._REGISTERED) == ["app2"]
+        # registrations are KEPT (review r09 second pass): the
+        # SparkContext still points at the swept path, so a later
+        # reliable checkpoint recreates the dir — it must stay tracked
+        # for the next sweep, and _ensure_checkpoint_dir must keep
+        # classifying it as OUR default (not an app-chosen dir)
+        assert list(cp._REGISTERED) == ["app1", "app2"]
+        ours.mkdir()  # Spark recreating the dir on the next checkpoint
+        (ours / "rdd-2").write_text("y")
+        cp.cleanup_default_checkpoint_dirs()
+        assert not ours.exists()
     finally:
         cp._REGISTERED.clear()
         cp._REGISTERED.update(saved)
