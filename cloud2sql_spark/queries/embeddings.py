@@ -68,19 +68,40 @@ def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round(s1/n/1000, 6) where s1 is an EXACT integer sum of milli-unit
+# values: the one mean expression in the embedding family whose true
+# value is a small-denominator rational and can therefore land EXACTLY
+# on a 6th-decimal half boundary — where Spark (decimal HALF_UP on the
+# double's shortest repr) and DuckDB (float multiply-then-round)
+# disagree by one ulp of the last digit. Green at sf0.01 for eight
+# rounds; the sf0.1 oracle sweep (round 9) hit two dims whose corpus
+# sums land on .xxxxx5 exactly. Fix: do the rounding in exact integer
+# arithmetic — half away from zero on |s1|·10⁶ against n·1000 — which
+# both engines evaluate bit-identically (the mirrored DuckDB form uses
+# // which equals truncation on the non-negative operands). The
+# division back by 1e6 is correctly rounded from identical integers, so
+# the output double is identical too.
+_MEAN_MILLI_6DP = (
+    "CAST(CASE WHEN s1 < 0 THEN -1 ELSE 1 END"
+    " * ((2 * abs(s1) * 1000000 + n * 1000) {div} (2 * n * 1000))"
+    " AS DOUBLE) / 1000000.0"
+)
+
+
 @register(
     "embed_dim_stats",
     oracle=f"""
     WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
     flat AS (SELECT i AS dim, v[i] AS val
              FROM q, generate_series(1, 64) g(i)),
-    s AS (SELECT dim, count(*) AS n,
-                 CAST(sum(val) AS DOUBLE) AS s1,
+    s AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(val) AS BIGINT) AS s1,
                  CAST(sum(val * val) AS DOUBLE) AS s2
           FROM flat GROUP BY dim)
     SELECT CAST(dim AS INT) AS dim,
-           round(s1 / n / 1000, 6) AS mean_val,
-           round(sqrt((s2 - s1 * s1 / n) / (n - 1)) / 1000, 6) AS std_val
+           {_MEAN_MILLI_6DP.format(div='//')} AS mean_val,
+           round(sqrt((s2 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                      / (n - 1)) / 1000, 6) AS std_val
     FROM s
     """,
 )
@@ -91,22 +112,25 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses everything map-side; the final shuffle moves 64 rows per
     partition regardless of corpus size. Stddev is computed from exact
     integer Σx and Σx² via one deterministic double expression (never the
-    engines' own order-dependent stddev accumulators)."""
+    engines' own order-dependent stddev accumulators); the mean rounds in
+    exact integer arithmetic (_MEAN_MILLI_6DP — the half-boundary class
+    the round-9 sf0.1 sweep caught)."""
     q = _quantized(spark, sf_dir)
     flat = q.select(F.posexplode("v").alias("pos", "val")).select(
         (F.col("pos") + 1).cast("int").alias("dim"), "val"
     )
     s = flat.groupBy("dim").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("val").cast("double").alias("s1"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("val").cast("bigint").alias("s1"),
         F.sum(F.col("val") * F.col("val")).cast("double").alias("s2"),
     )
     n = F.col("n")
+    s1d = F.col("s1").cast("double")
     return s.select(
         "dim",
-        F.round(F.col("s1") / n / 1000, 6).alias("mean_val"),
+        F.expr(_MEAN_MILLI_6DP.format(div="div")).alias("mean_val"),
         F.round(
-            F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)) / 1000,
+            F.sqrt((F.col("s2") - s1d * s1d / n) / (n - 1)) / 1000,
             6,
         ).alias("std_val"),
     )
@@ -792,7 +816,7 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(sum(CAST(val AS HUGEINT) * val * val) AS DECIMAL(38,0))
                      AS s3
           FROM flat GROUP BY dim),
-    m AS (SELECT dim, n,
+    m AS (SELECT dim, n, s1,
                  CAST(s1 AS DOUBLE) / n AS mu,
                  CAST(s2 AS DOUBLE) / n
                      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
@@ -803,7 +827,7 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                          * (CAST(s1 AS DOUBLE) / n) AS m3
           FROM s)
     SELECT CAST(dim AS INT) AS dim, n,
-           round(mu / 1000, 6) + 0.0 AS mean_val,
+           {_MEAN_MILLI_6DP.format(div='//')} AS mean_val,
            round(1 / sqrt(m2 / 1e6 + 1e-6), 6) AS whiten_scale,
            round(m3 / (m2 * sqrt(m2)), 6) + 0.0 AS skew_after
     FROM m
@@ -850,9 +874,9 @@ def embed_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "dim",
         "n",
-        # + 0.0: mean and skewness are signed and can round to -0.0 on
-        # near-zero dims; canonicalize for the driver's value-hash
-        (F.round(mu / 1000, 6) + F.lit(0.0)).alias("mean_val"),
+        # exact integer half-away rounding (see _MEAN_MILLI_6DP) — the
+        # integer path also can't produce -0.0, so no canonicalization
+        F.expr(_MEAN_MILLI_6DP.format(div="div")).alias("mean_val"),
         F.round(1 / F.sqrt(m2 / F.lit(1e6) + F.lit(1e-6)), 6).alias(
             "whiten_scale"
         ),
