@@ -140,7 +140,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
            round(avg(l_quantity) OVER (PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS movavg_7
     FROM lineitem
     """,
@@ -153,11 +153,22 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousandths ending in 5), so round(x, 2) agrees across engines — unlike
     averaging 2-decimal money, where n=2 frames hit .xx5 exactly and
     Spark/DuckDB round opposite ways (verify gotcha #2).
+
+    l_quantity is the FINAL ordering key because (l_orderkey,
+    l_linenumber) is not unique in every fixture generation: the r09
+    regeneration samples lineitem with replacement (600k rows, 457k
+    distinct key pairs), so rows can tie on (shipdate, orderkey,
+    linenumber) with DIFFERENT quantities — a ROWS frame over such a
+    partial order is nondeterministic (flaky Spark-vs-Spark AND
+    Spark-vs-DuckDB; caught by back-to-back sf0.1 sweeps disagreeing).
+    With quantity appended, any residual ties agree on every
+    output-visible value, so each frame's quantity multiset — and the
+    output row set — is order-invariant.
     """
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(-6, 0)
     )
     return li.select(

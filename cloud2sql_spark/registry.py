@@ -74,29 +74,35 @@ _loaded = False
 # registrations); rebuild it with that each round.
 _PRIORITY = [
     # Round 9 slot plan (computed by `python scripts/rotation_plan.py
-    # graph_kcore_peel embed_dim_stats embed_whitening_stats`): 0 reds,
-    # 0 never-tested. Slots 1-3 (rule 2): keys whose implementation
-    # changed this round — graph_kcore_peel (folded stats aggregate +
-    # literal trace frame; output oracle-identical, adjudication in the
-    # function docstring) and embed_dim_stats / embed_whitening_stats
-    # (mean rounding moved to exact integer half-away arithmetic in
-    # BOTH engines after the sf0.1 oracle sweep caught the cross-engine
-    # round() half-boundary on two dims; re-proven at sf0.001/0.01/0.1
-    # + perturbed). The other code edits build bit-identical default
-    # plans (_capped_sr_meta's token index moved inside the unflagged
-    # branch, _track bound/log bookkeeping, truncate_lineage reading
-    # its flag via flag_enabled instead of a raw environ get) and do
-    # not consume rule-2 slots (the r08 precedent). Slots 4-8 (rule 4):
-    # the five r02-stale udf/udtf keys — the whole remaining staleness
-    # tail from VERDICT r08 item 1. Slots 9-50: the first 43 of the 48
-    # r03-stale keys (alphabetical); the remaining five
-    # (subquery_scalar, text_normalize, text_top_ngrams,
+    # graph_kcore_peel embed_dim_stats embed_whitening_stats
+    # win_moving_avg`): 0 reds, 0 never-tested. Slots 1-4 (rule 2):
+    # keys whose implementation changed this round — graph_kcore_peel
+    # (folded stats aggregate + literal trace frame; output oracle-
+    # identical, adjudication in the function docstring),
+    # embed_dim_stats / embed_whitening_stats (mean rounding moved to
+    # exact integer half-away arithmetic in BOTH engines after the
+    # sf0.1 oracle sweep caught the cross-engine round() half-boundary
+    # on two dims), and win_moving_avg (l_quantity appended to the
+    # window order — the r09 fixture samples lineitem with replacement,
+    # so (orderkey, linenumber) ties made the ROWS frame
+    # nondeterministic; all four re-proven at sf0.001/0.01/0.1 +
+    # perturbed, win_moving_avg 3× back-to-back stable). The other code
+    # edits build bit-identical default plans (_capped_sr_meta's token
+    # index moved inside the unflagged branch, _track bound/log
+    # bookkeeping, truncate_lineage reading its flag via flag_enabled
+    # instead of a raw environ get) and do not consume rule-2 slots
+    # (the r08 precedent). Slots 5-9 (rule 4): the five r02-stale
+    # udf/udtf keys — the whole remaining staleness tail from VERDICT
+    # r08 item 1. Slots 10-50: the first 41 of the 48 r03-stale keys
+    # (alphabetical); the remaining six (subquery_exists,
+    # subquery_scalar, text_normalize, text_top_ngrams,
     # win_ntile_percent, win_pattern_match) stay r03 and queue first
     # next round — after this round no key's latest green row is older
     # than r03, the VERDICT r08 target.
     "graph_kcore_peel",
     "embed_dim_stats",
     "embed_whitening_stats",
+    "win_moving_avg",
     "udf_grouped_map",
     "udf_pandas_scalar",
     "udf_python",
@@ -143,7 +149,6 @@ _PRIORITY = [
     "set_except_all",
     "set_intersect_all",
     "sink_partitioned_pruned",
-    "subquery_exists",
 ]
 
 
