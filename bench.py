@@ -9,15 +9,13 @@ metric is the sum over the headline set.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from cloud2sql_spark.registry import queries
-from cloud2sql_spark.session import get_spark
 
 # Headline set: one representative per operator family; extended as
 # families land. Keys absent from the registry are skipped (forward-compat).
@@ -299,6 +297,40 @@ def freeze_round_snapshot(repo: str, record: dict) -> str | None:
             file=sys.stderr,
         )
         return None
+    # Inference guard (ADVICE r09): the one bad window is a rerun AFTER
+    # the driver has written this round's BENCH_r{N}.json but BEFORE the
+    # round-boundary commit — inference then reads N+1 and would freeze
+    # the NEXT round's label with THIS round's timings, and write-once
+    # would block the next round's genuine snapshot. The tell is the
+    # inference basis file being uncommitted: at a genuine next-round
+    # first run the driver's artifact commit has already landed. In that
+    # window refuse to freeze and demand an explicit round label.
+    if not env_rnd and rounds:
+        import subprocess
+
+        basis = f"BENCH_r{max(rounds):02d}.json"
+        try:
+            out = subprocess.run(
+                ["git", "status", "--porcelain", "--", basis],
+                cwd=repo,
+                capture_output=True,
+                text=True,
+                timeout=10,
+                check=True,
+            )
+            basis_dirty = bool(out.stdout.strip())
+        except Exception:  # noqa: BLE001 — no git / bare checkout: freeze
+            basis_dirty = False
+        if basis_dirty:
+            print(
+                f"bench: NOT freezing {os.path.basename(frozen)} — round "
+                f"inferred from uncommitted {basis} (this looks like a "
+                "rerun inside the round that produced it, which would "
+                "mislabel the snapshot); set SPARK_GRAFT_BENCH_ROUND "
+                "explicitly to freeze in this window",
+                file=sys.stderr,
+            )
+            return None
     with open(frozen, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
         f.write("\n")
@@ -306,7 +338,42 @@ def freeze_round_snapshot(repo: str, record: dict) -> str | None:
     return frozen
 
 
-def main() -> None:
+def _parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    """Parse CLI args with zero side effects — importable by tests.
+
+    bench.py is configured entirely by env vars; it accepts NO
+    arguments. Before this parser existed ANY invocation — including
+    ``--help`` — launched the full ~7-minute sf0.1 run and rewrote
+    bench_full_latest.json / bench_history.jsonl (VERDICT r09 item 4).
+    Now ``--help`` prints usage and exits 0 with no Spark session and no
+    file writes, and any stray argument errors out immediately.
+    """
+    parser = argparse.ArgumentParser(
+        description=(
+            "Time the headline query set at SPARK_GRAFT_SF_DIR (default "
+            "/root/testdata/sf0.1, ~7 min best-of-3) and print ONE JSON "
+            "line; unfiltered sf0.1 runs also persist "
+            "bench_full_latest.json / bench_history.jsonl and freeze "
+            "bench_full_r{N}.json once per round."
+        ),
+        epilog=(
+            "Env: SPARK_GRAFT_SF_DIR (fixture dir), SPARK_GRAFT_CPUS, "
+            "SPARK_GRAFT_BENCH_ONLY (comma-separated key filter, "
+            "not persisted), SPARK_GRAFT_BENCH_ROUND (explicit freeze "
+            "round), SPARK_GRAFT_BENCH_REFREEZE=1 (replace a frozen "
+            "snapshot)."
+        ),
+    )
+    return parser.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> None:
+    _parse_args(argv)
+    # Heavy imports only after a successful parse — --help and argument
+    # typos must resolve before any pyspark import, let alone a session.
+    from cloud2sql_spark.registry import queries
+    from cloud2sql_spark.session import get_spark
+
     # Fail a typo'd round override BEFORE the multi-minute timed run, not
     # at freeze time after it (review r09) — freeze_round_snapshot keeps
     # its own check for direct callers.

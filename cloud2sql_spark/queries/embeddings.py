@@ -81,10 +81,30 @@ def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # // which equals truncation on the non-negative operands). The
 # division back by 1e6 is correctly rounded from identical integers, so
 # the output double is identical too.
+#
+# Overflow posture (VERDICT/ADVICE r09): the numerator 2·|s1|·10⁶ rides
+# a 128-bit-capable type on BOTH engines — Spark DECIMAL(38,0) (`div`
+# on a decimal numerator is exact integral division returning BIGINT),
+# DuckDB HUGEINT (`//` on HUGEINT is exact; on DECIMAL it silently
+# degrades to DOUBLE, so HUGEINT is mandatory there). int64 topped out
+# at |s1| ≈ 4.6e12, reachable for a biased dimension at ~10¹⁰ corpus
+# rows; the wide form is exact to |s1| ≈ 10³¹. The QUOTIENT
+# (round(mean·10⁶)) still lands in BIGINT, which is fine at any corpus
+# size: the mean of bounded milli-unit values is bounded (exactness
+# needs |s1/n| < 9.2e12 milli-units — nine orders above the
+# quantization range), so the quotient never grows with n — only the
+# numerator did.
+# tests/test_properties.py pins both engines against Fraction-exact
+# rounding at adversarial |s1| past the old int64 cliff.
 _MEAN_MILLI_6DP = (
     "CAST(CASE WHEN s1 < 0 THEN -1 ELSE 1 END"
-    " * ((2 * abs(s1) * 1000000 + n * 1000) {div} (2 * n * 1000))"
+    " * ((2 * CAST(abs(s1) AS {wide}) * 1000000 + n * 1000)"
+    " {div} (2 * n * 1000))"
     " AS DOUBLE) / 1000000.0"
+)
+_MEAN_MILLI_6DP_ORACLE = _MEAN_MILLI_6DP.format(div="//", wide="HUGEINT")
+_MEAN_MILLI_6DP_SPARK = _MEAN_MILLI_6DP.format(
+    div="div", wide="DECIMAL(38,0)"
 )
 
 
@@ -99,7 +119,7 @@ _MEAN_MILLI_6DP = (
                  CAST(sum(val * val) AS DOUBLE) AS s2
           FROM flat GROUP BY dim)
     SELECT CAST(dim AS INT) AS dim,
-           {_MEAN_MILLI_6DP.format(div='//')} AS mean_val,
+           {_MEAN_MILLI_6DP_ORACLE} AS mean_val,
            round(sqrt((s2 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
                       / (n - 1)) / 1000, 6) AS std_val
     FROM s
@@ -128,7 +148,7 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1d = F.col("s1").cast("double")
     return s.select(
         "dim",
-        F.expr(_MEAN_MILLI_6DP.format(div="div")).alias("mean_val"),
+        F.expr(_MEAN_MILLI_6DP_SPARK).alias("mean_val"),
         F.round(
             F.sqrt((F.col("s2") - s1d * s1d / n) / (n - 1)) / 1000,
             6,
@@ -827,7 +847,7 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                          * (CAST(s1 AS DOUBLE) / n) AS m3
           FROM s)
     SELECT CAST(dim AS INT) AS dim, n,
-           {_MEAN_MILLI_6DP.format(div='//')} AS mean_val,
+           {_MEAN_MILLI_6DP_ORACLE} AS mean_val,
            round(1 / sqrt(m2 / 1e6 + 1e-6), 6) AS whiten_scale,
            round(m3 / (m2 * sqrt(m2)), 6) + 0.0 AS skew_after
     FROM m
@@ -876,7 +896,7 @@ def embed_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         # exact integer half-away rounding (see _MEAN_MILLI_6DP) — the
         # integer path also can't produce -0.0, so no canonicalization
-        F.expr(_MEAN_MILLI_6DP.format(div="div")).alias("mean_val"),
+        F.expr(_MEAN_MILLI_6DP_SPARK).alias("mean_val"),
         F.round(1 / F.sqrt(m2 / F.lit(1e6) + F.lit(1e-6)), 6).alias(
             "whiten_scale"
         ),

@@ -106,6 +106,17 @@ def main() -> int:
             raise SystemExit(f"unknown option: {a}")
         else:
             args.append(a)
+    # Validate the drive target BEFORE the expensive fixture generation:
+    # a typo'd --drive= used to surface only as the interpreter's
+    # "can't open file" AFTER the perturbed tables were written
+    # (ADVICE r09).
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    drive_py = os.path.join(repo, "scripts", f"{drive}.py")
+    if not os.path.exists(drive_py):
+        raise SystemExit(
+            f"--drive={drive}: no such script {drive_py} "
+            "(known drives: verify_contract, flag_matrix)"
+        )
     shutil.rmtree(OUT, ignore_errors=True)
     os.makedirs(OUT)
     con = duckdb.connect()
@@ -122,9 +133,7 @@ def main() -> int:
     env = dict(os.environ, VERIFY_SF_DIR=OUT)
     try:
         return subprocess.call(
-            [sys.executable, f"scripts/{drive}.py", *args],
-            env=env,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            [sys.executable, drive_py, *args], env=env, cwd=repo
         )
     finally:
         shutil.rmtree(OUT, ignore_errors=True)

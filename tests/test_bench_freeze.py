@@ -73,3 +73,60 @@ def test_non_numeric_env_round_errors(repo, monkeypatch):
     assert not [
         fn for fn in os.listdir(repo) if fn.startswith("bench_full_")
     ]
+
+
+def _git(repo: str, *args: str) -> None:
+    import subprocess
+
+    subprocess.run(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t", *args],
+        cwd=repo,
+        check=True,
+        capture_output=True,
+    )
+
+
+def test_inferred_round_with_uncommitted_basis_skips_freeze(repo, capsys):
+    """ADVICE r09: a rerun after the driver wrote BENCH_r{N}.json but
+    before the round-boundary commit infers N+1 — the mislabel window.
+    The tell is the basis file being uncommitted; refuse to freeze."""
+    _git(repo, "init", "-q")
+    with open(os.path.join(repo, "BENCH_r09.json"), "w") as f:
+        f.write("{}")
+    assert freeze_round_snapshot(repo, {"value": 1.0}) is None
+    assert "NOT freezing" in capsys.readouterr().err
+    assert not [
+        fn for fn in os.listdir(repo) if fn.startswith("bench_full_")
+    ]
+
+
+def test_inferred_round_with_committed_basis_freezes(repo):
+    """The genuine next-round first run sees the driver's artifact commit
+    already landed — inference stays trusted there."""
+    _git(repo, "init", "-q")
+    with open(os.path.join(repo, "BENCH_r09.json"), "w") as f:
+        f.write("{}")
+    _git(repo, "add", "BENCH_r09.json")
+    _git(repo, "commit", "-qm", "round 9 artifacts")
+    path = freeze_round_snapshot(repo, {"value": 1.0})
+    assert path is not None and path.endswith("bench_full_r10.json")
+
+
+def test_explicit_round_bypasses_basis_guard(repo, monkeypatch):
+    """SPARK_GRAFT_BENCH_ROUND is exactly the escape hatch the guard's
+    stderr message prescribes for the mislabel window."""
+    _git(repo, "init", "-q")
+    with open(os.path.join(repo, "BENCH_r09.json"), "w") as f:
+        f.write("{}")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ROUND", "9")
+    path = freeze_round_snapshot(repo, {"value": 1.0})
+    assert path is not None and path.endswith("bench_full_r09.json")
+
+
+def test_no_git_checkout_still_freezes(repo):
+    """A bare (non-git) working dir must not lose the freeze — the guard
+    fails open when git is unavailable (read-only checkout posture)."""
+    with open(os.path.join(repo, "BENCH_r09.json"), "w") as f:
+        f.write("{}")
+    path = freeze_round_snapshot(repo, {"value": 1.0})
+    assert path is not None and path.endswith("bench_full_r10.json")

@@ -1039,3 +1039,95 @@ def test_track_bounds_ephemeral_persists(caplog):
     finally:
         ext._EPHEMERAL_PERSISTS.clear()
         ext._EPHEMERAL_PERSISTS.extend(saved)
+
+
+# ------------------------------------------------- _MEAN_MILLI_6DP widening
+
+def _mean_milli_exact(s1: int, n: int) -> float:
+    """Fraction-exact half-away-from-zero round(s1/(n·10³), 6), expressed
+    through the same integer quotient both engine expressions compute,
+    then the same two-step int→double→/1e6 conversion (each step
+    correctly rounded in CPython exactly as in both engines' CAST +
+    division)."""
+    sign = -1 if s1 < 0 else 1
+    q = (2 * abs(s1) * 10**6 + n * 1000) // (2 * n * 1000)
+    return sign * q / 1e6
+
+
+# Deterministic adversarial cases: past the old int64 numerator cliff
+# (|s1| > ~4.6e12 made 2·|s1|·10⁶ wrap in int64 — ADVICE r09), at the
+# bigint edge, at EXACT 6th-decimal half boundaries (2·s1·10³ = odd·n),
+# and with negatives (sign applied after the unsigned rounding). The
+# remaining contract is on the QUOTIENT, not the numerator: Spark's
+# decimal `div` returns BIGINT, so the rounded mean·10⁶ must fit int64
+# — |s1/n| < 9.2e12 milli-units, guaranteed for any mean of bounded
+# per-dimension values at ANY corpus row count n (the n-scaling axis is
+# exactly what the widening fixed). Cases respect that bound; DuckDB's
+# HUGEINT quotient has no such bound (the full-domain hypothesis sweep
+# below exercises it).
+_MEAN_MILLI_CASES = [
+    (4_600_000_000_001, 3),              # just past the old cliff
+    (-4_600_000_000_001, 3),
+    (9_223_372_036_854_775_000, 10**7),  # s1 at bigint max, bounded mean
+    (-9_223_372_036_854_775_000, 10**7),
+    (9_200_000_001 * 10**9, 2 * 10**12), # exact .xxxxx5 half boundary
+    (-9_200_000_001 * 10**9, 2 * 10**12),
+    (3 * 10**15, 2 * 10**12),            # half boundary, even quotient
+    (4_999_999_999_999_500, 1000),
+    (5, 10),
+    (0, 123456789),
+]
+
+
+def test_mean_milli_6dp_duckdb_exact_past_int64():
+    """The DuckDB (HUGEINT) form of _MEAN_MILLI_6DP matches exact integer
+    half-away-from-zero rounding at |s1| magnitudes where the old int64
+    numerator silently wrapped."""
+    import duckdb
+
+    from cloud2sql_spark.queries.embeddings import _MEAN_MILLI_6DP_ORACLE
+
+    con = duckdb.connect()
+    for s1, n in _MEAN_MILLI_CASES:
+        got = con.execute(
+            f"SELECT {_MEAN_MILLI_6DP_ORACLE} FROM "
+            f"(SELECT CAST({s1} AS BIGINT) s1, CAST({n} AS BIGINT) n)"
+        ).fetchone()[0]
+        assert got == _mean_milli_exact(s1, n), (s1, n, got)
+
+
+@given(
+    s1=st.integers(min_value=-(2**63) + 1, max_value=2**63 - 1),
+    n=st.integers(min_value=1, max_value=10**12),
+)
+@settings(max_examples=300, deadline=None)
+def test_mean_milli_6dp_duckdb_exact_property(s1, n):
+    """Hypothesis sweep of the full bigint s1 domain against the exact
+    form — the numerator 2·|s1|·10⁶ exceeds int64 for most draws, so any
+    residual narrow arithmetic in the oracle template would wrap and
+    fail here."""
+    import duckdb
+
+    from cloud2sql_spark.queries.embeddings import _MEAN_MILLI_6DP_ORACLE
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {_MEAN_MILLI_6DP_ORACLE} FROM "
+        f"(SELECT CAST({s1} AS BIGINT) s1, CAST({n} AS BIGINT) n)"
+    ).fetchone()[0]
+    assert got == _mean_milli_exact(s1, n), (s1, n, got)
+
+
+def test_mean_milli_6dp_spark_matches_exact_and_oracle(spark):
+    """The Spark (DECIMAL(38,0) div) form computes the identical double
+    for every adversarial case — one DataFrame pass, both engine
+    templates pinned to the same Fraction-exact integer."""
+    from cloud2sql_spark.queries.embeddings import _MEAN_MILLI_6DP_SPARK
+
+    df = spark.createDataFrame(_MEAN_MILLI_CASES, "s1 long, n long")
+    rows = df.selectExpr(
+        "s1", "n", f"{_MEAN_MILLI_6DP_SPARK} AS r"
+    ).collect()
+    assert len(rows) == len(_MEAN_MILLI_CASES)
+    for row in rows:
+        assert row.r == _mean_milli_exact(row.s1, row.n), (row.s1, row.n, row.r)
