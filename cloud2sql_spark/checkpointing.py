@@ -58,6 +58,15 @@ _ENV_DIR = "SPARK_GRAFT_CHECKPOINT_DIR"
 # setCheckpointDir call).
 _REGISTERED: dict[str, str] = {}
 
+# The subset of _REGISTERED values this module INVENTED (the
+# tempfile-default branch), as opposed to explicit
+# SPARK_GRAFT_CHECKPOINT_DIR values it merely registered. Only these are
+# ever swept by cleanup_default_checkpoint_dirs: an app-chosen dir that
+# happens to live under the temp dir (/tmp/shared-ckpt, a pytest tmp
+# path) is the application's to manage, and a prefix test against
+# gettempdir() cannot tell it apart from ours (ADVICE r09).
+_DEFAULT_DIRS: set[str] = set()
+
 
 def _ensure_checkpoint_dir(df: DataFrame) -> None:
     sc = df.sparkSession.sparkContext
@@ -81,6 +90,7 @@ def _ensure_checkpoint_dir(df: DataFrame) -> None:
         )
         sc.setCheckpointDir(default)
         _REGISTERED[app] = default
+        _DEFAULT_DIRS.add(default)
 
 
 def cleanup_default_checkpoint_dirs() -> None:
@@ -90,10 +100,13 @@ def cleanup_default_checkpoint_dirs() -> None:
     harness that flips SPARK_GRAFT_RELIABLE_CHECKPOINT on (the flag
     matrix gate, every round) would otherwise leave a new
     spark-graft-ckpt-* directory of materialized frames in /tmp per run
-    (review r09). Only OUR tempdir defaults are removed — an explicit
-    SPARK_GRAFT_CHECKPOINT_DIR (e.g. a shared cluster path) is the
-    application's to manage. Call only when no frame still needs its
-    checkpoint (end of session/gate).
+    (review r09). Only the dirs this module ITSELF invented
+    (_DEFAULT_DIRS) are removed — an explicit
+    SPARK_GRAFT_CHECKPOINT_DIR (a shared cluster path, a pytest tmp
+    path) is the application's to manage even when it happens to live
+    under the temp dir, where a gettempdir() prefix test used to
+    misclassify and destroy it (ADVICE r09). Call only when no frame
+    still needs its checkpoint (end of session/gate).
 
     The _REGISTERED entry is kept (only the files go): the
     SparkContext's checkpointDir still points at the swept path and
@@ -105,8 +118,13 @@ def cleanup_default_checkpoint_dirs() -> None:
     second pass)."""
     import shutil
 
+    # Sweep _DEFAULT_DIRS itself, not _REGISTERED: a default that was
+    # later upgraded to an env dir leaves _REGISTERED but its orphaned
+    # files are still ours to remove. Belt-and-braces: _DEFAULT_DIRS
+    # only ever holds tempdir-joined paths by construction, but never
+    # rmtree outside the temp dir even if that invariant breaks.
     tmp = tempfile.gettempdir() + os.sep
-    for d in _REGISTERED.values():
+    for d in _DEFAULT_DIRS:
         if d.startswith(tmp):
             shutil.rmtree(d, ignore_errors=True)
 

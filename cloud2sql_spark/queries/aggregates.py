@@ -17,6 +17,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cloud2sql_spark.catalog import load_table
+from cloud2sql_spark.queries.rounding import (
+    ratio_round_oracle,
+    ratio_round_spark,
+)
 from cloud2sql_spark.registry import register
 
 
@@ -28,6 +32,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is exact in both engines, while float summation would land on
     round() half-way boundaries ~1% of the time per value (cross-engine
     round() disagrees there — measured in round 1).
+
+    The three averages round through exact integer arithmetic
+    (queries/rounding.py, the round-10 generalization of the r09
+    embedding-mean fix): round(S_cents/(100·n), 2) as an exact 2-decimal
+    value can land EXACTLY on a half-cent boundary where the engines'
+    round() disagree (~16% of synthesized boundary cases diverge) — a
+    latent coin-flip red on the flagship key at any fixture
+    regeneration whose group sum/count hit the boundary.
     """
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -41,14 +53,30 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(qty).alias("_sum_qty"),
+            F.sum(price).alias("_sum_price"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
             F.sum(charge).cast("double").alias("sum_charge"),
-            F.round(F.sum(qty).cast("double") / n, 2).alias("avg_qty"),
-            F.round(F.sum(price).cast("double") / n, 2).alias("avg_price"),
-            F.round(F.sum(disc).cast("double") / n, 2).alias("avg_disc"),
+            F.sum(disc).alias("_sum_disc"),
             n.alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sum_qty").cast("double").alias("sum_qty"),
+            F.col("_sum_price").cast("double").alias("sum_base_price"),
+            "sum_disc_price",
+            "sum_charge",
+            F.expr(
+                ratio_round_spark("_sum_qty * 100", "100 * count_order", 2)
+            ).alias("avg_qty"),
+            F.expr(
+                ratio_round_spark("_sum_price * 100", "100 * count_order", 2)
+            ).alias("avg_price"),
+            F.expr(
+                ratio_round_spark("_sum_disc * 100", "100 * count_order", 2)
+            ).alias("avg_disc"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -56,7 +84,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(
     "agg_groupby",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
@@ -65,9 +93,9 @@ register(
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l_discount AS DECIMAL(18,2)))
                     * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_disc,
+           {ratio_round_oracle("sum(CAST(l_quantity AS DECIMAL(18,2))) * 100", "100 * count(*)", 2)} AS avg_qty,
+           {ratio_round_oracle("sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100", "100 * count(*)", 2)} AS avg_price,
+           {ratio_round_oracle("sum(CAST(l_discount AS DECIMAL(18,2))) * 100", "100 * count(*)", 2)} AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -23,6 +23,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cloud2sql_spark.catalog import load_table
+from cloud2sql_spark.queries.rounding import (
+    ratio_round_oracle,
+    ratio_round_spark,
+)
 from cloud2sql_spark.ntile_scale import (
     approx_ntile_enabled,
     boundary_aggs,
@@ -2386,7 +2390,7 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_markov_next_state",
-    oracle="""
+    oracle=f"""
     WITH seq AS (
       SELECT user_id, event_type,
              lead(event_type) OVER (PARTITION BY user_id
@@ -2400,7 +2404,7 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, CAST(sum(n) AS BIGINT) AS row_total FROM t
       GROUP BY event_type)
     SELECT t.event_type AS cur_type, t.next_type, t.n, tot.row_total,
-           round(CAST(t.n AS DOUBLE) / tot.row_total, 6) AS p
+           {ratio_round_oracle("t.n", "tot.row_total", 6)} AS p
     FROM t JOIN tot ON t.event_type = tot.event_type
     """,
 )
@@ -2410,10 +2414,11 @@ def events_markov_next_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     next-action prediction and journey simulation. One (user, time)
     window produces the lagged pairs, one map-side-combined count per
     (cur, next) cell (≤ |types|² rows), and the row-normalizer joins
-    back as a broadcast. Probabilities are one double division mirroring
-    the oracle's association, rounded to 6; counts are exact. The
-    fact-table shuffle is the single user_id window — transition cells
-    are tiny at any scale."""
+    back as a broadcast. Probabilities round through exact integer
+    arithmetic (queries/rounding.py): n/row_total is an exact rational
+    that can land on a 6th-decimal half boundary where the engines'
+    round() disagree; counts are exact. The fact-table shuffle is the
+    single user_id window — transition cells are tiny at any scale."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -2432,9 +2437,7 @@ def events_markov_next_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_type",
             "n",
             "row_total",
-            F.round(
-                F.col("n").cast("double") / F.col("row_total"), 6
-            ).alias("p"),
+            F.expr(ratio_round_spark("n", "row_total", 6)).alias("p"),
         )
     )
 

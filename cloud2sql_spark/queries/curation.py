@@ -21,6 +21,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cloud2sql_spark.catalog import load_table
+from cloud2sql_spark.queries.rounding import (
+    ratio_round_oracle,
+    ratio_round_spark,
+)
 from cloud2sql_spark.ntile_scale import (
     approx_ntile_enabled,
     boundary_aggs,
@@ -1113,7 +1117,7 @@ def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_importance_reweight",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
       GROUP BY lang),
@@ -1123,19 +1127,20 @@ def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e),
     w AS (
       SELECT e.lang, e.n, t.total, t.k,
-             CAST(e.n AS DOUBLE) / t.total AS emp_p,
              (CAST(t.total AS DOUBLE) / t.k) / e.n AS weight,
              CAST(round(CAST(e.n AS DOUBLE) * (weight * weight) * 1e9, 0)
                   AS DECIMAL(38,0)) AS q
-      FROM e CROSS JOIN t)
+      FROM e CROSS JOIN t),
+    w2 AS (
+      SELECT w.*, CAST(sum(q) OVER () AS HUGEINT) AS sum_q FROM w)
     SELECT lang, n,
-           round(emp_p, 6) AS emp_p,
-           round(weight, 6) AS weight,
-           round(CAST(q AS DOUBLE) / 1e9, 6) AS sum_w2_term,
-           round(CAST(total AS DOUBLE) * total /
-                 (CAST(sum(q) OVER () AS DOUBLE) / 1e9), 6)
-               AS effective_sample_size
-    FROM w
+           {ratio_round_oracle("n", "total", 6)} AS emp_p,
+           {ratio_round_oracle("total", "k * n", 6)} AS weight,
+           {ratio_round_oracle("q", "1000000000", 6)} AS sum_w2_term,
+           {ratio_round_oracle(
+               "CAST(total AS HUGEINT) * total * 1000000000", "sum_q", 6
+           )} AS effective_sample_size
+    FROM w2
     """,
 )
 def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1162,7 +1167,7 @@ def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n",
         "total",
-        (F.col("n").cast("double") / F.col("total")).alias("emp_p"),
+        "k",
         (
             (F.col("total").cast("double") / F.col("k")) / F.col("n")
         ).alias("weight"),
@@ -1181,20 +1186,33 @@ def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(1e9),
         0,
     ).cast("decimal(38,0)")
-    w = w.withColumn("q", q)
-    sum_q = F.sum("q").over(Window.partitionBy()).cast("decimal(38,0)")
+    w = w.withColumn("q", q).withColumn(
+        "sum_q",
+        F.sum("q").over(Window.partitionBy()).cast("decimal(38,0)"),
+    )
+    # The four output rounds ride exact integer arithmetic
+    # (queries/rounding.py): every one is an exact rational — n/total,
+    # total/(k·n), q/1e9, total²·1e9/Σq — and `weight`'s denominator
+    # k·n sits on a half boundary whenever a language count lands on
+    # 2^10·5^b (n ≈ 1024 IS in the fixture's per-language range), the
+    # cross-engine round() coin-flip. The q quantization itself keeps
+    # the double round (audited: its 0-decimal boundary needs
+    # (k²n) | 2e9·total² with an odd quotient — P < 1e-4 per
+    # regeneration — and the exact form would shrink the documented
+    # >int64 q headroom, see queries/rounding.py's not-converted list).
     return w.select(
         "lang",
         "n",
-        F.round("emp_p", 6).alias("emp_p"),
-        F.round("weight", 6).alias("weight"),
-        F.round(F.col("q").cast("double") / F.lit(1e9), 6).alias(
+        F.expr(ratio_round_spark("n", "total", 6)).alias("emp_p"),
+        F.expr(ratio_round_spark("total", "k * n", 6)).alias("weight"),
+        F.expr(ratio_round_spark("q", "1000000000", 6)).alias(
             "sum_w2_term"
         ),
-        F.round(
-            F.col("total").cast("double")
-            * F.col("total")
-            / (sum_q.cast("double") / F.lit(1e9)),
-            6,
+        F.expr(
+            ratio_round_spark(
+                "CAST(total AS DECIMAL(38,0)) * total * 1000000000",
+                "sum_q",
+                6,
+            )
         ).alias("effective_sample_size"),
     )

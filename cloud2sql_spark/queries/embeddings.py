@@ -29,6 +29,10 @@ from cloud2sql_spark.queries.extensions import (
     _int_dot,
     _quantized,
 )
+from cloud2sql_spark.queries.rounding import (
+    ratio_round_oracle,
+    ratio_round_spark,
+)
 from cloud2sql_spark.registry import register
 
 
@@ -69,43 +73,21 @@ def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # round(s1/n/1000, 6) where s1 is an EXACT integer sum of milli-unit
-# values: the one mean expression in the embedding family whose true
-# value is a small-denominator rational and can therefore land EXACTLY
-# on a 6th-decimal half boundary — where Spark (decimal HALF_UP on the
-# double's shortest repr) and DuckDB (float multiply-then-round)
-# disagree by one ulp of the last digit. Green at sf0.01 for eight
-# rounds; the sf0.1 oracle sweep (round 9) hit two dims whose corpus
-# sums land on .xxxxx5 exactly. Fix: do the rounding in exact integer
-# arithmetic — half away from zero on |s1|·10⁶ against n·1000 — which
-# both engines evaluate bit-identically (the mirrored DuckDB form uses
-# // which equals truncation on the non-negative operands). The
-# division back by 1e6 is correctly rounded from identical integers, so
-# the output double is identical too.
-#
-# Overflow posture (VERDICT/ADVICE r09): the numerator 2·|s1|·10⁶ rides
-# a 128-bit-capable type on BOTH engines — Spark DECIMAL(38,0) (`div`
-# on a decimal numerator is exact integral division returning BIGINT),
-# DuckDB HUGEINT (`//` on HUGEINT is exact; on DECIMAL it silently
-# degrades to DOUBLE, so HUGEINT is mandatory there). int64 topped out
-# at |s1| ≈ 4.6e12, reachable for a biased dimension at ~10¹⁰ corpus
-# rows; the wide form is exact to |s1| ≈ 10³¹. The QUOTIENT
-# (round(mean·10⁶)) still lands in BIGINT, which is fine at any corpus
-# size: the mean of bounded milli-unit values is bounded (exactness
-# needs |s1/n| < 9.2e12 milli-units — nine orders above the
-# quantization range), so the quotient never grows with n — only the
-# numerator did.
-# tests/test_properties.py pins both engines against Fraction-exact
-# rounding at adversarial |s1| past the old int64 cliff.
-_MEAN_MILLI_6DP = (
-    "CAST(CASE WHEN s1 < 0 THEN -1 ELSE 1 END"
-    " * ((2 * CAST(abs(s1) AS {wide}) * 1000000 + n * 1000)"
-    " {div} (2 * n * 1000))"
-    " AS DOUBLE) / 1000000.0"
-)
-_MEAN_MILLI_6DP_ORACLE = _MEAN_MILLI_6DP.format(div="//", wide="HUGEINT")
-_MEAN_MILLI_6DP_SPARK = _MEAN_MILLI_6DP.format(
-    div="div", wide="DECIMAL(38,0)"
-)
+# values: the round-9 sf0.1 sweep caught two dims whose corpus sums
+# land EXACTLY on the 6th-decimal half boundary, where the engines'
+# round() implementations disagree by one last-digit ulp. The exact
+# integer half-away-from-zero form (with the round-10 DECIMAL(38,0) /
+# HUGEINT numerator widening -- int64 topped out at |s1| ~ 4.6e12,
+# reachable for a biased dimension at ~1e10 corpus rows) now lives in
+# queries/rounding.py as the general immunization for the whole
+# round(exact_integer_ratio, k) class; see its module docstring for
+# the mechanism, the overflow posture, and the quotient contract
+# (|s1/n| < 9.2e12 milli-units -- nine orders above the quantization
+# range). tests/test_properties.py pins both engine templates against
+# Fraction-exact rounding at adversarial |s1| past the old int64
+# cliff.
+_MEAN_MILLI_6DP_ORACLE = ratio_round_oracle("s1", "n * 1000", 6)
+_MEAN_MILLI_6DP_SPARK = ratio_round_spark("s1", "n * 1000", 6)
 
 
 @register(

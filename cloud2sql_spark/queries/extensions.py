@@ -34,6 +34,10 @@ from pyspark.sql.window import Window
 
 from cloud2sql_spark.catalog import load_table
 from cloud2sql_spark.flags import flag_enabled
+from cloud2sql_spark.queries.rounding import (
+    ratio_round_oracle,
+    ratio_round_spark,
+)
 from cloud2sql_spark.registry import register
 
 # ---------------------------------------------------------------- helpers
@@ -1560,17 +1564,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_quality_report",
     oracle=f"""
     WITH truth AS ({_EXACT_JACCARD_PAIRS_SQL.format(thr=0.5)}),
-    cand AS ({_SIMHASH_PAIRS_SQL})
-    SELECT (SELECT count(*) FROM truth) AS n_truth,
-           (SELECT count(*) FROM cand) AS n_candidates,
-           (SELECT count(*) FROM truth t JOIN cand c
-              ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit,
-           round((SELECT count(*) FROM truth t JOIN cand c
-                    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) * 1.0
-                 / (SELECT count(*) FROM truth), 6) AS recall,
-           round((SELECT count(*) FROM truth t JOIN cand c
-                    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) * 1.0
-                 / (SELECT count(*) FROM cand), 6) AS precision
+    cand AS ({_SIMHASH_PAIRS_SQL}),
+    s AS (
+      SELECT (SELECT count(*) FROM truth) AS n_truth,
+             (SELECT count(*) FROM cand) AS n_candidates,
+             (SELECT count(*) FROM truth t JOIN cand c
+                ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit)
+    SELECT n_truth, n_candidates, n_hit,
+           {ratio_round_oracle("n_hit", "n_truth", 6)} AS recall,
+           {ratio_round_oracle("n_hit", "n_candidates", 6)} AS precision
+    FROM s
     """,
 )
 def dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1601,8 +1604,12 @@ def dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_truth",
         "n_candidates",
         "n_hit",
-        F.round(F.col("n_hit") * 1.0 / F.col("n_truth"), 6).alias("recall"),
-        F.round(F.col("n_hit") * 1.0 / F.col("n_candidates"), 6).alias(
+        # exact integer rounding (queries/rounding.py): both ratios are
+        # exact count rationals whose small denominators (hundreds of
+        # pairs) make a 6th-decimal half boundary reachable at any
+        # fixture regeneration — the cross-engine round() coin-flip
+        F.expr(ratio_round_spark("n_hit", "n_truth", 6)).alias("recall"),
+        F.expr(ratio_round_spark("n_hit", "n_candidates", 6)).alias(
             "precision"
         ),
     )

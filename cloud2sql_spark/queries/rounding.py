@@ -1,0 +1,85 @@
+"""Exact cross-engine rounding of integer-ratio expressions.
+
+THE HAZARD CLASS (found empirically in round 9's sf0.1 sweep, fixed
+there for the embedding means; generalized here in round 10 after a
+systematic audit of every round(…/…, k) oracle site): when a rounded
+value's TRUE form is a rational num/den of exact integers, it can land
+EXACTLY on the k-th-decimal half boundary, where Spark (BigDecimal
+HALF_UP over the double) and DuckDB (multiply by 10^k in float, then
+round half away from zero) disagree by one ulp of the last digit.
+Measured divergence on synthesized boundary cases: ~16% of halves for
+the 2-decimal money-mean shape, ~1-3% for 6-decimal integer ratios —
+i.e. a boundary hit is a coin-flip red row. Both engines are
+internally consistent; only the boundary behavior differs, so the bug
+is invisible until a fixture regeneration (or a bigger corpus) lands a
+value exactly on a half.
+
+THE IMMUNIZATION: compute round(num/den, k) in exact integer
+arithmetic evaluated identically by both engines —
+
+    sign(num) * ((2*|num|*10^k + den) intdiv (2*den)) / 10^k
+
+which is half-away-from-zero by construction ((a + b/2) // b on
+non-negative operands). The numerator 2*|num|*10^k rides a
+128-bit-capable type on BOTH engines: Spark DECIMAL(38,0) (`div` on a
+decimal numerator is exact integral division returning BIGINT) and
+DuckDB HUGEINT (`//` on HUGEINT is exact; on DECIMAL it silently
+degrades to DOUBLE division — so HUGEINT is mandatory there). The
+quotient round(|num/den|*10^k) must fit BIGINT — automatic for every
+site in this repo, where |num/den| is a bounded mean/probability/money
+value; only the numerator grows with corpus size. The final
+int -> double -> /10^k conversion is two correctly-rounded steps over
+identical integers, so the output double is bit-identical across
+engines. tests/test_properties.py pins both engine templates against
+Fraction-exact rounding, including adversarial >int64 numerators.
+
+`den` must be a strictly positive exact-integer expression; `num` may
+be negative (sign is applied after the unsigned rounding, so the
+convention is half away from zero for negatives too — matching what
+both engines already do for representable halves).
+
+Off-boundary outputs are unchanged: the rounding grid (10^-k) is ~10
+orders coarser than double error at every call site, so any value not
+exactly ON a half rounds to the same grid point as before (verified by
+pre/post output hashes on the live fixtures when each call site was
+converted).
+
+Known NOT-converted sites, audited round 10 (kept on plain round()
+because a half boundary is unreachable or negligibly likely in their
+data shapes; queued for conversion if their key is ever touched):
+text_diversity (needs >= 640 distinct words/doc; fixture docs top out
+at ~31), sample_dedup_weighted (needs n_copies in {128*5^j}; max is
+2), tpch_q8/q14, agg_theil_index, dedup_minhash_banding_curve,
+sample_temperature, agg_winsorized_stats, join_theta_range,
+embed_quantize (single cells with unstructured denominators,
+P(boundary) < 1e-4 per regeneration each).
+"""
+
+from __future__ import annotations
+
+
+def ratio_round(num: str, den: str, k: int, *, div: str, wide: str) -> str:
+    """SQL for exact round(num/den, k), half away from zero.
+
+    ``num``/``den`` are SQL fragments whose values are exact integers
+    (den > 0). ``div``/``wide`` select the engine dialect — use the
+    :func:`ratio_round_oracle` / :func:`ratio_round_spark` wrappers.
+    """
+    p = 10**k
+    return (
+        f"CAST(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END"
+        f" * ((2 * CAST(abs({num}) AS {wide}) * {p} + ({den}))"
+        f" {div} (2 * ({den})))"
+        f" AS DOUBLE) / {p}.0"
+    )
+
+
+def ratio_round_oracle(num: str, den: str, k: int) -> str:
+    """DuckDB dialect: HUGEINT numerator, `//` integral division."""
+    return ratio_round(num, den, k, div="//", wide="HUGEINT")
+
+
+def ratio_round_spark(num: str, den: str, k: int) -> str:
+    """Spark dialect: DECIMAL(38,0) numerator, `div` integral division
+    (use inside F.expr / selectExpr)."""
+    return ratio_round(num, den, k, div="div", wide="DECIMAL(38,0)")

@@ -460,8 +460,13 @@ def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversity (1 - sum c_i(c_i-1)/(N(N-1))), hapax ratio, and type-token
     ratio — repetition/diversity filters for training-data curation
     (low diversity = boilerplate or degenerate generation). All three
-    are EXACT rationals over integer counts (no log/float accumulation),
-    so the cross-engine hash is stable by construction. Spark plan:
+    are EXACT rationals over integer counts (no log/float accumulation).
+    Round-10 rounding audit: exact rationals are also exactly the
+    round() half-boundary class (queries/rounding.py) — here a boundary
+    needs a denominator divisible by 2^7·5 (>= 640 distinct words in
+    one doc) while fixture docs top out at ~31 distinct, so the plain
+    round() stays; convert via ratio_round_* if this ever runs on
+    real-length documents. Spark plan:
     explode -> two partial-aggregable groupBys keyed by doc; the token
     shuffle is the corpus size, the doc shuffle is |docs| — both linear,
     no joins."""

@@ -545,10 +545,10 @@ def test_reliable_checkpoint_dir_env_honored_after_default(spark, monkeypatch, t
 
 def test_cleanup_default_checkpoint_dirs(monkeypatch, tmp_path):
     """The sweep removes only the tempdir-default dirs THIS module
-    registered — an explicit app-chosen dir is untouched (review r09:
-    the flag-matrix gate would otherwise leave a spark-graft-ckpt-*
-    directory of reliable-checkpoint files in /tmp per run). Pure
-    filesystem logic — no SparkSession."""
+    INVENTED (_DEFAULT_DIRS) — an explicit app-chosen dir is untouched
+    even when it lives under the temp dir, where the old
+    gettempdir()-prefix test misclassified and destroyed it (ADVICE
+    r09). Pure filesystem logic — no SparkSession."""
     import tempfile
 
     from cloud2sql_spark import checkpointing as cp
@@ -561,22 +561,35 @@ def test_cleanup_default_checkpoint_dirs(monkeypatch, tmp_path):
     (ours / "rdd-1").write_text("x")
     theirs = tmp_path / "explicit" / "cluster-ckpt"
     theirs.mkdir(parents=True)
+    # the ADVICE r09 case: an explicit SPARK_GRAFT_CHECKPOINT_DIR that
+    # happens to live UNDER the temp dir (e.g. /tmp/shared-ckpt) — the
+    # app's to manage, must survive the sweep
+    theirs_in_tmp = fake_tmp / "shared-ckpt"
+    theirs_in_tmp.mkdir()
+    (theirs_in_tmp / "rdd-9").write_text("app data")
     saved = dict(cp._REGISTERED)
+    saved_defaults = set(cp._DEFAULT_DIRS)
     cp._REGISTERED.clear()
+    cp._DEFAULT_DIRS.clear()
     try:
         cp._REGISTERED["app1"] = str(ours)
-        # registered but NOT under the (monkeypatched) tempdir: stands in
-        # for an explicit SPARK_GRAFT_CHECKPOINT_DIR — must survive
+        cp._DEFAULT_DIRS.add(str(ours))  # the elif default branch
+        # registered via the env branch: explicit dirs never enter
+        # _DEFAULT_DIRS, wherever they live
         cp._REGISTERED["app2"] = str(theirs)
+        cp._REGISTERED["app3"] = str(theirs_in_tmp)
         cp.cleanup_default_checkpoint_dirs()
         assert not ours.exists()
         assert theirs.exists()
+        assert theirs_in_tmp.exists()
+        assert (theirs_in_tmp / "rdd-9").exists()
         # registrations are KEPT (review r09 second pass): the
         # SparkContext still points at the swept path, so a later
         # reliable checkpoint recreates the dir — it must stay tracked
         # for the next sweep, and _ensure_checkpoint_dir must keep
         # classifying it as OUR default (not an app-chosen dir)
-        assert list(cp._REGISTERED) == ["app1", "app2"]
+        assert list(cp._REGISTERED) == ["app1", "app2", "app3"]
+        assert cp._DEFAULT_DIRS == {str(ours)}
         ours.mkdir()  # Spark recreating the dir on the next checkpoint
         (ours / "rdd-2").write_text("y")
         cp.cleanup_default_checkpoint_dirs()
@@ -584,6 +597,8 @@ def test_cleanup_default_checkpoint_dirs(monkeypatch, tmp_path):
     finally:
         cp._REGISTERED.clear()
         cp._REGISTERED.update(saved)
+        cp._DEFAULT_DIRS.clear()
+        cp._DEFAULT_DIRS.update(saved_defaults)
 
 
 def _write_events(spark, tmp_path, rows):
@@ -1105,11 +1120,20 @@ def test_mean_milli_6dp_duckdb_exact_property(s1, n):
     """Hypothesis sweep of the full bigint s1 domain against the exact
     form — the numerator 2·|s1|·10⁶ exceeds int64 for most draws, so any
     residual narrow arithmetic in the oracle template would wrap and
-    fail here."""
+    fail here. Constrained to the documented quotient contract
+    (|s1/n| < 9.2e12 milli-units, automatic for any mean of bounded
+    per-dimension values): past it, Spark's `div` overflows its BIGINT
+    result by contract, and DuckDB's HUGEINT→DOUBLE conversion
+    double-rounds through its two 64-bit halves (hypothesis found
+    s1=898812011403235994, n=25 — quotient ≈ 3.6e19 — off by one ulp),
+    so the template is only claimed exact inside the contract."""
     import duckdb
+
+    from hypothesis import assume
 
     from cloud2sql_spark.queries.embeddings import _MEAN_MILLI_6DP_ORACLE
 
+    assume(abs(s1) <= n * 9_200_000_000_000)
     con = duckdb.connect()
     got = con.execute(
         f"SELECT {_MEAN_MILLI_6DP_ORACLE} FROM "
@@ -1131,3 +1155,90 @@ def test_mean_milli_6dp_spark_matches_exact_and_oracle(spark):
     assert len(rows) == len(_MEAN_MILLI_CASES)
     for row in rows:
         assert row.r == _mean_milli_exact(row.s1, row.n), (row.s1, row.n, row.r)
+
+
+# ------------------------------------------------ ratio_round (rounding.py)
+
+def _ratio_round_exact(num: int, den: int, k: int) -> float:
+    """Fraction-exact half-away-from-zero round(num/den, k) through the
+    same integer quotient + two-step int->double->/10^k conversion the
+    engine templates compute."""
+    sign = -1 if num < 0 else 1
+    q = (2 * abs(num) * 10**k + den) // (2 * den)
+    return sign * q / float(10**k)
+
+
+@given(
+    num=st.integers(min_value=-(10**15), max_value=10**15),
+    den=st.integers(min_value=1, max_value=10**9),
+    k=st.sampled_from([0, 2, 4, 6, 8]),
+)
+@settings(max_examples=200, deadline=None)
+def test_ratio_round_duckdb_matches_fraction_exact(num, den, k):
+    """rounding.ratio_round's DuckDB form == exact rational rounding over
+    the general (num, den, k) domain, including boundary-adjacent draws."""
+    import duckdb
+
+    from cloud2sql_spark.queries.rounding import ratio_round_oracle
+
+    # respect the documented quotient contract (|num/den|*10^k < 2^63)
+    if abs(num) // den >= 10 ** (18 - k):
+        return
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {ratio_round_oracle('num', 'den', k)} FROM "
+        f"(SELECT CAST({num} AS BIGINT) num, CAST({den} AS BIGINT) den)"
+    ).fetchone()[0]
+    assert got == _ratio_round_exact(num, den, k), (num, den, k, got)
+
+
+def test_ratio_round_fixes_measured_engine_divergence(spark):
+    """The exact templates agree with each other AND with Fraction-exact
+    rounding on the very cases where the engines' native round()
+    provably diverged (measured in the round-10 audit: e.g. the money
+    mean 251 cents / 2 rows = 1.255, where Spark round() gave 1.26 and
+    DuckDB round() gave 1.25)."""
+    import duckdb
+
+    from cloud2sql_spark.queries.rounding import (
+        ratio_round_oracle,
+        ratio_round_spark,
+    )
+
+    # (num, den, k): 2dp money means + 6dp count ratios, all EXACT halves,
+    # drawn from the audit's measured-divergence sets, plus negatives.
+    cases = [
+        (251, 200, 2),            # 1.255  — measured Spark 1.26 vs Duck 1.25
+        (1999, 200, 2),           # 9.995  — measured divergence
+        (502, 400, 2),
+        (-251, 200, 2),
+        (502091, 2000000, 6),     # 0.2510455 — measured divergence
+        (509199, 2000000, 6),
+        (41, 640, 6),             # 0.0640625 — measured divergence
+        (323, 640, 6),
+        (-41, 640, 6),
+        (9_200_000_001 * 10**9, 2 * 10**12 * 1000, 6),  # embed-mean shape
+    ]
+    con = duckdb.connect()
+    df = spark.createDataFrame(
+        [(n, d, k) for n, d, k in cases], "num long, den long, k int"
+    )
+    for n, d, k in cases:
+        exact = _ratio_round_exact(n, d, k)
+        duck = con.execute(
+            f"SELECT {ratio_round_oracle('num', 'den', k)} FROM "
+            f"(SELECT CAST({n} AS BIGINT) num, CAST({d} AS BIGINT) den)"
+        ).fetchone()[0]
+        assert duck == exact, ("duckdb", n, d, k, duck, exact)
+    # one Spark pass per k (expr embeds k as a literal)
+    for k in sorted({k for _, _, k in cases}):
+        sub = [(n, d) for n, d, kk in cases if kk == k]
+        sdf = spark.createDataFrame(sub, "num long, den long")
+        from cloud2sql_spark.queries.rounding import ratio_round_spark
+
+        rows = sdf.selectExpr(
+            "num", "den", f"{ratio_round_spark('num', 'den', k)} AS r"
+        ).collect()
+        for row in rows:
+            exact = _ratio_round_exact(row.num, row.den, k)
+            assert row.r == exact, ("spark", row.num, row.den, k, row.r)
