@@ -49,10 +49,16 @@ because a half boundary is unreachable or negligibly likely in their
 data shapes; queued for conversion if their key is ever touched):
 text_diversity (needs >= 640 distinct words/doc; fixture docs top out
 at ~31), sample_dedup_weighted (needs n_copies in {128*5^j}; max is
-2), tpch_q8/q14, agg_theil_index, dedup_minhash_banding_curve,
-sample_temperature, agg_winsorized_stats, join_theta_range,
-embed_quantize (single cells with unstructured denominators,
-P(boundary) < 1e-4 per regeneration each).
+2), win_moving_avg (PROVABLY boundary-free: integer quantities over a
+<=4-row frame make 200*S/size always even, so no odd quotient exists),
+fn_try_arith (same parity proof for divisors 1..4), tpch_q17 (2*S/7 is
+always even when 7|S), tpch_q8/q14, agg_theil_index,
+dedup_minhash_banding_curve, sample_temperature, agg_winsorized_stats,
+join_theta_range, embed_quantize, sample_importance_reweight's q
+quantization (single cells with unstructured denominators,
+P(boundary) < 1e-4 per regeneration each). Sites whose rounded value
+passes through sqrt()/ln() are out of the class entirely (irrational
+off a measure-zero set).
 """
 
 from __future__ import annotations
