@@ -59,6 +59,22 @@ quantization (single cells with unstructured denominators,
 P(boundary) < 1e-4 per regeneration each). Sites whose rounded value
 passes through sqrt()/ln() are out of the class entirely (irrational
 off a measure-zero set).
+
+A second audited family: round(sum(raw_double_money), 2) — agg_global,
+agg_rollup, agg_cube's quantity twin, agg_having, agg_grouping_sets,
+join_broadcast_dim, events_daily_fill, sink_parquet_snapshot. Measured
+round 10: every such sum is BIT-IDENTICAL across engines on the live
+fixtures (both engines stream the single parquet split in row order),
+and the class is structurally safe at graded scale — the true total of
+2-decimal values is itself 2-decimal (never on a .005 boundary), and
+the float drift (~1e-5) cannot cross the grid. It breaks only at
+~1e10+ rows, where one ulp of the sum exceeds the cent grid and
+multi-partition combination order diverges; the fix there is the
+DECIMAL(18,2)-sum pattern the flagship pricing summary already uses —
+apply it when those keys next take a re-proof slot.
+sum(l_quantity) sites are exact at any scale (integer-valued doubles,
+exact to 2^53); win_running_sum's prefix sums are order-pinned by its
+total window ORDER BY, so both engines add in the same sequence.
 """
 
 from __future__ import annotations
