@@ -75,6 +75,11 @@ apply it when those keys next take a re-proof slot.
 sum(l_quantity) sites are exact at any scale (integer-valued doubles,
 exact to 2^53); win_running_sum's prefix sums are order-pinned by its
 total window ORDER BY, so both engines add in the same sequence.
+
+floor()/ceil() sites (21 audited) are NOT in the class: unlike
+round(), both engines floor the IEEE double itself — identical inputs
+give identical outputs with no shortest-repr-vs-multiply ambiguity —
+so the existing mirror-the-float-association rule fully covers them.
 """
 
 from __future__ import annotations
