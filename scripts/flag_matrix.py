@@ -176,7 +176,32 @@ TOLERANCE_CHECKERS = {
 }
 
 
-def main() -> int:
+def _parse_args(argv: list[str] | None = None):
+    """Zero-side-effect CLI parse (VERDICT r09 item 4 class): ``--help``
+    must answer before any Spark session, and an unknown --option must
+    not fall through as a never-matching key prefix."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description=(
+            "Re-run every FLAG_MATRIX key with its scale-switch flag ON "
+            "under a vanilla session; exact switches oracle-hash-checked, "
+            "approx switches tolerance-checked. ~10 min unfiltered."
+        ),
+        epilog="Env: VERIFY_SF_DIR (default /root/testdata/sf0.01).",
+    )
+    parser.add_argument(
+        "prefixes",
+        nargs="*",
+        metavar="KEY_PREFIX",
+        help="optional key-prefix filters (no args = the full matrix)",
+    )
+    return parser.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    prefixes = _parse_args(argv).prefixes
+
     from cloud2sql_spark.flags import FLAG_MATRIX
     from cloud2sql_spark.catalog import TABLES
     from cloud2sql_spark.registry import oracle_sql, queries
@@ -191,8 +216,6 @@ def main() -> int:
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )
     qs, oracles = queries(), oracle_sql()
-
-    prefixes = sys.argv[1:]
 
     def _selected(keys: list[str]) -> list[str]:
         if not prefixes:

@@ -267,11 +267,45 @@ def synthesize(spark, reps: int) -> None:
     )
 
 
-def main() -> None:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+def _parse_args(argv: list[str] | None = None):
+    """Zero-side-effect CLI parse (VERDICT r09 item 4 class): ``--help``
+    answers before the session/synthesis; a non-integer replication
+    factor errors cleanly instead of raising a bare ValueError."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description=(
+            "Synthesize a REPLICATION x copy of sf0.1 and print "
+            "per-operator small->big time ratios (>>REPLICATION flags a "
+            "plan that won't survive a real cluster). Tens of minutes."
+        ),
+        epilog=(
+            "Env: SPARK_GRAFT_PROBE_OUT (replica dir; disk-backed for "
+            "the isolation protocol), SPARK_GRAFT_PROBE_TRIALS."
+        ),
+    )
+    parser.add_argument(
+        "replication",
+        nargs="?",
+        type=int,
+        default=10,
+        help="replication factor (default 10)",
+    )
+    parser.add_argument(
+        "keys",
+        nargs="*",
+        metavar="KEY",
+        help="optional key filters (exact or prefix; default all)",
+    )
+    return parser.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = _parse_args(argv)
+    reps = args.replication
     # optional key filters after the replication factor: probe only the
     # named keys (exact match or prefix) instead of the full PROBE_KEYS
-    only = sys.argv[2:]
+    only = args.keys
     probe_keys = (
         [
             k

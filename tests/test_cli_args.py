@@ -93,3 +93,26 @@ def test_perturb_audit_rejects_unknown_option():
     r = _run("scripts/perturb_audit.py", "--bogus")
     assert r.returncode != 0
     assert "unknown option" in r.stderr
+
+
+def test_flag_matrix_help_exits_zero_fast():
+    t0 = time.time()
+    r = _run("scripts/flag_matrix.py", "--help")
+    assert r.returncode == 0, r.stderr
+    assert "usage" in r.stdout.lower()
+    assert "VERIFY_SF_DIR" in r.stdout
+    assert time.time() - t0 < _FAST
+
+
+def test_flag_matrix_rejects_unknown_options():
+    r = _run("scripts/flag_matrix.py", "--bogus")
+    assert r.returncode == 2
+    assert "unrecognized arguments" in r.stderr
+
+
+def test_scale_probe_help_and_bad_replication():
+    r = _run("scripts/scale_probe.py", "--help")
+    assert r.returncode == 0 and "usage" in r.stdout.lower()
+    r = _run("scripts/scale_probe.py", "abc")
+    assert r.returncode == 2
+    assert "invalid int value" in r.stderr
