@@ -716,7 +716,7 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_temperature",
-    oracle="""
+    oracle=f"""
     WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
     t AS (SELECT sum(n_docs) AS total FROM n),
     w AS (SELECT lang, n_docs,
@@ -726,8 +726,11 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM n),
     s AS (SELECT sum(w_dec) AS w_sum FROM w)
     SELECT lang, n_docs,
-           round(CAST(w_dec AS DOUBLE) / CAST((SELECT w_sum FROM s) AS DOUBLE),
-                 6) AS sample_weight,
+           {ratio_round_oracle(
+               "w_dec * 100000000",
+               "CAST((SELECT w_sum FROM s) * 100000000 AS HUGEINT)",
+               6,
+           )} AS sample_weight,
            CAST(floor(100000 * CAST(w_dec AS DOUBLE)
                       / CAST((SELECT w_sum FROM s) AS DOUBLE)) AS BIGINT)
                AS budget_docs
@@ -743,9 +746,14 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine determinism: sqrt is exactly rounded under IEEE 754 (the
     one transcendental that is), so both engines compute identical
     doubles; the weights are then quantized to DECIMAL(18,8) so the
-    normalizing sum is exact and order-independent before the final
-    double division. Plan: one tiny keyed aggregate (|langs| rows), a
-    1-row broadcast total, all map-side at any corpus size."""
+    normalizing sum is exact and order-independent. sample_weight =
+    round(w/W, 6) rides the exact integer template
+    (queries/rounding.py, converted r11): w and W are exact multiples
+    of 1e-8, so w/W = (w*10^8)/(W*10^8) with integer operands.
+    budget_docs keeps floor() — both engines floor the identical IEEE
+    double, out of the half-boundary class. Plan: one tiny keyed
+    aggregate (|langs| rows), a 1-row broadcast total, all map-side at
+    any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     total = n.agg(F.sum("n_docs").alias("total"))
@@ -757,7 +765,6 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("decimal(18,8)").alias("w_dec"),
     )
     s = w.agg(F.sum("w_dec").alias("w_sum"))
-    share = F.col("w_dec").cast("double") / F.col("w_sum").cast("double")
     # budget mirrors the oracle's association exactly — (100000*w)/s, not
     # 100000*(w/s): the two round differently at the last ulp and floor()
     # would amplify that to an off-by-one budget.
@@ -767,21 +774,27 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.join(F.broadcast(s)).select(
         "lang",
         "n_docs",
-        F.round(share, 6).alias("sample_weight"),
+        F.expr(
+            ratio_round_spark(
+                "w_dec * 100000000",
+                "CAST(w_sum * 100000000 AS DECIMAL(38,0))",
+                6,
+            )
+        ).alias("sample_weight"),
         F.floor(budget).alias("budget_docs"),
     )
 
 
 @register(
     "sample_dedup_weighted",
-    oracle="""
+    oracle=f"""
     WITH fp AS (SELECT doc_id, lang,
                        md5(lower(trim(text))) AS fingerprint
                 FROM documents),
     c AS (SELECT fingerprint, count(*) AS n_copies
           FROM fp GROUP BY fingerprint)
     SELECT f.doc_id, f.lang, f.fingerprint, c.n_copies,
-           round(1.0 / c.n_copies, 6) AS train_weight
+           {ratio_round_oracle("1", "c.n_copies", 6)} AS train_weight
     FROM fp f JOIN c USING (fingerprint)
     """,
 )
@@ -793,8 +806,11 @@ def sample_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The copy count is a keyed aggregate on the md5 fingerprint; joining
     it back is fingerprint-keyed, so both shuffles share one key and AQE
-    plans them as one exchange reuse. 1/n is the same IEEE double in both
-    engines and round(.,6) is stable off the half-way grid."""
+    plans them as one exchange reuse. train_weight = round(1/n, 6)
+    rides the exact integer template (queries/rounding.py, converted
+    r11 — previously exempt because a half boundary needs n_copies in
+    128*5^j and the fixture max is 2; the conversion removes the
+    data-shape dependence entirely)."""
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select(
         "doc_id",
@@ -807,7 +823,7 @@ def sample_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "fingerprint",
         "n_copies",
-        F.round(F.lit(1.0) / F.col("n_copies"), 6).alias("train_weight"),
+        F.expr(ratio_round_spark("1", "n_copies", 6)).alias("train_weight"),
     )
 
 

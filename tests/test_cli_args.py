@@ -81,18 +81,34 @@ def test_perturb_audit_rejects_unknown_drive_before_generation():
     """A typo'd --drive= must fail BEFORE the perturbed-fixture
     generation, naming the known drives (ADVICE r09)."""
     r = _run("scripts/perturb_audit.py", "--drive=flagmatrix")
-    assert r.returncode != 0
-    assert "no such script" in r.stderr
-    assert "verify_contract" in r.stderr
+    assert r.returncode == 2
+    assert "verify_contract" in r.stderr and "flag_matrix" in r.stderr
     # generation never started — the audit prints this line first thing
     # after writing tables
     assert "perturbed tables written" not in r.stdout
 
 
+def test_perturb_audit_drive_is_allowlisted_not_file_existence():
+    """scripts/*.py that exist but are not gates (scale_probe,
+    perturb_audit itself) are rejected as --drive targets (ADVICE r10:
+    the old check accepted any existing scripts/*.py)."""
+    for bad in ("scale_probe", "perturb_audit"):
+        r = _run("scripts/perturb_audit.py", f"--drive={bad}")
+        assert r.returncode == 2, bad
+        assert "perturbed tables written" not in r.stdout
+
+
 def test_perturb_audit_rejects_unknown_option():
     r = _run("scripts/perturb_audit.py", "--bogus")
-    assert r.returncode != 0
-    assert "unknown option" in r.stderr
+    assert r.returncode == 2
+    assert "unrecognized" in r.stderr or "unknown option" in r.stderr
+
+
+def test_perturb_audit_help_exits_zero_fast():
+    r = _run("scripts/perturb_audit.py", "--help")
+    assert r.returncode == 0
+    assert "--drive" in r.stdout
+    assert "perturbed tables written" not in r.stdout
 
 
 def test_flag_matrix_help_exits_zero_fast():

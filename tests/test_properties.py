@@ -1218,6 +1218,11 @@ def test_ratio_round_fixes_measured_engine_divergence(spark):
         (323, 640, 6),
         (-41, 640, 6),
         (9_200_000_001 * 10**9, 2 * 10**12 * 1000, 6),  # embed-mean shape
+        # r10 judge counterexample: negative quotient > 2^53 — DuckDB's
+        # negative-HUGEINT->DOUBLE cast double-rounds through its two
+        # 64-bit halves, so the sign must stay OUTSIDE the DOUBLE cast.
+        (-486665475228506, 47775, 6),
+        (486665475228506, 47775, 6),
     ]
     con = duckdb.connect()
     df = spark.createDataFrame(

@@ -25,6 +25,12 @@ _CONVERTED = {
     "sample_importance_reweight": 4,   # emp_p, weight, sum_w2_term, ess
     "embed_dim_stats": 1,              # mean_val
     "embed_whitening_stats": 1,        # mean_val
+    # round-11 conversions (the five r10-deferred sites, VERDICT item 2)
+    "tpch_q8": 1,                      # mkt_share
+    "tpch_q14": 1,                     # promo_pct
+    "tpch_q17": 1,                     # avg_yearly
+    "sample_temperature": 1,           # sample_weight
+    "sample_dedup_weighted": 1,        # train_weight
 }
 
 _ORACLE_SIGNATURE = "AS HUGEINT)"  # the wide cast only the template emits
@@ -49,6 +55,44 @@ def test_converted_spark_sides_reference_the_helper():
         assert (
             "ratio_round_spark" in src or "_MEAN_MILLI_6DP_SPARK" in src
         ), f"{key}'s Spark side no longer uses the exact-rounding helper"
+
+
+def test_boundary_free_exemptions_pin_their_premises():
+    """rounding.py's not-converted list exempts win_moving_avg and
+    fn_try_arith from conversion by a 2-adic-valuation proof: round(S/d,
+    k) over integer S can land on a half only if v2(d) >= v2(2*10^k),
+    i.e. only if 2*S*10^k/d can be an ODD integer. The proof is only as
+    good as its premises — the actual frame width / divisor set in the
+    query code — so pin them here: if the frame ever widens to 8 rows
+    (v2 = 3 = v2(200)) or the divisor mod changes, this test fails
+    before the sf sweep can go red on a regenerated fixture (VERDICT r10
+    residual #1: the prose previously claimed a <=4-row frame while the
+    code had 7)."""
+
+    def v2(n: int) -> int:
+        c = 0
+        while n % 2 == 0:
+            n //= 2
+            c += 1
+        return c
+
+    qs, ors = queries(), oracle_sql()
+
+    # win_moving_avg: 7-row frame -> divisors (frame sizes) 1..7, grid 200
+    src = inspect.getsource(inspect.unwrap(qs["win_moving_avg"]))
+    assert ".rowsBetween(-6, 0)" in src, "frame width changed — re-audit"
+    assert "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW" in ors["win_moving_avg"]
+    for size in range(1, 8):
+        assert v2(size) < v2(200), size  # v2(200)=3; sizes 1..7 have <=2
+    assert v2(8) == v2(200)  # a size-8 frame WOULD reach the boundary
+
+    # fn_try_arith: divisors user_id % 5 in {1..4}, 6-decimal grid 2*10^6
+    src = inspect.getsource(inspect.unwrap(qs["fn_try_arith"]))
+    assert '% 5' in src and '% 5' in ors["fn_try_arith"], (
+        "divisor set changed — re-audit the exemption"
+    )
+    for d in range(1, 5):
+        assert v2(d) < v2(2 * 10**6), d  # v2 <= 2 < 7
 
 
 def test_template_output_is_double_and_null_safe():
