@@ -126,6 +126,27 @@ def test_flag_matrix_rejects_unknown_options():
     assert "unrecognized arguments" in r.stderr
 
 
+def test_split_probe_help_exits_zero_without_writes():
+    t0 = time.time()
+    r = _run("scripts/split_probe.py", "--help")
+    assert r.returncode == 0, r.stderr
+    assert "usage" in r.stdout.lower()
+    assert "SPLIT_SRC" in r.stdout
+    assert "multi-split tables written" not in r.stdout
+    assert time.time() - t0 < _FAST
+
+
+def test_split_probe_rejects_unknown_and_bad_options():
+    r = _run("scripts/split_probe.py", "--bogus")
+    assert r.returncode == 2
+    assert "unrecognized arguments" in r.stderr
+    r = _run("scripts/split_probe.py", "--row-group-size=abc")
+    assert r.returncode == 2
+    assert "invalid int value" in r.stderr
+    # the bad option fails BEFORE any fixture rewrite
+    assert "multi-split tables written" not in r.stdout
+
+
 def test_scale_probe_help_and_bad_replication():
     r = _run("scripts/scale_probe.py", "--help")
     assert r.returncode == 0 and "usage" in r.stdout.lower()
