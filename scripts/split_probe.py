@@ -89,26 +89,39 @@ def _parse_args(argv: list[str] | None = None):
     return parser.parse_args(argv)
 
 
+def rewrite_multisplit(src: str, out: str, row_group_size: int) -> None:
+    """Rewrite every catalog table value-identical with small row groups.
+
+    Row order is preserved (a single-threaded DuckDB scan-and-copy), so
+    the DuckDB oracle sees the same stream as before; only Spark's
+    SPLITTABILITY changes. Separated from main() so the rewrite
+    mechanics are testable without a Spark session
+    (tests/test_split_probe.py pins the row-group fan-out — the probe
+    is vacuous if a DuckDB upgrade ever ignores ROW_GROUP_SIZE)."""
+    import duckdb
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from cloud2sql_spark.catalog import TABLES
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{name}.parquet')) "
+            f"TO '{out}/{name}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE {row_group_size})"
+        )
+    con.close()
+
+
 def main(argv: list[str] | None = None) -> int:
     ns = _parse_args(argv)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     drive_py = os.path.join(repo, "scripts", "verify_contract.py")
 
-    import duckdb
-
-    sys.path.insert(0, repo)
-    from cloud2sql_spark.catalog import TABLES
-
-    shutil.rmtree(OUT, ignore_errors=True)
-    os.makedirs(OUT)
-    con = duckdb.connect()
-    for name in TABLES:
-        con.execute(
-            f"COPY (SELECT * FROM read_parquet('{SRC}/{name}.parquet')) "
-            f"TO '{OUT}/{name}.parquet' "
-            f"(FORMAT PARQUET, ROW_GROUP_SIZE {ns.row_group_size})"
-        )
-    con.close()
+    rewrite_multisplit(SRC, OUT, ns.row_group_size)
     print(f"multi-split tables written to {OUT}", flush=True)
 
     # Vanilla-session confs must be set BEFORE the JVM launches;
