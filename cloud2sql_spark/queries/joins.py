@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cloud2sql_spark.catalog import load_table
+from cloud2sql_spark.queries.rounding import (
+    ratio_round_oracle,
+    ratio_round_spark,
+)
 from cloud2sql_spark.registry import register
 
 
@@ -246,9 +250,14 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_theta_range",
-    oracle="""
+    oracle=f"""
     SELECT s.s_nationkey, count(*) AS n_pairs,
-           round(avg(s.s_acctbal - c.c_acctbal), 2) AS avg_gap
+           {ratio_round_oracle(
+               "sum(CAST(round(s.s_acctbal * 100) AS BIGINT)"
+               " - CAST(round(c.c_acctbal * 100) AS BIGINT))",
+               "count(*) * 100",
+               2,
+           )} AS avg_gap
     FROM supplier s
     JOIN customer c
       ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
@@ -258,7 +267,17 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta join: equi key (nation) + range predicate (acctbal). Catalyst
     executes it as a hash join on the equi part with the range condition as
-    a post-join filter — no nested-loop explosion."""
+    a post-join filter — no nested-loop explosion.
+
+    avg_gap rounds through exact integer arithmetic
+    (queries/rounding.py, converted r11): acctbals are exact 2-decimal
+    money, so the pair-gap mean is (sum of cent gaps)/(100·n) — an
+    exact integer ratio, previously on plain round() under the audit's
+    "unstructured denominator, P(boundary) < 1e-4" exemption. The r11
+    composed perturbation×multi-split probe FALSIFIED that exemption
+    empirically: the money-×3 perturbed sf0.01 corpus lands one
+    nation's mean exactly on a half (Spark 8063.82 vs DuckDB 8063.81),
+    so the site converts per the convert-when-touched policy."""
     supplier = load_table(spark, sf_dir, "supplier")
     customer = load_table(spark, sf_dir, "customer")
     return (
@@ -270,7 +289,17 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey")
         .agg(
             F.count("*").alias("n_pairs"),
-            F.round(F.avg(F.col("s_acctbal") - F.col("c_acctbal")), 2).alias("avg_gap"),
+            F.sum(
+                F.expr("CAST(round(s_acctbal * 100) AS BIGINT)")
+                - F.expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+            ).alias("_gap_cents"),
+        )
+        .select(
+            "s_nationkey",
+            "n_pairs",
+            F.expr(
+                ratio_round_spark("_gap_cents", "n_pairs * 100", 2)
+            ).alias("avg_gap"),
         )
     )
 

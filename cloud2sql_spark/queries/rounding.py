@@ -75,11 +75,21 @@ argument: divisors are user_id % 5 in {1..4}, v2 <= 2 < 7 =
 v2(2*10^6) of the 6-decimal grid; the divisor set is pinned by the
 same test), agg_theil_index,
 dedup_minhash_banding_curve, agg_winsorized_stats,
-join_theta_range, embed_quantize, sample_importance_reweight's q
+embed_quantize, sample_importance_reweight's q
 quantization (single cells with unstructured denominators,
 P(boundary) < 1e-4 per regeneration each). Sites whose rounded value
 passes through sqrt()/ln() are out of the class entirely (irrational
 off a measure-zero set).
+
+CAUTION on the P(boundary) estimates: join_theta_range sat on that
+same exempt list until round 11, when the composed
+perturbation x multi-split probe hit its boundary on the FIRST
+perturbed-sf0.01 run (the money-x3 corpus put one nation's mean
+cent-gap exactly on a half; Spark 8063.82 vs DuckDB 8063.81) — the
+per-regeneration probability is small, but every probe/regeneration
+re-rolls the dice across ~25 exempted cells, so expect roughly one
+hit per few dozen fixture rewrites. Each hit converts its site with a
+rule-2 slot (join_theta_range did, same round).
 
 A second audited family: round(sum(raw_double_money), 2) — agg_global,
 agg_rollup, agg_cube's quantity twin, agg_having, agg_grouping_sets,

@@ -216,20 +216,30 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", F.col("l_extendedprice").cast("decimal(18,2)").alias("price")
     )
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    # Bucketed data lands in a per-(sf, applicationId) dir under the
+    # shared fixture root, NOT the session's spark-warehouse: the
+    # warehouse path is keyed only by process CWD, so two concurrent
+    # verify runs (same repo, isolated TMPDIRs) overwrote each other's
+    # bucket files mid-read (FAILED_READ_FILE.FILE_NOT_EXIST — found by
+    # the r11 four-way concurrent gate run). The external-table path
+    # rides the fixtures lifecycle (age-gated reaping of past apps);
+    # table NAMES need no such keying — the in-memory catalog is
+    # per-process, and same-session re-invocations drop + rewrite.
+    base = _app_fixture_dir(
+        "bkt",
+        f"{os.path.basename(sf_dir)}_{spark.sparkContext.applicationId}",
+    )
     for name, df, key in (
         ("bkt_orders", orders, "o_orderkey"),
         ("bkt_lineitem", li, "l_orderkey"),
     ):
-        # idempotent: a previous process may have left the location behind
-        # without a matching metastore entry (LOCATION_ALREADY_EXISTS)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
         (
             df.write.mode("overwrite")
             .bucketBy(16, key)
             .sortBy(key)
             .format("parquet")
+            .option("path", os.path.join(base, name))
             .saveAsTable(name)
         )
     o = spark.table("bkt_orders")

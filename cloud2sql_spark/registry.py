@@ -84,6 +84,8 @@ _PRIORITY = [
     "tpch_q17",
     "sample_temperature",
     "sample_dedup_weighted",
+    "join_theta_range",
+    "sink_bucketed_join",
     "text_histogram",
     "text_lm_score",
     "tpch_q3",
@@ -121,8 +123,6 @@ _PRIORITY = [
     "sink_partition_overwrite_dynamic",
     "sort_zorder_cluster",
     "text_boilerplate_lines",
-    "text_repetition",
-    "tpch_q1",
 ]
 
 

@@ -31,6 +31,11 @@ _CONVERTED = {
     "tpch_q17": 1,                     # avg_yearly
     "sample_temperature": 1,           # sample_weight
     "sample_dedup_weighted": 1,        # train_weight
+    # converted mid-r11: the composed perturbation x multi-split probe
+    # FALSIFIED its "P(boundary) < 1e-4" exemption empirically (money x3
+    # perturbed sf0.01 lands a nation's mean gap exactly on a half:
+    # Spark 8063.82 vs DuckDB 8063.81)
+    "join_theta_range": 1,             # avg_gap
 }
 
 _ORACLE_SIGNATURE = "AS HUGEINT)"  # the wide cast only the template emits
