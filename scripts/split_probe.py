@@ -89,6 +89,30 @@ def _parse_args(argv: list[str] | None = None):
     return parser.parse_args(argv)
 
 
+# Marker file written into every probe-created output dir: the rmtree
+# guards below refuse to delete a directory that does not carry it, so a
+# misconfigured SPLIT_OUT pointing at a real data dir (or the source
+# fixtures themselves) can never be destroyed (ADVICE r11).
+MARKER = ".split_probe_out"
+
+
+def _guard_out_dir(src: str, out: str) -> None:
+    """Refuse to (re)use ``out`` unless it is safe to rmtree."""
+    if os.path.realpath(out) == os.path.realpath(src):
+        raise SystemExit(
+            f"split_probe: SPLIT_OUT ({out}) resolves to the source "
+            f"fixture dir ({src}); refusing to delete it"
+        )
+    if os.path.exists(out) and not os.path.exists(
+        os.path.join(out, MARKER)
+    ):
+        raise SystemExit(
+            f"split_probe: SPLIT_OUT ({out}) already exists and was not "
+            f"created by this probe (no {MARKER} marker); refusing to "
+            "delete it — pick an empty/non-existent SPLIT_OUT"
+        )
+
+
 def rewrite_multisplit(src: str, out: str, row_group_size: int) -> None:
     """Rewrite every catalog table value-identical with small row groups.
 
@@ -104,8 +128,11 @@ def rewrite_multisplit(src: str, out: str, row_group_size: int) -> None:
     sys.path.insert(0, repo)
     from cloud2sql_spark.catalog import TABLES
 
+    _guard_out_dir(src, out)
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
+    with open(os.path.join(out, MARKER), "w") as f:
+        f.write("created by scripts/split_probe.py — safe to delete\n")
     con = duckdb.connect()
     for name in TABLES:
         con.execute(
@@ -114,6 +141,31 @@ def rewrite_multisplit(src: str, out: str, row_group_size: int) -> None:
             f"(FORMAT PARQUET, ROW_GROUP_SIZE {row_group_size})"
         )
     con.close()
+
+
+def _merge_submit_args(existing: str, max_partition_bytes: int) -> str:
+    """Build the probe session's PYSPARK_SUBMIT_ARGS.
+
+    PREPENDS the probe's --conf flags to any pre-existing value
+    (stripping its trailing 'pyspark-shell' launcher token) instead of
+    replacing it wholesale, so driver confs the caller's environment
+    already carries — e.g. memory settings other gates run under —
+    survive the probe session (ADVICE r11). Caller flags come AFTER the
+    probe's, so an explicit caller maxPartitionBytes still wins
+    (last --conf occurrence takes precedence in spark-submit)."""
+    existing = existing.strip()
+    if existing.endswith("pyspark-shell"):
+        existing = existing[: -len("pyspark-shell")].strip()
+    return " ".join(
+        part
+        for part in (
+            f"--conf spark.sql.files.maxPartitionBytes={max_partition_bytes}",
+            "--conf spark.sql.files.openCostInBytes=0",
+            existing,
+            "pyspark-shell",
+        )
+        if part
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -126,10 +178,8 @@ def main(argv: list[str] | None = None) -> int:
 
     # Vanilla-session confs must be set BEFORE the JVM launches;
     # PYSPARK_SUBMIT_ARGS is the public mechanism getOrCreate() honors.
-    submit = (
-        f"--conf spark.sql.files.maxPartitionBytes={ns.max_partition_bytes} "
-        "--conf spark.sql.files.openCostInBytes=0 "
-        "pyspark-shell"
+    submit = _merge_submit_args(
+        os.environ.get("PYSPARK_SUBMIT_ARGS", ""), ns.max_partition_bytes
     )
     env = dict(os.environ, VERIFY_SF_DIR=OUT, PYSPARK_SUBMIT_ARGS=submit)
     try:
@@ -137,7 +187,11 @@ def main(argv: list[str] | None = None) -> int:
             [sys.executable, drive_py, *ns.keys], env=env, cwd=repo
         )
     finally:
-        shutil.rmtree(OUT, ignore_errors=True)
+        # only ever delete a dir the probe itself marked (belt to the
+        # _guard_out_dir suspenders — OUT may predate the guard's check
+        # if rewrite_multisplit raised before writing the marker)
+        if os.path.exists(os.path.join(OUT, MARKER)):
+            shutil.rmtree(OUT, ignore_errors=True)
 
 
 if __name__ == "__main__":

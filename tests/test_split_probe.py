@@ -52,10 +52,74 @@ def test_rewrite_fans_out_row_groups_and_preserves_rows(tmp_path):
             assert os.path.exists(os.path.join(out, f"{name}.parquet")), name
 
         # value-identical IN ROW ORDER: the oracle's stream is unchanged.
-        # Compare a prefix column-wise via pyarrow (order-sensitive).
+        # Compare the FULL table column-wise via pyarrow (order-sensitive)
+        # — a prefix-only check would miss a parallel-scan reorder
+        # confined to later row groups, the plausible failure mode
+        # (ADVICE r11); sf0.001 lineitem is only ~6k rows, so this is
+        # cheap.
         a = pq.read_table(os.path.join(out, "lineitem.parquet"))
         b = pq.read_table(os.path.join(_SF, "lineitem.parquet"))
         assert a.schema.names == b.schema.names
-        assert a.slice(0, 2048).to_pydict() == b.slice(0, 2048).to_pydict()
+        assert a.num_rows == b.num_rows
+        assert a.to_pydict() == b.to_pydict()
+
+        # probe-created dirs carry the rmtree-safety marker
+        assert os.path.exists(os.path.join(out, mod.MARKER))
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_rewrite_refuses_to_delete_source_or_foreign_dirs(tmp_path):
+    """The rmtree guards (ADVICE r11): a misconfigured SPLIT_OUT must
+    never destroy the source fixtures or any dir the probe didn't
+    create."""
+    import pytest
+
+    mod = _load_module()
+
+    # OUT resolving to SRC (even via a symlink) is refused outright
+    link = tmp_path / "src_link"
+    os.symlink(_SF, link)
+    with pytest.raises(SystemExit, match="source fixture dir"):
+        mod.rewrite_multisplit(_SF, str(link), row_group_size=2048)
+    assert os.path.exists(os.path.join(_SF, "lineitem.parquet"))
+
+    # an existing dir WITHOUT the probe marker is refused and untouched
+    foreign = tmp_path / "precious"
+    foreign.mkdir()
+    (foreign / "data.txt").write_text("do not delete")
+    with pytest.raises(SystemExit, match="refusing to delete"):
+        mod.rewrite_multisplit(_SF, str(foreign), row_group_size=2048)
+    assert (foreign / "data.txt").read_text() == "do not delete"
+
+    # a dir WITH the marker (a prior probe run's leftover) is reusable
+    stale = tmp_path / "stale_out"
+    stale.mkdir()
+    (stale / mod.MARKER).write_text("x")
+    mod.rewrite_multisplit(_SF, str(stale), row_group_size=2048)
+    assert os.path.exists(os.path.join(stale, "lineitem.parquet"))
+
+
+def test_merge_submit_args_preserves_caller_confs():
+    """The probe must prepend its confs to a pre-existing
+    PYSPARK_SUBMIT_ARGS, not replace it (ADVICE r11)."""
+    mod = _load_module()
+
+    # empty environment: just the probe flags + launcher token
+    got = mod._merge_submit_args("", 131072)
+    assert got == (
+        "--conf spark.sql.files.maxPartitionBytes=131072 "
+        "--conf spark.sql.files.openCostInBytes=0 pyspark-shell"
+    )
+
+    # caller confs survive, trailing launcher token is not duplicated,
+    # and caller flags come after the probe's (so they win on conflict)
+    got = mod._merge_submit_args(
+        "--conf spark.driver.memory=4g pyspark-shell", 65536
+    )
+    assert got == (
+        "--conf spark.sql.files.maxPartitionBytes=65536 "
+        "--conf spark.sql.files.openCostInBytes=0 "
+        "--conf spark.driver.memory=4g pyspark-shell"
+    )
+    assert got.count("pyspark-shell") == 1
