@@ -110,7 +110,8 @@ register(
     oracle="""
     SELECT count(*) AS n_rows,
            CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
-           round(sum(l_extendedprice), 2) AS total_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
            round(min(l_quantity), 2) AS min_qty,
            round(max(l_quantity), 2) AS max_qty
     FROM lineitem
@@ -118,12 +119,21 @@ register(
 )
 def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ungrouped aggregates — the reference's node/edge count analogue
-    (cloud2sql/collect.py:194-196)."""
+    (cloud2sql/collect.py:194-196). The money total sums in
+    DECIMAL(18,2) (exact; source values are 2-decimal) instead of
+    round(sum(double),2) — the raw-double form is bit-identical at
+    graded scale but combines floats in partition order, which at
+    ~1e10+ rows can drift one ulp past the cent grid and re-roll the
+    cross-engine round() half-boundary dice (queries/rounding.py,
+    converted round 12). min/max stay plain round(): they pass a single
+    source value through, no accumulation."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
         F.round(F.min("l_quantity"), 2).alias("min_qty"),
         F.round(F.max("l_quantity"), 2).alias("max_qty"),
     )
@@ -194,7 +204,8 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_having",
     oracle="""
-    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
     FROM orders
     GROUP BY o_custkey
     HAVING count(*) >= 3
@@ -202,12 +213,18 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money spend sums in DECIMAL(18,2) — exact on 2-decimal sources at
+    any scale; the prior round(sum(double),2) was bit-identical on live
+    fixtures but order-dependent at ~1e10+ rows (queries/rounding.py,
+    converted round 12)."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend"),
         )
         .filter(F.col("n_orders") >= 3)
         .orderBy("o_custkey")
@@ -217,7 +234,9 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_rollup",
     oracle="""
-    SELECT r_name, n_name, round(sum(c_acctbal), 2) AS total_bal, count(*) AS n_cust
+    SELECT r_name, n_name,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+           count(*) AS n_cust
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -226,6 +245,10 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance totals sum in DECIMAL(18,2) — exact on 2-decimal sources;
+    the rollup's grand-total row aggregates the MOST rows, so it hits
+    the float combine-order hazard first at scale (queries/rounding.py,
+    converted round 12)."""
     cust = load_table(spark, sf_dir, "customer")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     region = F.broadcast(load_table(spark, sf_dir, "region"))
@@ -234,7 +257,9 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, nation.n_regionkey == region.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
             F.count("*").alias("n_cust"),
         )
         .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
@@ -245,17 +270,27 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity sums ride the same DECIMAL(18,2) template as the money
+    family (queries/rounding.py, converted round 12) — integer-valued
+    doubles were already exact to 2^53, but the uniform template keeps
+    the class closed with zero exempt cells to re-audit."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
             F.col("l_linestatus").asc_nulls_first(),
@@ -269,13 +304,18 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority,
            CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
            CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money totals sum in DECIMAL(18,2) on both engines — the
+    grouping-sets () set is a full-corpus sum, the first to feel float
+    combine-order drift at scale (queries/rounding.py, converted
+    round 12)."""
     orders = load_table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("orders_gs")
     return spark.sql(
@@ -283,7 +323,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderstatus, o_orderpriority,
                CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
                CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
-               count(*) AS n, round(sum(o_totalprice), 2) AS total
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST

@@ -616,7 +616,7 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM span),
     act AS (
       SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
-             CAST(round(sum(value), 2) AS DOUBLE) AS v
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
       FROM events GROUP BY 1, 2)
     SELECT cal.user_id, cal.day,
            COALESCE(act.n, 0) AS n_events,
@@ -645,7 +645,9 @@ def events_daily_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("ts").cast("date").alias("day")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("v"),
+        # DECIMAL(18,2) sum: exact on the 2-decimal money column at any
+        # group size (queries/rounding.py, converted round 12)
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"),
     )
     return cal.join(act, ["user_id", "day"], "left").select(
         "user_id",

@@ -58,7 +58,8 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_dim",
     oracle="""
     SELECT r.r_name, n.n_name, count(*) AS n_customers,
-           round(sum(c.c_acctbal), 2) AS total_acctbal
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -67,7 +68,11 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast the bounded dims — the fact side never shuffles for the
-    join; only the tiny group-by keys shuffle after partial aggregation."""
+    join; only the tiny group-by keys shuffle after partial aggregation.
+    Balance totals sum in DECIMAL(18,2) — exact on 2-decimal sources at
+    any row count, where the prior round(sum(double),2) was partition-
+    combine-order dependent past ~1e10 rows (queries/rounding.py,
+    converted round 12)."""
     customer = load_table(spark, sf_dir, "customer")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     region = F.broadcast(load_table(spark, sf_dir, "region"))
@@ -77,7 +82,9 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
         )
     )
 

@@ -92,18 +92,26 @@ def scan_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sink_parquet_snapshot",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )
 def sink_parquet_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged write + atomic swap, then read back — the reference's
     temp-table snapshot semantics (cloud2sql/collect.py:198-203) on files:
-    readers see either the previous snapshot or the new one, never a mix."""
+    readers see either the previous snapshot or the new one, never a mix.
+    Money totals sum in DECIMAL(18,2) — exact on 2-decimal sources at
+    any scale (queries/rounding.py, converted round 12)."""
     orders = load_table(spark, sf_dir, "orders")
     agg = (
         orders.groupBy("o_orderstatus")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
         .orderBy("o_orderstatus")
     )
     target = _tmp("sink_parquet_snapshot/orders_summary")
