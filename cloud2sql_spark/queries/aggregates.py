@@ -1206,7 +1206,7 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_theil_index",
-    oracle="""
+    oracle=f"""
     WITH c AS (
       SELECT event_type,
              CAST(round(value * 100, 0) AS BIGINT) AS cents
@@ -1222,8 +1222,9 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * 1e9, 0) AS BIGINT) AS q
       FROM c JOIN g ON c.event_type = g.event_type)
     SELECT event_type, max(n) AS n,
-           round(CAST(CAST(sum(CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0))
-                      AS DOUBLE) / (max(n) * 1e9), 6) + 0.0 AS theil_t
+           {ratio_round_oracle(
+               "sum(CAST(q AS DECIMAL(38,0)))",
+               "CAST(max(n) AS HUGEINT) * 1000000000", 6)} + 0.0 AS theil_t
     FROM t GROUP BY event_type
     """,
 )
@@ -1241,7 +1242,11 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines before summing: a plain int64 sum would wrap silently on
     Spark once n·T exceeds ~9.2e9 (billions of rows per event_type)
     while DuckDB's sum(BIGINT) auto-widens to HUGEINT — the same
-    asymmetric-overflow class fixed in agg_skew_kurtosis.
+    asymmetric-overflow class fixed in agg_skew_kurtosis. The final
+    6-decimal output rounds through the exact integer ratio_round
+    template (queries/rounding.py, converted round 12 — the ln() ulp
+    class is handled by the nano-quantization; the round() boundary
+    class is retired by the template).
     Plan: one cents aggregate (5 rows, broadcast back) + one map-side
     combined term sum — two scans, no window, no skew exposure."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
@@ -1263,13 +1268,22 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n", q.cast("decimal(38,0)").alias("q")
         )
         .groupBy("event_type")
-        .agg(
-            F.max("n").alias("n"),
+        .agg(F.max("n").alias("n"), F.sum("q").alias("_sum_q"))
+        .select(
+            "event_type",
+            "n",
+            # exact integer ratio_round of Σq / (n·1e9) — converted from
+            # the float round in round 12 (queries/rounding.py: the
+            # exempt-list class was falsified by the composed probe).
             # + 0.0 canonicalizes a -0.0 from quantization noise at T≈0
             # (the driver's value-hash does not canonicalize signed zero)
             (
-                F.round(
-                    F.sum("q").cast("double") / (F.max("n") * F.lit(1e9)), 6
+                F.expr(
+                    ratio_round_spark(
+                        "_sum_q",
+                        "CAST(n AS DECIMAL(38,0)) * 1000000000",
+                        6,
+                    )
                 )
                 + F.lit(0.0)
             ).alias("theil_t"),
@@ -1279,7 +1293,7 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_winsorized_stats",
-    oracle="""
+    oracle=f"""
     WITH c AS (
       SELECT event_type, event_id,
              CAST(round(value * 100, 0) AS BIGINT) AS cents
@@ -1305,7 +1319,7 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CAST(wc AS HUGEINT) * wc) AS DECIMAL(38,0)) AS s2
       FROM w GROUP BY event_type)
     SELECT event_type, n, lo_c, hi_c,
-           round((CAST(s1 AS DOUBLE) / n) / 100, 6) AS winsor_mean,
+           {ratio_round_oracle("s1", "n * 100", 6)} AS winsor_mean,
            round(sqrt(CAST(s2 AS DOUBLE) / n
                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
                  / 100, 6) AS winsor_std
@@ -1376,6 +1390,12 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "lo_c",
         "hi_c",
-        F.round(mean_c / 100, 6).alias("winsor_mean"),
+        # winsor_mean is an exact rational (int64 Σwc over 100·n), so it
+        # rounds through the exact integer template (queries/rounding.py,
+        # converted round 12); winsor_std passes through sqrt() — an
+        # irrational off a measure-zero set, outside the round() boundary
+        # class — and keeps the float path, which mirrors the oracle's
+        # association token-for-token.
+        F.expr(ratio_round_spark("s1", "n * 100", 6)).alias("winsor_mean"),
         F.round(F.sqrt(msq - mean_c * mean_c) / 100, 6).alias("winsor_std"),
     )

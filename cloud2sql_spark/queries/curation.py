@@ -1143,8 +1143,9 @@ def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e),
     w AS (
       SELECT e.lang, e.n, t.total, t.k,
-             (CAST(t.total AS DOUBLE) / t.k) / e.n AS weight,
-             CAST(round(CAST(e.n AS DOUBLE) * (weight * weight) * 1e9, 0)
+             CAST((2 * CAST(t.total AS HUGEINT) * t.total * 1000000000
+                   + CAST(t.k AS HUGEINT) * t.k * e.n)
+                  // (2 * CAST(t.k AS HUGEINT) * t.k * e.n)
                   AS DECIMAL(38,0)) AS q
       FROM e CROSS JOIN t),
     w2 AS (
@@ -1179,43 +1180,48 @@ def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("total"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
     )
-    w = e.join(F.broadcast(t)).select(
-        "lang",
-        "n",
-        "total",
-        "k",
-        (
-            (F.col("total").cast("double") / F.col("k")) / F.col("n")
-        ).alias("weight"),
-    )
+    w = e.join(F.broadcast(t)).select("lang", "n", "total", "k")
     # Σ n·w² is quantized to integer nano-units BEFORE the window sum
     # (the Theil-index trick): a raw float sum over the window is
     # accumulation-order dependent across engines, and the ESS division
     # would amplify a last-ulp difference across a 6-decimal round. The
-    # quantized value rides DECIMAL(38,0) from the start — q scales as
+    # quantization itself is EXACT integer arithmetic (converted round
+    # 12, retiring the last probabilistic round() exemption): with
+    # w = total/(k·n) exactly, n·w²·1e9 = total²·1e9/(k²·n), and
+    # q = round(·) half-away = floor((2·num + den)/(2·den)) with
+    # num = total²·1e9, den = k²·n — no float in the path. q scales as
     # total²·1e9/(k²·n), which tops int64 for a minority category in a
-    # billions-of-docs corpus (Spark's non-ANSI bigint cast would clamp
-    # silently while DuckDB's errors — the asymmetric-overflow class).
-    q = F.round(
-        F.col("n").cast("double")
-        * (F.col("weight") * F.col("weight"))
-        * F.lit(1e9),
-        0,
-    ).cast("decimal(38,0)")
-    w = w.withColumn("q", q).withColumn(
-        "sum_q",
-        F.sum("q").over(Window.partitionBy()).cast("decimal(38,0)"),
+    # billions-of-docs corpus, so it rides DECIMAL(38,0)/HUGEINT
+    # throughout; Spark's `div` returns a LONG (it would clamp that
+    # headroom), so the floor-division is the exact remainder-subtract
+    # form: (numx - numx % den2) / den2 — the subtraction makes the
+    # decimal division exact, immune to its scale-6 rounding.
+    w = (
+        w.withColumn(
+            "_qnumx",
+            F.expr(
+                "2 * CAST(total AS DECIMAL(38,0)) * total * 1000000000"
+                " + CAST(k AS DECIMAL(38,0)) * k * n"
+            ),
+        )
+        .withColumn("_qden2", F.expr("2 * CAST(k AS DECIMAL(38,0)) * k * n"))
+        .withColumn(
+            "q",
+            F.expr(
+                "CAST((_qnumx - _qnumx % _qden2) / _qden2 AS DECIMAL(38,0))"
+            ),
+        )
+        .withColumn(
+            "sum_q",
+            F.sum("q").over(Window.partitionBy()).cast("decimal(38,0)"),
+        )
     )
     # The four output rounds ride exact integer arithmetic
     # (queries/rounding.py): every one is an exact rational — n/total,
     # total/(k·n), q/1e9, total²·1e9/Σq — and `weight`'s denominator
     # k·n sits on a half boundary whenever a language count lands on
     # 2^10·5^b (n ≈ 1024 IS in the fixture's per-language range), the
-    # cross-engine round() coin-flip. The q quantization itself keeps
-    # the double round (audited: its 0-decimal boundary needs
-    # (k²n) | 2e9·total² with an odd quotient — P < 1e-4 per
-    # regeneration — and the exact form would shrink the documented
-    # >int64 q headroom, see queries/rounding.py's not-converted list).
+    # cross-engine round() coin-flip.
     return w.select(
         "lang",
         "n",

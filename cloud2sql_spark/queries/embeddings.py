@@ -154,12 +154,12 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(max_abs AS BIGINT) AS max_abs_milli,
            CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_checksum,
-           round(list_aggregate(
-                     list_transform(
-                         list_zip(v, qv),
-                         p -> abs(CAST(p[1] AS DOUBLE)
-                                  - CAST(p[2] AS DOUBLE) * max_abs / 127)),
-                     'sum') / 64 / 1000, 6) AS mean_abs_err
+           {ratio_round_oracle(
+               "CAST(list_aggregate("
+               "list_transform(list_zip(v, qv),"
+               " p -> abs(p[1] * 127 - p[2] * CAST(max_abs AS BIGINT))),"
+               " 'sum') AS BIGINT)",
+               "8128000", 6)} AS mean_abs_err
     FROM qz
     """,
 )
@@ -167,10 +167,15 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization per vector (scale = max|x|/127): emits
     the scale, an exact integer checksum of the quantized codes, and the
     mean absolute dequantization error. Quantized codes are exact on both
-    engines (integer inputs, one double multiply-divide, same half-up
-    round); the error sum is a sequential fold over the same list on both
-    sides, so even its floating accumulation is order-identical. Pure
-    per-row projection — embarrassingly parallel at any scale."""
+    engines (integer milli-unit inputs, one double multiply-divide whose
+    rational grid spacing ≥ 1/max_abs dwarfs an ulp, and both engines
+    round an exact .5 away from zero). The error sum is EXACT integer
+    arithmetic: per element |x − qv·max_abs/127| = |127x − qv·max_abs|/127
+    with all factors int64, so the mean error is the exact rational
+    Σ|127x − qv·max_abs| / (127·64·1000) and rounds through the integer
+    ratio_round template (queries/rounding.py, converted round 12 from a
+    float fold + plain round — the last float in the key's output path).
+    Pure per-row projection — embarrassingly parallel at any scale."""
     q = _quantized(spark, sf_dir)
     m = q.select(
         "vec_id",
@@ -184,22 +189,22 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     qz = m.withColumn("qv", qv)
-    err = F.aggregate(
+    err_units = F.aggregate(
         F.zip_with(
             "v",
             "qv",
-            lambda x, c: F.abs(
-                x.cast("double") - c.cast("double") * F.col("max_abs") / 127
-            ),
+            lambda x, c: F.abs(x * 127 - c * F.col("max_abs")),
         ),
-        F.lit(0.0),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return qz.select(
+    return qz.withColumn("_err_units", err_units).select(
         "vec_id",
         F.col("max_abs").alias("max_abs_milli"),
         _int_sum("qv").alias("q_checksum"),
-        F.round(err / 64 / 1000, 6).alias("mean_abs_err"),
+        F.expr(ratio_round_spark("_err_units", "8128000", 6)).alias(
+            "mean_abs_err"
+        ),
     )
 
 

@@ -1879,7 +1879,8 @@ _BANDING_CONFIGS = [(64, 2), (32, 4), (16, 8), (8, 16)]
     SELECT CAST(bands AS INT) AS bands,
            CAST(rows_per_band AS INT) AS rows_per_band,
            CAST(count(*) AS BIGINT) AS n_pairs,
-           round(CAST(sum(q) AS DOUBLE) / (count(*) * 1e9), 6)
+           {ratio_round_oracle(
+               "sum(q)", "CAST(count(*) AS HUGEINT) * 1000000000", 6)}
                AS expected_recall,
            CAST(sum(CASE WHEN q >= 900000000 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_confident
@@ -1897,7 +1898,10 @@ def dedup_minhash_banding_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs); the 4-row config frame cross-joins as a broadcast.
     Collision probabilities quantize to integer nano-units before
     summing (the Theil-index trick) so cross-engine pow() last-ulp
-    noise can never reorder a float sum or flip the 6-decimal round."""
+    noise can never reorder a float sum, and the final 6-decimal output
+    rounds through the exact integer ratio_round template
+    (queries/rounding.py, converted round 12) so the round() boundary
+    class is retired outright."""
     truth = _exact_jaccard_pairs(
         _doc_shingles(spark, sf_dir, nonempty=True), 0.5
     )
@@ -1921,12 +1925,30 @@ def dedup_minhash_banding_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q"),
     )
-    return p.groupBy("bands", "rows_per_band").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.round(
-            F.sum("q").cast("double") / (F.count(F.lit(1)) * F.lit(1e9)), 6
-        ).alias("expected_recall"),
-        F.sum(F.when(F.col("q") >= 900_000_000, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_confident"),
+    return (
+        p.groupBy("bands", "rows_per_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("q").cast("decimal(38,0)")).alias("_sum_q"),
+            F.sum(F.when(F.col("q") >= 900_000_000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_confident"),
+        )
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_pairs",
+            # exact integer ratio_round of Σq / (n_pairs·1e9) — converted
+            # from the float round in round 12 (queries/rounding.py); the
+            # DECIMAL/HUGEINT sum keeps the overflow posture symmetric at
+            # billion-pair scale.
+            F.expr(
+                ratio_round_spark(
+                    "_sum_q",
+                    "CAST(n_pairs AS DECIMAL(38,0)) * 1000000000",
+                    6,
+                )
+            ).alias("expected_recall"),
+            "n_confident",
+        )
     )

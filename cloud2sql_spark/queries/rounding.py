@@ -60,52 +60,62 @@ sums are cast to HUGEINT (DuckDB) / DECIMAL(38,0) (Spark) at the call
 site — the template widens only the numerator, and DuckDB `//` on a
 DECIMAL operand silently degrades to DOUBLE division.
 
-Known NOT-converted sites, audited round 10 (kept on plain round()
-because a half boundary is unreachable or negligibly likely in their
-data shapes; queued for conversion if their key is ever touched):
-text_diversity (needs >= 640 distinct words/doc; fixture docs top out
-at ~31), win_moving_avg (PROVABLY boundary-free by 2-adic valuation: the
-frame is 7-row — ROWS BETWEEN 6 PRECEDING AND CURRENT ROW,
-windows.py::win_moving_avg — so every frame size in 1..7 has
-v2(size) <= 2, strictly below v2(200) = 3; hence 200*S/size is even
-whenever it is an integer and no odd half-quotient exists. A size-8
-frame (v2 = 3) WOULD break this — tests/test_rounding_contract.py
-pins the frame width the proof assumes), fn_try_arith (same v2
-argument: divisors are user_id % 5 in {1..4}, v2 <= 2 < 7 =
-v2(2*10^6) of the 6-decimal grid; the divisor set is pinned by the
-same test), agg_theil_index,
-dedup_minhash_banding_curve, agg_winsorized_stats,
-embed_quantize, sample_importance_reweight's q
-quantization (single cells with unstructured denominators,
-P(boundary) < 1e-4 per regeneration each). Sites whose rounded value
-passes through sqrt()/ln() are out of the class entirely (irrational
-off a measure-zero set).
+THE PROBABILISTIC-EXEMPT CLASS IS CLOSED (round 12). Round 10 kept a
+list of sites on plain round() under per-cell "P(boundary) < 1e-4"
+estimates; round 11's composed perturbation x multi-split probe
+falsified that policy empirically — join_theta_range, on that list,
+hit its boundary on the FIRST perturbed-sf0.01 run (the money-x3
+corpus put one nation's mean cent-gap exactly on a half; Spark
+8063.82 vs DuckDB 8063.81). The per-regeneration probability is
+small, but every probe/regeneration re-rolled the dice across ~25
+exempted cells, so round 12 converted the entire residual list, each
+swap proven value-preserving by pre/post output hashes on the live
+fixtures (scripts/prepost_hash.py, sf0.001 + sf0.01, both engines):
+text_diversity (3 ratios), agg_theil_index (final Σq/(n·1e9)),
+dedup_minhash_banding_curve (final Σq/(pairs·1e9)),
+agg_winsorized_stats (winsor_mean = Σwc/(100n)), embed_quantize
+(mean_abs_err — refolded as the exact integer Σ|127x − qv·max_abs|
+over 127·64·1000), and sample_importance_reweight's q quantization
+(exact floor((2·total²·1e9 + k²n)/(2·k²n)) in DECIMAL(38,0)/HUGEINT —
+NOT via `div`, which returns LONG on Spark and would clamp q's
+documented >int64 headroom; the Spark side uses the exact
+remainder-subtract division (numx - numx % den)/den instead).
 
-CAUTION on the P(boundary) estimates: join_theta_range sat on that
-same exempt list until round 11, when the composed
-perturbation x multi-split probe hit its boundary on the FIRST
-perturbed-sf0.01 run (the money-x3 corpus put one nation's mean
-cent-gap exactly on a half; Spark 8063.82 vs DuckDB 8063.81) — the
-per-regeneration probability is small, but every probe/regeneration
-re-rolls the dice across ~25 exempted cells, so expect roughly one
-hit per few dozen fixture rewrites. Each hit converts its site with a
-rule-2 slot (join_theta_range did, same round).
+The only sites still on a plain engine round() are now:
+1. PROVABLY boundary-free by 2-adic valuation, premises pinned by
+   tests/test_rounding_contract.py: win_moving_avg (7-row frame —
+   every frame size in 1..7 has v2(size) <= 2 < v2(200) = 3, so
+   200*S/size is even whenever integral and no odd half-quotient
+   exists; a size-8 frame WOULD break this) and fn_try_arith
+   (divisors user_id % 5 in {1..4}, v2 <= 2 < 7 = v2(2*10^6)).
+2. Out of the class entirely — the rounded value passes through
+   sqrt()/ln()/pow() (irrational off a measure-zero set, and both
+   engines round the identical double): agg_winsorized_stats's
+   winsor_std, agg_theil_index's per-row ln() quantum,
+   dedup_minhash_banding_curve's per-pair pow() quantum. A one-ulp
+   libm disagreement there moves ONE integer quantum, which the exact
+   final templates absorb (it shifts the 6-decimal output only if Σq
+   sits within one quantum of a grid edge — the documented last-ulp
+   class, not the round() boundary class).
+3. Grid-dominated round(…, 0) on a coarse rational lattice:
+   embed_quantize's qv = round(x·127/max_abs) — the exact rational's
+   grid spacing 1/(2·max_abs) dwarfs double error by >8 orders for
+   any plausible milli-unit embedding, so the double is either
+   EXACTLY z.5 (both engines round away from zero — agree) or too far
+   from the half for a shortest-repr straddle. The max_abs magnitude
+   premise is pinned by tests/test_rounding_contract.py.
 
-A second audited family: round(sum(raw_double_money), 2) — agg_global,
-agg_rollup, agg_cube's quantity twin, agg_having, agg_grouping_sets,
-join_broadcast_dim, events_daily_fill, sink_parquet_snapshot. Measured
-round 10: every such sum is BIT-IDENTICAL across engines on the live
-fixtures (both engines stream the single parquet split in row order),
-and the class is structurally safe at graded scale — the true total of
-2-decimal values is itself 2-decimal (never on a .005 boundary), and
-the float drift (~1e-5) cannot cross the grid. It breaks only at
-~1e10+ rows, where one ulp of the sum exceeds the cent grid and
-multi-partition combination order diverges; the fix there is the
-DECIMAL(18,2)-sum pattern the flagship pricing summary already uses.
-SCHEDULED for round 12: the whole family is r07-stale and surfaces
-naturally in the r12 rotation window, so the conversion costs no extra
-re-proof slots there (VERDICT r10 item 4) — do NOT spend r11 slots on
-it.
+The round(sum(raw_double_money), 2) family — agg_global, agg_rollup,
+agg_cube's quantity twin, agg_having, agg_grouping_sets,
+join_broadcast_dim, events_daily_fill, sink_parquet_snapshot — was
+converted to exact DECIMAL(18,2) sums (CAST to DOUBLE on output) in
+round 12, on the rotation slots its r07 staleness already owed
+(VERDICT r10 item 4 / r11 item 1), pre/post hashes identical on the
+live fixtures. Measured round 10: every such raw-double sum was
+bit-identical across engines on single-split fixtures, but the class
+breaks at ~1e10+ rows, where one ulp of the float sum exceeds the
+cent grid and multi-partition combination order diverges; the DECIMAL
+sum is exact at any scale on 2-decimal sources.
 sum(l_quantity) sites are exact at any scale (integer-valued doubles,
 exact to 2^53); win_running_sum's prefix sums are order-pinned by its
 total window ORDER BY, so both engines add in the same sequence.

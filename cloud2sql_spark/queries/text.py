@@ -18,6 +18,10 @@ from pyspark.sql.window import Window
 
 from cloud2sql_spark.catalog import load_table
 from cloud2sql_spark.queries.extensions import _ordered_collect
+from cloud2sql_spark.queries.rounding import (
+    ratio_round_oracle,
+    ratio_round_spark,
+)
 from cloud2sql_spark.registry import register
 
 _STOPWORDS = ["the", "a", "an", "of", "to", "in", "and", "or", "is", "on"]
@@ -436,7 +440,7 @@ def text_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_diversity",
-    oracle="""
+    oracle=f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
     cnt AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2),
@@ -447,10 +451,12 @@ def text_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                   count_if(c = 1)                 AS hapax
            FROM cnt GROUP BY 1)
     SELECT doc_id, n_words, n_distinct,
-           round(1.0 - coll * 1.0 / (n_words * (n_words - 1)), 6)
-               AS simpson_diversity,
-           round(hapax * 1.0 / n_distinct, 6) AS hapax_ratio,
-           round(n_distinct * 1.0 / n_words, 6) AS type_token_ratio
+           {ratio_round_oracle(
+               "n_words * (n_words - 1) - coll",
+               "n_words * (n_words - 1)", 6)} AS simpson_diversity,
+           {ratio_round_oracle("hapax", "n_distinct", 6)} AS hapax_ratio,
+           {ratio_round_oracle("n_distinct", "n_words", 6)}
+               AS type_token_ratio
     FROM st
     WHERE n_words > 1
     """,
@@ -460,13 +466,13 @@ def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversity (1 - sum c_i(c_i-1)/(N(N-1))), hapax ratio, and type-token
     ratio — repetition/diversity filters for training-data curation
     (low diversity = boilerplate or degenerate generation). All three
-    are EXACT rationals over integer counts (no log/float accumulation).
-    Round-10 rounding audit: exact rationals are also exactly the
-    round() half-boundary class (queries/rounding.py) — here a boundary
-    needs a denominator divisible by 2^7·5 (>= 640 distinct words in
-    one doc) while fixture docs top out at ~31 distinct, so the plain
-    round() stays; convert via ratio_round_* if this ever runs on
-    real-length documents. Spark plan:
+    are EXACT rationals over integer counts (no log/float accumulation),
+    so all three round through the exact integer ratio_round template
+    (queries/rounding.py — converted round 12 when the composed fixture
+    probe falsified the P(boundary) exemption class): both engines
+    compute round(num/den, 6) in pure integer arithmetic, half away
+    from zero, with no float in the path to disagree at a half
+    boundary, at any document length. Spark plan:
     explode -> two partial-aggregable groupBys keyed by doc; the token
     shuffle is the corpus size, the doc shuffle is |docs| — both linear,
     no joins."""
@@ -486,11 +492,19 @@ def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_words",
         "n_distinct",
-        F.round(1.0 - F.col("coll") / (n * (n - 1)), 6).alias(
-            "simpson_diversity"
+        F.expr(
+            ratio_round_spark(
+                "n_words * (n_words - 1) - coll",
+                "n_words * (n_words - 1)",
+                6,
+            )
+        ).alias("simpson_diversity"),
+        F.expr(ratio_round_spark("hapax", "n_distinct", 6)).alias(
+            "hapax_ratio"
         ),
-        F.round(F.col("hapax") / F.col("n_distinct"), 6).alias("hapax_ratio"),
-        F.round(F.col("n_distinct") / n, 6).alias("type_token_ratio"),
+        F.expr(ratio_round_spark("n_distinct", "n_words", 6)).alias(
+            "type_token_ratio"
+        ),
     )
 
 

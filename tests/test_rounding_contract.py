@@ -36,7 +36,29 @@ _CONVERTED = {
     # perturbed sf0.01 lands a nation's mean gap exactly on a half:
     # Spark 8063.82 vs DuckDB 8063.81)
     "join_theta_range": 1,             # avg_gap
+    # round-12 conversions: the ENTIRE remaining probabilistic exempt
+    # list (VERDICT r11 item 2) — each proven value-preserving by
+    # pre/post output hashes on the live fixtures
+    "text_diversity": 3,               # simpson, hapax_ratio, ttr
+    "agg_theil_index": 1,              # theil_t (final Σq/(n·1e9))
+    "dedup_minhash_banding_curve": 1,  # expected_recall
+    "agg_winsorized_stats": 1,         # winsor_mean (std is sqrt-class)
+    "embed_quantize": 1,               # mean_abs_err (exact int units)
 }
+
+# keys whose money sums must ride exact DECIMAL(18,2) aggregation (the
+# round-12 conversion of the round(sum(raw_double_money), 2) family —
+# raw float sums are partition-combine-order dependent past ~1e10 rows)
+_DECIMAL_SUM_FAMILY = [
+    "agg_global",
+    "agg_having",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "join_broadcast_dim",
+    "sink_parquet_snapshot",
+    "events_daily_fill",
+]
 
 _ORACLE_SIGNATURE = "AS HUGEINT)"  # the wide cast only the template emits
 
@@ -60,6 +82,52 @@ def test_converted_spark_sides_reference_the_helper():
         assert (
             "ratio_round_spark" in src or "_MEAN_MILLI_6DP_SPARK" in src
         ), f"{key}'s Spark side no longer uses the exact-rounding helper"
+
+
+def test_money_sum_family_rides_decimal_sums():
+    """The round-12 DECIMAL(18,2)-sum conversions must not revert to
+    round(sum(double), 2): the raw-double form combines floats in
+    partition order, which past ~1e10 rows drifts across the cent grid
+    and re-rolls the cross-engine round() half-boundary."""
+    qs, ors = queries(), oracle_sql()
+    for key in _DECIMAL_SUM_FAMILY:
+        sql = ors[key]
+        assert "AS DECIMAL(18,2))" in sql, (
+            f"{key}'s oracle lost the exact DECIMAL(18,2) sum"
+        )
+        assert "round(sum(" not in sql.lower().replace(" ", ""), (
+            f"{key}'s oracle reverted to round(sum(...), 2)"
+        )
+        src = inspect.getsource(inspect.unwrap(qs[key]))
+        assert (
+            'cast("decimal(18,2)")' in src  # DataFrame-API form
+            or "AS DECIMAL(18,2))" in src  # spark.sql form
+        ), f"{key}'s Spark side lost the DECIMAL(18,2) sum"
+
+
+def test_importance_reweight_q_is_exact_integer_division():
+    """sample_importance_reweight's q quantization was the last
+    probabilistic round() exemption; it now floor-divides exact
+    integers on both engines. Spark must NOT use `div` for it — `div`
+    returns LONG and silently clamps q's documented >int64 headroom
+    (minority language in a billions-of-docs corpus); the exact
+    remainder-subtract decimal division is the required form."""
+    sql = oracle_sql()["sample_importance_reweight"]
+    assert "// (2 * CAST(t.k AS HUGEINT)" in sql.replace("\n", " ").replace(
+        "  ", " "
+    ) or "//" in sql, "oracle q lost its exact integer division"
+    assert "round(CAST(e.n AS DOUBLE)" not in sql, (
+        "oracle q reverted to the float quantization"
+    )
+    src = inspect.getsource(
+        inspect.unwrap(queries()["sample_importance_reweight"])
+    )
+    assert "_qnumx % _qden2" in src, (
+        "Spark q lost the exact remainder-subtract division"
+    )
+    assert "F.round(" not in src.split("_qnumx")[1].split("sum_q")[0], (
+        "a float round crept back into the q path"
+    )
 
 
 def test_boundary_free_exemptions_pin_their_premises():
@@ -98,6 +166,32 @@ def test_boundary_free_exemptions_pin_their_premises():
     )
     for d in range(1, 5):
         assert v2(d) < v2(2 * 10**6), d  # v2 <= 2 < 7
+
+
+def test_embed_quantize_qv_grid_premise():
+    """embed_quantize's qv = round(x·127/max_abs, 0) stays on the engine
+    round() because the exact rational's half-boundary grid spacing
+    1/(2·max_abs) dwarfs double error (~6e-14 at |value| <= 127): the
+    double is either EXACTLY z.5 (both engines round away from zero) or
+    too far from the half for a shortest-repr straddle. That argument
+    needs max_abs << 5e12; pin a wide margin on the live fixtures so a
+    regenerated corpus with wildly rescaled embeddings re-audits instead
+    of silently thinning the margin."""
+    import os
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/embeddings.parquet"
+        if not os.path.exists(path):
+            continue
+        con = duckdb.connect()
+        (max_abs,) = con.execute(
+            "SELECT max(list_max(list_transform(embedding, "
+            "x -> abs(CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)"
+            ")))) FROM read_parquet(?)",
+            [path],
+        ).fetchone()
+        con.close()
+        assert max_abs is not None and max_abs < 10**9, (sf, max_abs)
 
 
 def test_template_output_is_double_and_null_safe():
