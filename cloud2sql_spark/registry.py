@@ -73,56 +73,56 @@ _loaded = False
 # CORRECTNESS_r*.json files (plus the free-slot budget for new
 # registrations); rebuild it with that each round.
 _PRIORITY = [
-    "agg_groupby",
-    "dedup_quality_report",
-    "embed_dim_stats",
-    "embed_whitening_stats",
-    "events_markov_next_state",
+    "agg_global",
+    "agg_having",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "join_broadcast_dim",
+    "sink_parquet_snapshot",
+    "events_daily_fill",
+    "text_diversity",
+    "agg_theil_index",
+    "dedup_minhash_banding_curve",
+    "agg_winsorized_stats",
+    "embed_quantize",
     "sample_importance_reweight",
-    "tpch_q8",
-    "tpch_q14",
-    "tpch_q17",
-    "sample_temperature",
-    "sample_dedup_weighted",
-    "join_theta_range",
-    "sink_bucketed_join",
-    "text_histogram",
-    "text_lm_score",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q9",
-    "win_cume_dist_median",
-    "win_ignore_nulls",
-    "win_range_interval",
-    "agg_weighted_percentile",
-    "constraint_check",
-    "dedup_url_canonical",
-    "embed_covariance_gram",
-    "events_ab_lift",
-    "events_concurrency_sweep",
-    "events_cuped_adjusted",
-    "events_gap_interpolate",
-    "events_window_funnel",
-    "fn_geo_haversine",
-    "fn_ip_parse",
-    "fn_trig",
-    "graph_pagerank",
-    "join_asof_nearest",
-    "join_cidr_contains",
-    "join_scd2_point_in_time",
-    "multimodal_audio_window",
-    "multimodal_patchify",
-    "mv_incremental_refresh",
-    "sample_balanced",
-    "sample_epoch_shuffle",
-    "sample_interleave",
-    "scan_vacuum_retention",
-    "sim_search_pq_adc",
-    "sink_partition_overwrite_dynamic",
-    "sort_zorder_cluster",
-    "text_boilerplate_lines",
+    "text_repetition",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q4",
+    "udtf_table_arg",
+    "agg_ols_two_factor",
+    "agg_skew_kurtosis",
+    "dedup_media_phash",
+    "embed_mips_topk",
+    "events_anomaly_mad",
+    "events_bot_regularity",
+    "events_forecast_snaive",
+    "events_hourly_profile",
+    "events_interval_merge",
+    "events_survival_table",
+    "fn_uuid_deterministic",
+    "graph_degree_assortativity",
+    "graph_label_propagation",
+    "join_multiway_star",
+    "join_record_linkage",
+    "join_temporal_foreign_key",
+    "multimodal_audio_peaks",
+    "multimodal_scene_cut",
+    "multimodal_silence_segments",
+    "quality_drift_tv",
+    "sample_contrastive_pairs",
+    "scan_compaction_plan",
+    "scan_merge_on_read",
+    "sort_range_boundaries",
 ]
 
 
