@@ -153,3 +153,21 @@ def test_scale_probe_help_and_bad_replication():
     r = _run("scripts/scale_probe.py", "abc")
     assert r.returncode == 2
     assert "invalid int value" in r.stderr
+
+
+def test_composed_probe_help_exits_zero_without_writes():
+    t0 = time.time()
+    r = _run("scripts/composed_probe.py", "--help")
+    assert r.returncode == 0, r.stderr
+    assert "usage" in r.stdout.lower()
+    assert "COMPOSED_SRC" in r.stdout
+    assert "perturbed tables written" not in r.stdout
+    assert time.time() - t0 < _FAST
+
+
+def test_composed_probe_rejects_unknown_options():
+    r = _run("scripts/composed_probe.py", "--bogus")
+    assert r.returncode == 2
+    assert "unrecognized arguments" in r.stderr
+    # the bad option fails BEFORE any fixture generation
+    assert "perturbed tables written" not in r.stdout

@@ -123,3 +123,40 @@ def test_merge_submit_args_preserves_caller_confs():
         "--conf spark.driver.memory=4g pyspark-shell"
     )
     assert got.count("pyspark-shell") == 1
+
+
+def test_composed_probe_perturbs_before_splitting(tmp_path):
+    """The composed probe must feed split_probe a REAL perturbed corpus:
+    every catalog table present, and the values actually shifted by
+    perturb_audit's TRANSFORMS (money x3, ids offset) — otherwise the
+    composition degenerates to a plain multi-split run."""
+    import duckdb
+
+    spec = importlib.util.spec_from_file_location(
+        "composed_probe", os.path.join(_REPO, "scripts", "composed_probe.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = str(tmp_path / "perturbed")
+    mod.write_perturbed(_SF, out, mod._load_transforms(_REPO))
+
+    from cloud2sql_spark.catalog import TABLES
+
+    for name in TABLES:
+        assert os.path.exists(os.path.join(out, f"{name}.parquet")), name
+
+    con = duckdb.connect()
+    (min_src,) = con.execute(
+        f"SELECT min(c_custkey) FROM read_parquet('{_SF}/customer.parquet')"
+    ).fetchone()
+    (min_out,) = con.execute(
+        f"SELECT min(c_custkey) FROM read_parquet('{out}/customer.parquet')"
+    ).fetchone()
+    assert min_out == min_src + 90000  # the id-offset transform applied
+    (bad_money,) = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/customer.parquet') "
+        "WHERE abs(c_acctbal*100 - round(c_acctbal*100)) > 1e-9"
+    ).fetchone()
+    assert bad_money == 0  # money x3 stays exact 2-decimal
+    con.close()
