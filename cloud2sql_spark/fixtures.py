@@ -103,6 +103,38 @@ def app_fixture_dir(op: str, leaf: str) -> str:
     return path
 
 
+def session_fixture_dir(spark, op: str, sf_dir: str) -> str:
+    """Per-(sf, applicationId) dir for IN-PLACE stateful fixtures —
+    Derby databases, streaming checkpoints/state, sink round-trip dirs —
+    that are rebuilt rmtree-then-write on every invocation and can never
+    be atomically published (multi-file, order-dependent content).
+
+    These were the last fixture paths keyed by neither sf_dir nor
+    session: two concurrent gate runs sharing a TMPDIR that overlapped
+    on such a key rmtree'd each other's live checkpoint/database
+    mid-stream (round 12: a pytest sweep at sf0.001 deleted a contract
+    run's stream_foreach_jdbc checkpoint state at sf0.01 —
+    CANNOT_WRITE_STATE_STORE — and a second overlap made the perturb
+    audit read back a Derby rollup POPULATED FROM THE WRONG CORPUS,
+    i.e. the class can also produce wrong VALUES, not just crashes).
+    Same fix as round 11's CWD-keyed-warehouse hole (sink_bucketed_join):
+    ride app_fixture_dir's per-application keying + age-gated reaping,
+    with the sf in the leaf so different scale factors never share
+    state even within one session."""
+    path = session_fixture_path(spark, op, sf_dir)
+    return app_fixture_dir(op, os.path.basename(path))
+
+
+def session_fixture_path(spark, op: str, sf_dir: str) -> str:
+    """The path session_fixture_dir would return, WITHOUT the reset
+    (no rmtree, no sibling reaping) — for tests and readers that need
+    to inspect a fixture another call just built."""
+    leaf = f"{os.path.basename(os.path.normpath(sf_dir))}_" + (
+        spark.sparkContext.applicationId
+    )
+    return os.path.join(TMP_ROOT, op, leaf)
+
+
 def publish_keyed_fixture(
     fix_dir: str,
     family_prefix: str,

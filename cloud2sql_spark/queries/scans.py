@@ -34,6 +34,7 @@ from cloud2sql_spark.fixtures import (  # noqa: E402
     TMP_ROOT as _TMP_ROOT,
     app_fixture_dir as _app_fixture_dir,
     publish_keyed_fixture as _publish_keyed_fixture,
+    session_fixture_dir as _session_fixture_dir,
     tmp_path as _tmp,
 )
 
@@ -61,10 +62,12 @@ def scan_parquet_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("scan_csv_roundtrip", oracle="SELECT * FROM supplier")
 def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write+read CSV with header — the reference's CSV sink contract
-    (tests/collect_test.py:48-63: write CSVs, read back, same rows)."""
+    (tests/collect_test.py:48-63: write CSVs, read back, same rows).
+    The round-trip dir is per-(sf, applicationId) — an in-place rebuilt
+    fixture shared across concurrent gate runs corrupts whichever run
+    is mid-read (fixtures.session_fixture_dir, round 12)."""
     sup = load_table(spark, sf_dir, "supplier")
-    path = _tmp("scan_csv_roundtrip/supplier_csv")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _session_fixture_dir(spark, "scan_csv_roundtrip", sf_dir)
     sup.write.mode("overwrite").option("header", True).csv(path)
     return spark.read.option("header", True).schema(SCHEMAS["supplier"]).csv(path)
 
@@ -102,7 +105,11 @@ def sink_parquet_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     temp-table snapshot semantics (cloud2sql/collect.py:198-203) on files:
     readers see either the previous snapshot or the new one, never a mix.
     Money totals sum in DECIMAL(18,2) — exact on 2-decimal sources at
-    any scale (queries/rounding.py, converted round 12)."""
+    any scale (queries/rounding.py, converted round 12). The snapshot
+    target is per-(sf, applicationId): the swap is atomic, but a
+    concurrent run at another sf publishing to a SHARED path would be
+    read back as the wrong corpus (fixtures.session_fixture_dir,
+    round 12)."""
     orders = load_table(spark, sf_dir, "orders")
     agg = (
         orders.groupBy("o_orderstatus")
@@ -114,13 +121,23 @@ def sink_parquet_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
-    target = _tmp("sink_parquet_snapshot/orders_summary")
+    target = os.path.join(
+        _session_fixture_dir(spark, "sink_parquet_snapshot", sf_dir),
+        "orders_summary",
+    )
     write_parquet_snapshot(agg, target)
     return spark.read.parquet(target).orderBy("o_orderstatus")
 
 
-def _derby_url(name: str) -> str:
-    db_dir = _tmp(f"derby/{name}")
+def _derby_url(spark: SparkSession, name: str, sf_dir: str) -> str:
+    """Embedded-Derby database dir, per-(sf, applicationId): Derby
+    rebuilds in place (rmtree + create), so a shared path lets one run
+    delete or repopulate another's live database — the wrong-corpus
+    read-back the round-12 perturb audit caught
+    (fixtures.session_fixture_dir)."""
+    db_dir = os.path.join(
+        _session_fixture_dir(spark, f"derby_{name}", sf_dir), "db"
+    )
     return f"jdbc:derby:{db_dir};create=true"
 
 
@@ -137,8 +154,7 @@ def sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     default. On a cluster each partition opens its own connection — writes
     scale with executors."""
     nation = load_table(spark, sf_dir, "nation")
-    url = _derby_url("sink_jdbc")
-    shutil.rmtree(os.path.join(_TMP_ROOT, "derby/sink_jdbc"), ignore_errors=True)
+    url = _derby_url(spark, "sink_jdbc", sf_dir)
     (
         nation.write.format("jdbc")
         .option("url", url)
@@ -175,8 +191,7 @@ def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows is deliberately the demonstration shape; on a real warehouse the
     bounds come from min/max of the key."""
     region = load_table(spark, sf_dir, "region")
-    url = _derby_url("scan_jdbc")
-    shutil.rmtree(os.path.join(_TMP_ROOT, "derby/scan_jdbc"), ignore_errors=True)
+    url = _derby_url(spark, "scan_jdbc", sf_dir)
     (
         region.write.format("jdbc")
         .option("url", url)
@@ -284,8 +299,7 @@ def scan_incremental_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time
 
     orders = load_table(spark, sf_dir, "orders")
-    out = _tmp(f"incr_snapshot_{os.path.basename(sf_dir)}")
-    shutil.rmtree(out, ignore_errors=True)
+    out = _session_fixture_dir(spark, "incr_snapshot", sf_dir)
     base = orders.filter(F.col("o_orderkey") % 5 != 0).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
@@ -325,8 +339,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORC covers the same contract for Hive-ecosystem destinations).
     Same vectorized reader / predicate-pushdown machinery as parquet."""
     part = load_table(spark, sf_dir, "part")
-    path = _tmp("scan_orc_roundtrip/part_orc")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _session_fixture_dir(spark, "scan_orc_roundtrip", sf_dir)
     part.write.mode("overwrite").orc(path)
     return spark.read.schema(SCHEMAS["part"]).orc(path)
 
@@ -351,8 +364,7 @@ def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.date_trunc("day", "ts").cast("date")
     )
-    path = _tmp(f"sink_partitioned/{os.path.basename(sf_dir)}_events_by_day")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _session_fixture_dir(spark, "sink_partitioned", sf_dir)
     ev.write.mode("overwrite").partitionBy("day").parquet(path)
     return (
         spark.read.parquet(path)
@@ -381,8 +393,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema union at planning); missing columns materialize as NULL at
     scan time, no rewrite of old files."""
     docs = load_table(spark, sf_dir, "documents")
-    out = _tmp(f"schema_evo/{os.path.basename(sf_dir)}_docs")
-    shutil.rmtree(out, ignore_errors=True)
+    out = _session_fixture_dir(spark, "schema_evo", sf_dir)
     docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
         "overwrite"
     ).parquet(out)
@@ -424,8 +435,7 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .collect()
     )
-    path = _tmp(f"scan_binaryfile/{os.path.basename(sf_dir)}_blobs")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _session_fixture_dir(spark, "scan_binaryfile", sf_dir)
     os.makedirs(path, exist_ok=True)
     for row in docs:
         with open(os.path.join(path, f"{row.doc_id:05d}.bin"), "wb") as fh:
@@ -466,8 +476,7 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule against the clean table. Scale: CSV scan splits by file/block;
     the rollup is one keyed partial agg."""
     docs = load_table(spark, sf_dir, "documents")
-    path = _tmp(f"scan_csv_malformed/{os.path.basename(sf_dir)}_dirty_csv")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _session_fixture_dir(spark, "scan_csv_malformed", sf_dir)
     line = F.concat_ws(
         ",",
         F.col("doc_id"),
@@ -536,8 +545,7 @@ def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json as _json
 
     ev = load_table(spark, sf_dir, "events")
-    table_dir = _tmp(f"scan_time_travel/{os.path.basename(sf_dir)}_events_tt")
-    shutil.rmtree(table_dir, ignore_errors=True)
+    table_dir = _session_fixture_dir(spark, "scan_time_travel", sf_dir)
     os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
 
     v1_files = _write_snapshot_files(
@@ -595,8 +603,7 @@ def scan_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json as _json
 
     ev = load_table(spark, sf_dir, "events")
-    table_dir = _tmp(f"scan_snapshot_diff/{os.path.basename(sf_dir)}_events_cdc")
-    shutil.rmtree(table_dir, ignore_errors=True)
+    table_dir = _session_fixture_dir(spark, "scan_snapshot_diff", sf_dir)
     os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
 
     manifests: dict[int, list[str]] = {}

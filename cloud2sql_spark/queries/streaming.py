@@ -25,7 +25,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloud2sql_spark.catalog import load_table
-from cloud2sql_spark.fixtures import TMP_ROOT as _TMP_ROOT
+from cloud2sql_spark.fixtures import (
+    TMP_ROOT as _TMP_ROOT,
+    session_fixture_dir as _session_fixture_dir,
+)
 from cloud2sql_spark.registry import register
 from cloud2sql_spark.streaming import transforms
 
@@ -178,8 +181,11 @@ def stream_foreach_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     read the final table back."""
     from cloud2sql_spark.streaming import replay
 
-    base = os.path.join(_TMP_ROOT, "stream_foreach_jdbc")
-    shutil.rmtree(base, ignore_errors=True)
+    # per-(sf, applicationId): the shared path let a concurrent run's
+    # setup rmtree THIS run's live checkpoint state mid-commit, and a
+    # second overlap repopulated the Derby rollup from the wrong corpus
+    # (both observed round 12 — fixtures.session_fixture_dir)
+    base = _session_fixture_dir(spark, "stream_foreach_jdbc", sf_dir)
     replay_dir = replay.stage_replay_dir(spark, sf_dir, f"{base}/replay", n_files=4)
     stream = replay.read_event_stream(spark, replay_dir, files_per_trigger=2)
     url = f"jdbc:derby:{base}/db;create=true"
@@ -237,8 +243,7 @@ def stream_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks value ties deterministically on both engines."""
     from cloud2sql_spark.streaming import replay
 
-    base = os.path.join(_TMP_ROOT, f"stream_topk_{os.path.basename(sf_dir)}")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _session_fixture_dir(spark, "stream_topk", sf_dir)
     replay_dir = replay.stage_replay_dir(spark, sf_dir, f"{base}/replay", n_files=4)
     stream = replay.read_event_stream(spark, replay_dir, files_per_trigger=1)
     replay.run_incremental_topk(stream, f"{base}/state", f"{base}/ckpt", k=10)
@@ -276,8 +281,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     then hash-checked against the same oracle as the batch operator."""
     from cloud2sql_spark.streaming import replay
 
-    base = os.path.join(_TMP_ROOT, f"stream_cdc_{os.path.basename(sf_dir)}")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _session_fixture_dir(spark, "stream_cdc", sf_dir)
     replay_dir = replay.stage_replay_dir(spark, sf_dir, f"{base}/replay", n_files=4)
     stream = replay.read_event_stream(spark, replay_dir, files_per_trigger=2)
     replay.run_cdc_upsert(stream, f"{base}/state", f"{base}/ckpt")
@@ -305,10 +309,7 @@ def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the append layout equivalent to the complete-mode rollup."""
     from cloud2sql_spark.streaming import replay
 
-    base = os.path.join(
-        _TMP_ROOT, f"stream_exactly_once/{os.path.basename(sf_dir)}"
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _session_fixture_dir(spark, "stream_exactly_once", sf_dir)
     replay_dir = replay.stage_replay_dir(spark, sf_dir, f"{base}/replay", n_files=4)
     stream = replay.read_event_stream(spark, replay_dir, files_per_trigger=2)
     state_dir = f"{base}/out"
@@ -325,7 +326,13 @@ def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.read.parquet(f"{state_dir}/batch=*")
     return out.groupBy("event_type").agg(
         F.sum("n_events").alias("n_events"),
-        F.round(F.sum("total_value"), 2).cast("double").alias("total_value"),
+        # re-aggregate the per-batch partials in DECIMAL(18,2): each
+        # partial is an exact 2-decimal double, so the decimal sum is
+        # exact at any batch count — the same conversion as the
+        # round(sum(money),2) family (queries/rounding.py, round 12)
+        F.sum(F.col("total_value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
     )
 
 

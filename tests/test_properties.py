@@ -313,7 +313,8 @@ def test_time_travel_row_level_isolation(spark, tmp_path):
     import json
     import os
 
-    from cloud2sql_spark.queries.scans import _TMP_ROOT, scan_time_travel
+    from cloud2sql_spark.fixtures import session_fixture_path
+    from cloud2sql_spark.queries.scans import scan_time_travel
 
     rows = [
         (i, f"2024-01-01 00:00:{i:02d}", 1, "view", float(i)) for i in range(1, 11)
@@ -325,9 +326,7 @@ def test_time_travel_row_level_isolation(spark, tmp_path):
     }
     # ids 5 and 10 are the %5==0 append; v1 holds the other eight
     assert got == {1: 8, 2: 10}
-    table_dir = os.path.join(
-        _TMP_ROOT, f"scan_time_travel/{os.path.basename(tmp_path)}_events_tt"
-    )
+    table_dir = session_fixture_path(spark, "scan_time_travel", str(tmp_path))
     with open(os.path.join(table_dir, "manifests", "1.json")) as fh:
         v1_files = json.load(fh)["files"]
     v1_ids = {

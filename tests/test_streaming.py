@@ -155,14 +155,12 @@ def test_exactly_once_sink_commit_markers(spark, sf_dir):
     test_queries would fail; this pins the mechanism itself."""
     import os
 
-    from cloud2sql_spark.queries.streaming import (
-        _TMP_ROOT,
-        stream_exactly_once_sink,
-    )
+    from cloud2sql_spark.fixtures import session_fixture_path
+    from cloud2sql_spark.queries.streaming import stream_exactly_once_sink
 
     stream_exactly_once_sink(spark, sf_dir).collect()
     state = os.path.join(
-        _TMP_ROOT, f"stream_exactly_once/{os.path.basename(sf_dir)}/out"
+        session_fixture_path(spark, "stream_exactly_once", sf_dir), "out"
     )
     batches = sorted(d for d in os.listdir(state) if d.startswith("batch="))
     markers = sorted(os.listdir(os.path.join(state, "_committed")))
