@@ -87,6 +87,21 @@ _PRIORITY = [
     "agg_winsorized_stats",
     "embed_quantize",
     "sample_importance_reweight",
+    "scan_csv_roundtrip",
+    "sink_jdbc",
+    "scan_jdbc",
+    "scan_incremental_files",
+    "scan_orc_roundtrip",
+    "sink_partitioned_pruned",
+    "scan_schema_evolution",
+    "scan_binaryfile",
+    "scan_csv_malformed",
+    "scan_time_travel",
+    "scan_snapshot_diff",
+    "stream_foreach_jdbc",
+    "stream_incremental_topk",
+    "stream_cdc_upsert",
+    "stream_exactly_once_sink",
     "text_repetition",
     "tpch_q1",
     "tpch_q10",
@@ -108,21 +123,6 @@ _PRIORITY = [
     "events_forecast_snaive",
     "events_hourly_profile",
     "events_interval_merge",
-    "events_survival_table",
-    "fn_uuid_deterministic",
-    "graph_degree_assortativity",
-    "graph_label_propagation",
-    "join_multiway_star",
-    "join_record_linkage",
-    "join_temporal_foreign_key",
-    "multimodal_audio_peaks",
-    "multimodal_scene_cut",
-    "multimodal_silence_segments",
-    "quality_drift_tv",
-    "sample_contrastive_pairs",
-    "scan_compaction_plan",
-    "scan_merge_on_read",
-    "sort_range_boundaries",
 ]
 
 
