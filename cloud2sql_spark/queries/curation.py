@@ -415,7 +415,19 @@ def dedup_prefix_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     that runs BEFORE MinHash in real pipelines (one keyed shuffle on a
     64-byte key vs signature computation over full text). Group sizes
     ride along so downstream can audit collapse rates. Same
-    deterministic min-id survivor rule as dedup_exact."""
+    deterministic min-id survivor rule as dedup_exact.
+
+    Plan: a SINGLE hash aggregate — min_by(lang, doc_id) recovers the
+    survivor's lang inside the same groupBy that picks min(doc_id), so
+    there is no groups-side self-join at all. The previous
+    groupBy+join form computed the regex normalization TWICE (exchange
+    reuse does not cross broadcast boundaries) and carried a
+    broadcast-or-SMJ decision on the groups side that degrades as the
+    group table outgrows the broadcast threshold; the r12 isolated
+    scale probe measured it 12.8x at 10x data. This form is one
+    shuffle with map-side partial min/min_by/count (constant reduce
+    state per key) at any scale. min_by ties are impossible: doc_id is
+    unique."""
     docs = load_table(spark, sf_dir, "documents")
     pfx = F.substring(
         F.trim(
@@ -429,13 +441,11 @@ def dedup_prefix_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         64,
     )
     n = docs.select("doc_id", "lang", pfx.alias("pfx"))
-    g = n.groupBy("pfx").agg(
-        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dupes")
-    )
-    return (
-        n.join(g, (n.pfx == g.pfx) & (n.doc_id == g.keep_id))
-        .select("doc_id", "lang", "n_dupes")
-    )
+    return n.groupBy("pfx").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.count(F.lit(1)).alias("n_dupes"),
+    ).select("doc_id", "lang", "n_dupes")
 
 
 @register(

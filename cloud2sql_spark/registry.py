@@ -102,6 +102,8 @@ _PRIORITY = [
     "stream_incremental_topk",
     "stream_cdc_upsert",
     "stream_exactly_once_sink",
+    "dedup_prefix_norm",
+    "agg_weighted_percentile",
     "text_repetition",
     "tpch_q1",
     "tpch_q10",
@@ -121,8 +123,6 @@ _PRIORITY = [
     "events_anomaly_mad",
     "events_bot_regularity",
     "events_forecast_snaive",
-    "events_hourly_profile",
-    "events_interval_merge",
 ]
 
 

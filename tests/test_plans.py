@@ -1076,3 +1076,34 @@ def test_reweight_scalar_broadcast(spark, sf_dir):
     plan = _physical(_QUERIES["sample_importance_reweight"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_prefix_norm_single_aggregate_no_join(spark, sf_dir):
+    """dedup_prefix_norm (r12 scale fix): the min_by formulation is ONE
+    hash aggregate on pfx — no groups-side self-join (the old form
+    normalized the text twice and carried a broadcast-or-SMJ cliff the
+    10x isolated probe measured at 12.8x), no window sort. Partial +
+    final HashAggregate = map-side combine is active."""
+    plan = _physical(_QUERIES["dedup_prefix_norm"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    # min_by's buffer forces SortAggregate (not HashAggregate); the
+    # scale property is partial+final over ONE exchange either way
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_min_by" in plan, plan
+    assert plan.count("Aggregate") >= 2, plan
+
+
+def test_weighted_percentile_preaggregates_before_window(spark, sf_dir):
+    """agg_weighted_percentile (r12 scale fix): the weight mass is
+    hash-aggregated by (flag, price) BEFORE the cumulative window, so
+    the cardinality-3 window partitions see ~distinct-price rows, not
+    the fact table (the old raw-table window put a third of lineitem
+    in each of three tasks at any cluster size). The aggregate must
+    appear under the window in the plan tree, with map-side combine."""
+    df = _QUERIES["agg_weighted_percentile"](spark, sf_dir)
+    plan = _physical(df)
+    assert "Window" in plan, plan
+    pre_window = plan[plan.index("Window"):]
+    assert "HashAggregate" in pre_window, plan
+    assert plan.count("HashAggregate") >= 4, plan
