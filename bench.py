@@ -489,7 +489,23 @@ def main(argv: list[str] | None = None) -> None:
     # round's committed sf0.1 recording with sub-second timings.
     if not only and os.path.basename(os.path.normpath(sf_dir)) == "sf0.1":
         repo = os.path.dirname(os.path.abspath(__file__))
-        record = dict(result, wall_clock=time.strftime("%Y-%m-%dT%H:%M:%S"))
+        # Host-contention snapshot (VERDICT r12 item 6): timing spreads of
+        # 10-20% across a day were repeatedly adjudicated as host load, not
+        # code — freezing the 1/5/15-min load averages and uptime next to
+        # the value makes that case one line instead of three paragraphs.
+        host: dict = {}
+        try:
+            host["loadavg_1_5_15"] = [round(x, 2) for x in os.getloadavg()]
+            with open("/proc/uptime") as f:
+                host["uptime_sec"] = round(float(f.read().split()[0]), 1)
+            host["cpus"] = os.cpu_count()
+        except (OSError, ValueError):
+            pass
+        record = dict(
+            result,
+            wall_clock=time.strftime("%Y-%m-%dT%H:%M:%S"),
+            host=host,
+        )
         try:
             with open(os.path.join(repo, "bench_full_latest.json"), "w") as f:
                 json.dump(record, f, indent=1, sort_keys=True)

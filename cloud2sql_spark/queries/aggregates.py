@@ -959,7 +959,18 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     price in both formulations (the docstring's tie rule already
     noted equal prices make the within-price order irrelevant). The
     window still has 3 partitions, but over ~distinct-price rows
-    (bounded by the cent-price domain), not the fact table."""
+    (bounded by the cent-price domain), not the fact table.
+
+    Scale premise (pinned in tests/test_fixture_contracts.py::
+    test_lineitem_price_domain_is_bounded): the cent-price domain is a
+    bounded range (~10.5M cents observed), so each window partition
+    caps at domain size at any table size. Escape hatch if a future
+    corpus ever grows the domain toward row count: a two-level cumsum —
+    range-bucket price_c into B buckets, hash-aggregate mass per
+    (flag, bucket), cumsum the tiny bucket frame per flag to get bucket
+    offsets, then window only within (flag, bucket) partitions (3*B-way
+    parallelism) and add the offset; identical selection because
+    weights are nonnegative."""
     li = load_table(spark, sf_dir, "lineitem")
     w = li.select(
         "l_returnflag",

@@ -427,7 +427,13 @@ def dedup_prefix_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale probe measured it 12.8x at 10x data. This form is one
     shuffle with map-side partial min/min_by/count (constant reduce
     state per key) at any scale. min_by ties are impossible: doc_id is
-    unique."""
+    unique.
+
+    NULL semantics: a NULL text yields a NULL pfx, which the oracle's
+    ``JOIN ... ON n.pfx = g.pfx`` silently drops (SQL equality never
+    matches NULL); groupBy would instead emit a survivor row for the
+    NULL group, so NULL-pfx rows are filtered before aggregating to
+    keep both engines identical under any future fixture (ADVICE r12)."""
     docs = load_table(spark, sf_dir, "documents")
     pfx = F.substring(
         F.trim(
@@ -440,7 +446,9 @@ def dedup_prefix_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         64,
     )
-    n = docs.select("doc_id", "lang", pfx.alias("pfx"))
+    n = docs.select("doc_id", "lang", pfx.alias("pfx")).where(
+        F.col("pfx").isNotNull()
+    )
     return n.groupBy("pfx").agg(
         F.min("doc_id").alias("doc_id"),
         F.min_by("lang", "doc_id").alias("lang"),

@@ -73,56 +73,56 @@ _loaded = False
 # CORRECTNESS_r*.json files (plus the free-slot budget for new
 # registrations); rebuild it with that each round.
 _PRIORITY = [
-    "agg_global",
-    "agg_having",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "join_broadcast_dim",
-    "sink_parquet_snapshot",
-    "events_daily_fill",
-    "text_diversity",
-    "agg_theil_index",
-    "dedup_minhash_banding_curve",
-    "agg_winsorized_stats",
-    "embed_quantize",
-    "sample_importance_reweight",
-    "scan_csv_roundtrip",
-    "sink_jdbc",
-    "scan_jdbc",
-    "scan_incremental_files",
-    "scan_orc_roundtrip",
-    "sink_partitioned_pruned",
-    "scan_schema_evolution",
-    "scan_binaryfile",
-    "scan_csv_malformed",
-    "scan_time_travel",
-    "scan_snapshot_diff",
-    "stream_foreach_jdbc",
-    "stream_incremental_topk",
-    "stream_cdc_upsert",
-    "stream_exactly_once_sink",
     "dedup_prefix_norm",
-    "agg_weighted_percentile",
-    "text_repetition",
-    "tpch_q1",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q21",
-    "tpch_q22",
-    "tpch_q4",
-    "udtf_table_arg",
-    "agg_ols_two_factor",
-    "agg_skew_kurtosis",
-    "dedup_media_phash",
-    "embed_mips_topk",
-    "events_anomaly_mad",
-    "events_bot_regularity",
-    "events_forecast_snaive",
+    "events_hourly_profile",
+    "events_interval_merge",
+    "events_survival_table",
+    "fn_uuid_deterministic",
+    "graph_degree_assortativity",
+    "graph_label_propagation",
+    "join_multiway_star",
+    "join_record_linkage",
+    "join_temporal_foreign_key",
+    "multimodal_audio_peaks",
+    "multimodal_scene_cut",
+    "multimodal_silence_segments",
+    "quality_drift_tv",
+    "sample_contrastive_pairs",
+    "scan_compaction_plan",
+    "scan_merge_on_read",
+    "sort_range_boundaries",
+    "stream_interval_join_outer",
+    "text_cross_source_overlap",
+    "text_hashing_trick_features",
+    "text_pmi_bigrams",
+    "text_rake_keywords",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q2",
+    "tpch_q20",
+    "udtf_polymorphic",
+    "win_conditional_streak_reset",
+    "win_median_sliding",
+    "win_running_distinct",
+    "win_running_sum",
+    "agg_count_distinct",
+    "agg_stats",
+    "dedup_ngram_jaccard",
+    "dedup_sorted_neighborhood",
+    "embed_knn_graph",
+    "events_rfm_segments",
+    "filter_boolean",
+    "filter_comparison",
+    "filter_in_between_like",
+    "filter_null",
+    "graph_triangle_count",
+    "join_anti",
+    "join_asof",
+    "join_cross",
+    "join_full",
+    "join_inner_equi",
+    "join_left",
+    "join_right",
 ]
 
 

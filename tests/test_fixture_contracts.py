@@ -76,6 +76,26 @@ def test_lineitem_quantity_is_integral(duck_raw):
     assert n == 0, f"{n} l_quantity rows are non-integral"
 
 
+def test_lineitem_price_domain_is_bounded(duck_raw):
+    """agg_weighted_percentile's r12 scale rewrite windows per-(flag,
+    price_c) rows instead of the fact table; the scale premise is that
+    the CENT-PRICE DOMAIN is a bounded range (observed ~[90k, 10.5M]
+    cents every driver round), so each of the 3 window partitions holds
+    at most domain-size rows at ANY table size. 5e7 cents = $500k gives
+    ~50x headroom over the observed envelope while one window task can
+    still sort the partition. If this fires, the domain is approaching
+    row count and the window needs the two-level cumsum escape hatch
+    documented in agg_weighted_percentile's docstring."""
+    lo, hi = duck_raw.execute(
+        "SELECT min(l_extendedprice), max(l_extendedprice) FROM lineitem"
+    ).fetchone()
+    assert lo > 0, f"non-positive l_extendedprice {lo}"
+    assert hi * 100 <= 5e7, (
+        f"max l_extendedprice {hi} puts the cent-price domain past 5e7 — "
+        "the 3-partition window over per-price rows is no longer bounded"
+    )
+
+
 def test_documents_text_is_single_line_ascii(duck_raw):
     """The multimodal oracles slice TEXT by character while Spark slices
     the utf-8 PAYLOAD by byte — identical only while the corpus is pure

@@ -1104,6 +1104,8 @@ def test_weighted_percentile_preaggregates_before_window(spark, sf_dir):
     df = _QUERIES["agg_weighted_percentile"](spark, sf_dir)
     plan = _physical(df)
     assert "Window" in plan, plan
-    pre_window = plan[plan.index("Window"):]
-    assert "HashAggregate" in pre_window, plan
+    # children print BELOW parents in the plan string, so the slice
+    # after the Window token is the window's INPUT subtree
+    window_subtree = plan[plan.index("Window"):]
+    assert "HashAggregate" in window_subtree, plan
     assert plan.count("HashAggregate") >= 4, plan
