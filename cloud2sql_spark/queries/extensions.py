@@ -200,9 +200,17 @@ def _doc_shingles(
         for pdf in batches:
             ids, sgs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                # NULL text → empty shingle list, matching the old
-                # expression form (split(NULL) yielded an empty array).
-                ws = text.split(" ") if isinstance(text, str) else []
+                # NULL text → NULL shingle list, matching SQL NULL
+                # propagation (split(NULL) IS NULL on both engines; the
+                # r13 NULL-injection probe caught the old []-collapse
+                # making text_fingerprint emit ''/0 where the oracle
+                # emits NULL/NULL). Every nonempty=True consumer filters
+                # size(sg) > 0, which drops NULL exactly like [].
+                if not isinstance(text, str):
+                    ids.append(doc_id)
+                    sgs.append(None)
+                    continue
+                ws = text.split(" ")
                 if len(ws) >= 3:
                     sg = list(
                         dict.fromkeys(
@@ -1777,7 +1785,8 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_sorted_neighborhood",
     oracle=f"""
     WITH w AS (SELECT doc_id, source, text,
-                      string_split(text, ' ') AS ws FROM documents),
+                      string_split(text, ' ') AS ws FROM documents
+               WHERE text IS NOT NULL),
     sh AS (SELECT doc_id, source, substr(text, 1, 32) AS k,
                   {_SHINGLES_SQL} AS sg FROM w),
     ordered AS (
@@ -1818,11 +1827,18 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors but verify to Jaccard 0 (or NULL at 0/0), dropping the
     same pairs the old inner joins dropped — output identical.
     Determinism: binary string order with doc_id tie-break, exact
-    integer set sizes, one mirrored double division."""
+    integer set sizes, one mirrored double division.
+
+    NULL text is filtered BEFORE the window on both engines (r13
+    NULL-injection probe): a contentless doc must not occupy neighbor
+    slots, and letting it ride is cross-engine nondeterministic anyway —
+    its NULL blocking key sorts FIRST in Spark but LAST in DuckDB, so
+    the two engines would form different candidate pairs around it
+    (and two adjacent NULL docs hit ANSI 0/0 at the Jaccard)."""
     sh = _doc_shingles(spark, sf_dir).join(
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", "source", F.substring("text", 1, 32).alias("k")
-        ),
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", F.substring("text", 1, 32).alias("k")),
         "doc_id",
     )
     so = Window.partitionBy("source").orderBy("k", "doc_id")

@@ -112,19 +112,27 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             # np.frombuffer: zero-copy byte view — the vectorized 'decode'
-            n, sums, mx = [], [], []
+            # NULL payload -> NULL features (the oracle's NULL-propagation
+            # shape; r13 NULL-injection probe — a None must not reach
+            # np.frombuffer). int/int division == the former vectorized
+            # int64-array division bit-for-bit below 2^53.
+            n, means, mx = [], [], []
             for b in pdf["payload"]:
+                if b is None:
+                    n.append(None)
+                    means.append(None)
+                    mx.append(None)
+                    continue
                 arr = np.frombuffer(b, dtype=np.uint8)
                 n.append(arr.size)
-                sums.append(int(arr.sum()))
+                means.append(int(arr.sum()) / arr.size)
                 mx.append(int(arr.max()))
-            n_arr = np.array(n, dtype=np.int64)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": n_arr.astype("int32"),
-                    "mean_byte": np.array(sums, dtype=np.int64) / n_arr,
-                    "max_byte": np.array(mx, dtype=np.int32),
+                    "n_bytes": pd.array(n, dtype="Int32"),
+                    "mean_byte": pd.array(means, dtype="Float64"),
+                    "max_byte": pd.array(mx, dtype="Int32"),
                 }
             )
 
@@ -176,6 +184,11 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             n_bytes, resized = [], []
             for b in pdf["payload"]:
+                # NULL payload -> NULL row (oracle NULL-propagation; r13)
+                if b is None:
+                    n_bytes.append(None)
+                    resized.append(None)
+                    continue
                 arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
                 n = arr.size
                 bounds = (np.arange(w + 1) * n) // w
@@ -187,7 +200,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": pd.array(n_bytes, dtype="int32"),
+                    "n_bytes": pd.array(n_bytes, dtype="Int32"),
                     "resized_q6": resized,
                 }
             )
@@ -236,6 +249,8 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, idxs, sizes, sums = [], [], [], []
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b is None:  # NULL payload: no frames (oracle shape; r13)
+                    continue
                 arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
                 n = arr.size
                 nf = -(-n // frame)
@@ -325,6 +340,8 @@ def multimodal_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, idxs, energies, sums = [], [], [], []
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b is None:  # NULL payload: no windows (oracle shape; r13)
+                    continue
                 arr = np.frombuffer(b, dtype=np.uint8)
                 if arr.size < size:
                     continue
@@ -594,6 +611,8 @@ def multimodal_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, fids, diffs = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL payload: no cuts (oracle; r13)
+                    continue
                 arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
                 n = arr.size
                 if n <= 64:
@@ -675,6 +694,8 @@ def multimodal_audio_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, idxs, es = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL payload: no windows (oracle; r13)
+                    continue
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 if arr.size < _AUDIO_WIN:
                     continue
@@ -772,6 +793,8 @@ def multimodal_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, idxs, es = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL payload: no windows (oracle; r13)
+                    continue
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 if arr.size < _AUDIO_WIN:
                     continue

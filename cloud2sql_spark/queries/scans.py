@@ -412,7 +412,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(strlen(text) AS BIGINT) AS n_bytes,
            md5(text) AS digest
     FROM documents
-    WHERE doc_id < 64
+    WHERE doc_id < 64 AND text IS NOT NULL
     """,
 )
 def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,9 +429,12 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingestion. At scale this reader partitions by file and prunes the
     content column when unreferenced; metadata-only queries never read
     payload bytes."""
+    # NULL text = no payload = no file to materialize (r13 NULL-injection
+    # probe: .encode() on None crashed the stage); the oracle's
+    # text IS NOT NULL mirrors the skipped file.
     docs = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 64)
+        .filter((F.col("doc_id") < 64) & F.col("text").isNotNull())
         .select("doc_id", "text")
         .collect()
     )

@@ -227,7 +227,15 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             preds = []
             corrects = []
             for text, actual in zip(pdf["text"], pdf["lang"]):
-                tri = {text[i : i + 3] for i in range(len(text) - 2)}
+                # NULL text scores 0 against every profile — the oracle's
+                # LEFT JOIN + coalesce(score, 0) shape — so the argmax
+                # tie-break picks the alphabetically-first lang (r13
+                # NULL-injection probe; None must not reach len()).
+                tri = (
+                    {text[i : i + 3] for i in range(len(text) - 2)}
+                    if isinstance(text, str)
+                    else set()
+                )
                 best_i = 0
                 best = -1
                 for i, pr in enumerate(profiles):

@@ -74,6 +74,17 @@ _loaded = False
 # registrations); rebuild it with that each round.
 _PRIORITY = [
     "dedup_prefix_norm",
+    "dedup_sorted_neighborhood",
+    "multimodal_audio_peaks",
+    "multimodal_audio_window",
+    "multimodal_decode",
+    "multimodal_frames",
+    "multimodal_resize",
+    "multimodal_scene_cut",
+    "multimodal_silence_segments",
+    "scan_binaryfile",
+    "text_fingerprint",
+    "text_lang_id",
     "events_hourly_profile",
     "events_interval_merge",
     "events_survival_table",
@@ -83,9 +94,6 @@ _PRIORITY = [
     "join_multiway_star",
     "join_record_linkage",
     "join_temporal_foreign_key",
-    "multimodal_audio_peaks",
-    "multimodal_scene_cut",
-    "multimodal_silence_segments",
     "quality_drift_tv",
     "sample_contrastive_pairs",
     "scan_compaction_plan",
@@ -108,7 +116,6 @@ _PRIORITY = [
     "agg_count_distinct",
     "agg_stats",
     "dedup_ngram_jaccard",
-    "dedup_sorted_neighborhood",
     "embed_knn_graph",
     "events_rfm_segments",
     "filter_boolean",
@@ -116,13 +123,6 @@ _PRIORITY = [
     "filter_in_between_like",
     "filter_null",
     "graph_triangle_count",
-    "join_anti",
-    "join_asof",
-    "join_cross",
-    "join_full",
-    "join_inner_equi",
-    "join_left",
-    "join_right",
 ]
 
 

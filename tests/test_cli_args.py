@@ -171,3 +171,21 @@ def test_composed_probe_rejects_unknown_options():
     assert "unrecognized arguments" in r.stderr
     # the bad option fails BEFORE any fixture generation
     assert "perturbed tables written" not in r.stdout
+
+
+def test_null_probe_help_exits_zero_without_writes():
+    t0 = time.time()
+    r = _run("scripts/null_probe.py", "--help")
+    assert r.returncode == 0, r.stderr
+    assert "usage" in r.stdout.lower()
+    assert "NULLPROBE_SRC" in r.stdout
+    assert "NULL-text docs written" not in r.stdout
+    assert time.time() - t0 < _FAST
+
+
+def test_null_probe_rejects_unknown_options():
+    r = _run("scripts/null_probe.py", "--bogus")
+    assert r.returncode == 2
+    assert "unrecognized arguments" in r.stderr
+    # the bad option fails BEFORE any fixture generation
+    assert "NULL-text docs written" not in r.stdout
