@@ -1326,7 +1326,7 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
       SELECT event_type, event_id,
              CAST(round(value * 100, 0) AS BIGINT) AS cents
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
     r AS (
       SELECT event_type, cents,
              row_number() OVER (PARTITION BY event_type
@@ -1369,7 +1369,11 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean/variance double math mirroring the oracle's association
     token-for-token."""
     ev = load_table(spark, sf_dir, "events")
-    c = ev.select(
+    # NULL measurements carry no robust-stat information: both engines
+    # drop them BEFORE ranking (r14 NULL-probe class — an unranked NULL
+    # otherwise lands NULLS FIRST in Spark but NULLS LAST in DuckDB,
+    # shifting every percentile index)
+    c = ev.filter(F.col("value").isNotNull()).select(
         "event_type",
         "event_id",
         F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),

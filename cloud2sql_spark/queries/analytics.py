@@ -792,7 +792,10 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         "user_id",
         "event_id",
-        F.round(num.cast("double") / den, 6).alias("ewma"),
+        # zero tap mass (a partition-leading run of NULL values) is the
+        # oracle's 0/0 -> NULL; under ANSI Spark it would throw, so the
+        # division only evaluates when mass exists (r14 NULL-probe)
+        F.when(den > 0, F.round(num.cast("double") / den, 6)).alias("ewma"),
     )
 
 
@@ -911,7 +914,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, epoch_us(ts) AS s,
              epoch_us(ts)
              + CAST(round(value * 100, 0) AS BIGINT) * 600000 AS e
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
     b AS (
       SELECT event_id, s AS tus, 1 AS delta FROM iv
       UNION ALL
@@ -960,6 +963,10 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     tus = F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts)")
     cents = F.round(F.col("value") * 100, 0).cast("long")
+    # an event with a NULL duration defines no interval: drop it on both
+    # engines (r14 NULL-probe class — its end boundary otherwise lands
+    # in a NULL day whose carry the engines order differently)
+    ev = ev.filter(F.col("value").isNotNull())
     iv = ev.select(
         "event_id",
         tus.alias("s"),
@@ -1642,7 +1649,7 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
       SELECT event_id, event_type,
              CAST(round(value * 100, 0) AS BIGINT) AS cents
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
     r1 AS (
       SELECT *, row_number() OVER (PARTITION BY event_type
                                    ORDER BY cents, event_id) AS rn,
@@ -1692,7 +1699,9 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     back between them — a fixed number of keyed shuffles regardless of
     scale, never a per-row subquery."""
     ev = load_table(spark, sf_dir, "events")
-    c = ev.select(
+    # NULL measurements drop before ranking on both engines (r14
+    # NULL-probe class: cross-engine NULLS FIRST/LAST rank divergence)
+    c = ev.filter(F.col("value").isNotNull()).select(
         "event_id",
         "event_type",
         F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),

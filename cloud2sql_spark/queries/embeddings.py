@@ -93,7 +93,8 @@ _MEAN_MILLI_6DP_SPARK = ratio_round_spark("s1", "n * 1000", 6)
 @register(
     "embed_dim_stats",
     oracle=f"""
-    WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+    WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
     flat AS (SELECT i AS dim, v[i] AS val
              FROM q, generate_series(1, 64) g(i)),
     s AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
@@ -522,7 +523,8 @@ def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embed_covariance_gram",
     oracle=f"""
-    WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+    WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
     idx AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS i),
     pairs AS (SELECT a.i AS i, b.i AS j FROM idx a, idx b),
     g AS (SELECT p.i, p.j,
@@ -556,7 +558,11 @@ def embed_covariance_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     d = 64
-    q = _quantized(spark, sf_dir).select("v")
+    # covariance is over PRESENT vectors: n must count what the sums
+    # saw (r14 NULL-probe — the unfiltered oracle counted NULL-vector
+    # rows into n while its sums skipped them; numpy crashed on the
+    # ragged batch)
+    q = _quantized(spark, sf_dir).filter(F.col("v").isNotNull()).select("v")
 
     def gram(batches):
         ii, jj = np.meshgrid(
@@ -814,7 +820,8 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embed_whitening_stats",
     oracle=f"""
-    WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+    WITH q AS (SELECT vec_id, {_QUANT_SQL} AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
     flat AS (SELECT i AS dim, v[i] AS val
              FROM q, generate_series(1, 64) g(i)),
     s AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,

@@ -727,8 +727,13 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet-footer count: one cheap metadata action to size the blocks
     n_vecs = load_table(spark, sf_dir, "embeddings").count()
     n_blocks = max(4, math.ceil(n_vecs / 1000))
-    q = _quantized(spark, sf_dir).withColumn(
-        "block", (F.col("vec_id") % n_blocks).cast("int")
+    # NULL vectors have no cosine to any row — the oracle drops them via
+    # NULL-propagating dot/threshold; dropping them before the block
+    # pack is the same contract (and keeps the numpy matrices dense)
+    q = (
+        _quantized(spark, sf_dir)
+        .filter(F.col("v").isNotNull())
+        .withColumn("block", (F.col("vec_id") % n_blocks).cast("int"))
     )
     # persist: the B-row packed frame feeds both sides of the block-pair join
     blocks = _track(
@@ -909,7 +914,8 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (l, p, d) = +-1 from the first md5 nibble of "l_p_d" — md5 is identical
 # across engines, so the oracle CTE below reconstructs the exact same
 # buckets the numpy sign-matmul produces (no literals shipped, no seeds).
-_LSH_BUCKETS_SQL = f"""q AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+_LSH_BUCKETS_SQL = f"""q AS (SELECT vec_id, {_QUANT_SQL} AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
     H AS (SELECT l, p, d,
                  CASE WHEN (strpos('0123456789abcdef',
                             substr(md5(l || '_' || p || '_' || d), 1, 1)) - 1)
@@ -957,8 +963,15 @@ def _lsh_bucket_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                 H[t, p, d - 1] = 1 if nib & 1 else -1
     pows = (1 << np.arange(n_planes)).astype(np.int64)
 
-    q = _quantized(spark, sf_dir).select("vec_id", "v").repartition(
-        spark.sparkContext.defaultParallelism
+    # a NULL embedding has no hyperplane signs: it never enters the
+    # index, on either engine (r14 NULL-probe — the unfiltered oracle
+    # form's CASE WHEN NULL-dot collapsed every NULL vector into bucket
+    # 0, and the numpy matmul crashed on the ragged batch)
+    q = (
+        _quantized(spark, sf_dir)
+        .filter(F.col("v").isNotNull())
+        .select("vec_id", "v")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def bucketize(batches):

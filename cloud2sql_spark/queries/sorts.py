@@ -159,7 +159,8 @@ def sort_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sort_range_boundaries",
     oracle="""
     WITH c AS (
-      SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+      SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
     h AS (
       SELECT cents, CAST(count(*) AS BIGINT) AS cnt
       FROM c GROUP BY cents),
@@ -194,7 +195,13 @@ def sort_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     with their exact inclusive ranks (integer cross-multiplied rank
     test — no division)."""
     ev = load_table(spark, sf_dir, "events")
-    c = ev.select(F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"))
+    # a NULL key is not a range boundary candidate: drop it on both
+    # engines (r14 NULL-probe class — the NULL histogram group otherwise
+    # ranks NULLS FIRST in Spark but NULLS LAST in DuckDB, shifting
+    # every cumulative rank)
+    c = ev.filter(F.col("value").isNotNull()).select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents")
+    )
     h = c.groupBy("cents").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     n1 = F.broadcast(c.agg(F.count(F.lit(1)).cast("bigint").alias("n")))
     cum = h.select(

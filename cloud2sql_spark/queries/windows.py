@@ -410,15 +410,17 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
       SELECT user_id, event_id, ts,
              CAST(round(value * 100, 0) AS BIGINT) AS cents,
-             count(*) OVER fr AS w_n,
-             list_sort(list(CAST(round(value * 100, 0) AS BIGINT)) OVER fr)
-                 AS w_vals
+             list_sort(list_filter(
+                 list(CAST(round(value * 100, 0) AS BIGINT)) OVER fr,
+                 x -> x IS NOT NULL)) AS w_vals
       FROM events
       WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
     SELECT user_id, event_id, cents,
-           CAST(w_n AS INT) AS w_n,
-           w_vals[CAST((w_n + 1) // 2 AS INT)] AS sliding_median_cents
+           CAST(len(w_vals) AS INT) AS w_n,
+           CASE WHEN len(w_vals) > 0
+                THEN w_vals[CAST((len(w_vals) + 1) // 2 AS INT)] END
+               AS sliding_median_cents
     FROM w
     """,
 )
@@ -441,11 +443,16 @@ def win_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-6, Window.currentRow)
     )
+    # w_n counts PRESENT values (count(col) skips NULLs, mirroring the
+    # oracle's post-filter list length): a NULL measurement contributes
+    # no mass to the median, and an all-NULL frame yields NULL — the
+    # r14 NULL-probe contract (count(*) + element_at on the NULL-free
+    # collected array otherwise indexes past the array and throws)
     staged = ev.select(
         "user_id",
         "event_id",
         cents.alias("cents"),
-        F.count(F.lit(1)).over(fr).cast("int").alias("w_n"),
+        F.count(cents).over(fr).cast("int").alias("w_n"),
         F.array_sort(F.collect_list(cents).over(fr)).alias("w_vals"),
     )
     return staged.select(
@@ -453,8 +460,9 @@ def win_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "cents",
         "w_n",
-        F.element_at(
-            "w_vals", ((F.col("w_n") + 1) / 2).cast("int")
+        F.when(
+            F.col("w_n") > 0,
+            F.element_at("w_vals", ((F.col("w_n") + 1) / 2).cast("int")),
         ).alias("sliding_median_cents"),
     )
 

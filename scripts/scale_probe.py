@@ -331,21 +331,31 @@ PROBE_KEYS = [
 
 # Registry keys deliberately NOT probed, each with its one-line reason
 # (VERDICT r12 item 2: every key carries a ratio or a rationale;
-# tests/test_probe_coverage.py pins PROBE_KEYS | EXCLUDED == registry).
+# tests/test_probe_coverage.py pins
+# PROBE_KEYS | EXCLUDED | STATE_PROBED == registry).
 EXCLUDED = {
     "scan_jdbc": "embedded Derby over ONE JDBC connection: times the "
     "driver-side DB engine, not a distributed plan",
     "sink_jdbc": "same single-connection Derby write path as scan_jdbc",
     "stream_foreach_jdbc": "foreachBatch into Derby: micro-batch "
     "scheduling + single-connection writes dominate, not the plan",
-    "stream_incremental_topk": "file-replay streaming (files_per_trigger"
-    "=1): wall time is micro-batch scheduler rounds, ~constant per batch",
-    "stream_cdc_upsert": "file-replay streaming with checkpoint fixture: "
-    "scheduler rounds dominate, same class as stream_incremental_topk",
-    "stream_exactly_once_sink": "file-replay streaming + txn-log fixture "
-    "round-trip: scheduler rounds dominate, same replay class",
     "etl_flatten_counts": "input is the fixed-size mock cloud inventory, "
     "independent of sf_dir: the ratio is definitionally ~1",
+}
+
+# Streaming keys whose scale signal is STATE SIZE, not wall time
+# (VERDICT r13 item 4): their file-replay seconds measure micro-batch
+# scheduler rounds, but each claims bounded state, and
+# scripts/stream_state_probe.py asserts that claim empirically on a
+# grown replay (tests/test_stream_state.py pins it at sf0.001 x 3).
+STATE_PROBED = {
+    "stream_incremental_topk": "state must stay exactly O(k) rows while "
+    "the replay grows 10x — stream_state_probe invariant 1",
+    "stream_cdc_upsert": "state must stay O(live keys) (constant over a "
+    "same-user-universe replica) — stream_state_probe invariant 2",
+    "stream_exactly_once_sink": "per-batch dirs must stay O(event "
+    "types); only batch COUNT may grow, exactly with input — "
+    "stream_state_probe invariants 3+4",
 }
 
 # Operators whose CONTRACT is exact all-pairs computation. Their
@@ -518,11 +528,17 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
-    # every registry key carries a ratio (PROBE_KEYS) or a one-line
-    # rationale (EXCLUDED) — fail loudly if a new registration slipped
-    # through uncovered (tests/test_probe_coverage.py pins this too)
-    uncovered = set(qs) - set(PROBE_KEYS) - set(EXCLUDED)
-    overlap = set(PROBE_KEYS) & set(EXCLUDED)
+    # every registry key carries a time ratio (PROBE_KEYS), a state-size
+    # invariant (STATE_PROBED -> scripts/stream_state_probe.py), or a
+    # one-line rationale (EXCLUDED) — fail loudly if a new registration
+    # slipped through uncovered (tests/test_probe_coverage.py pins this)
+    covered = set(PROBE_KEYS) | set(EXCLUDED) | set(STATE_PROBED)
+    uncovered = set(qs) - covered
+    overlap = (
+        (set(PROBE_KEYS) & set(EXCLUDED))
+        | (set(PROBE_KEYS) & set(STATE_PROBED))
+        | (set(EXCLUDED) & set(STATE_PROBED))
+    )
     assert not uncovered and not overlap, (
         f"scale-probe coverage hole: uncovered={sorted(uncovered)} "
         f"overlap={sorted(overlap)}"

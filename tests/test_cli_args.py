@@ -179,7 +179,10 @@ def test_null_probe_help_exits_zero_without_writes():
     assert r.returncode == 0, r.stderr
     assert "usage" in r.stdout.lower()
     assert "NULLPROBE_SRC" in r.stdout
-    assert "NULL-text docs written" not in r.stdout
+    # every axis is discoverable from --help
+    assert "documents.text" in r.stdout
+    assert "embeddings.embedding" in r.stdout
+    assert "NULLed rows written" not in r.stdout
     assert time.time() - t0 < _FAST
 
 
@@ -188,4 +191,29 @@ def test_null_probe_rejects_unknown_options():
     assert r.returncode == 2
     assert "unrecognized arguments" in r.stderr
     # the bad option fails BEFORE any fixture generation
-    assert "NULL-text docs written" not in r.stdout
+    assert "NULLed rows written" not in r.stdout
+
+
+def test_null_probe_rejects_unknown_axis():
+    r = _run("scripts/null_probe.py", "--axis", "documents.bogus")
+    assert r.returncode == 2
+    assert "invalid choice" in r.stderr
+    assert "NULLed rows written" not in r.stdout
+
+
+def test_stream_state_probe_help_exits_zero_without_writes():
+    t0 = time.time()
+    r = _run("scripts/stream_state_probe.py", "--help")
+    assert r.returncode == 0, r.stderr
+    assert "usage" in r.stdout.lower()
+    assert "STREAMPROBE_SRC" in r.stdout
+    assert "stream state probe:" not in r.stdout
+    assert time.time() - t0 < _FAST
+
+
+def test_stream_state_probe_rejects_unknown_options():
+    r = _run("scripts/stream_state_probe.py", "--bogus")
+    assert r.returncode == 2
+    assert "unrecognized arguments" in r.stderr
+    # the bad option fails BEFORE any fixture generation or Spark work
+    assert "stream state probe:" not in r.stdout

@@ -36,14 +36,20 @@ def test_every_registry_key_probed_or_excluded():
     reg = set(queries())
     probed = set(mod.PROBE_KEYS)
     excluded = set(mod.EXCLUDED)
+    state_probed = set(mod.STATE_PROBED)
     assert len(mod.PROBE_KEYS) == len(probed), "duplicate PROBE_KEYS entries"
     assert not (probed & excluded), sorted(probed & excluded)
-    assert reg - probed - excluded == set(), (
-        "registry keys with neither a probe ratio nor an exclusion "
-        f"rationale: {sorted(reg - probed - excluded)}"
+    assert not (probed & state_probed), sorted(probed & state_probed)
+    assert not (excluded & state_probed), sorted(excluded & state_probed)
+    assert reg - probed - excluded - state_probed == set(), (
+        "registry keys with neither a probe ratio, a state-size "
+        "invariant, nor an exclusion rationale: "
+        f"{sorted(reg - probed - excluded - state_probed)}"
     )
-    # EXCLUDED must not carry stale names after a key rename/removal
+    # the coverage dicts must not carry stale names after a key
+    # rename/removal
     assert excluded - reg == set(), sorted(excluded - reg)
+    assert state_probed - reg == set(), sorted(state_probed - reg)
     # probing a nonexistent key would crash the sweep at runtime
     assert probed - reg == set(), sorted(probed - reg)
 
@@ -52,6 +58,9 @@ def test_exclusions_carry_rationales():
     mod = _probe_module()
     for key, why in mod.EXCLUDED.items():
         assert isinstance(why, str) and len(why) >= 20, (key, why)
+    for key, why in mod.STATE_PROBED.items():
+        assert isinstance(why, str) and len(why) >= 20, (key, why)
+        assert "stream_state_probe" in why, (key, why)
 
 
 def test_quadratic_annotations_are_probed_keys():
