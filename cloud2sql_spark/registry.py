@@ -73,56 +73,56 @@ _loaded = False
 # CORRECTNESS_r*.json files (plus the free-slot budget for new
 # registrations); rebuild it with that each round.
 _PRIORITY = [
-    "dedup_prefix_norm",
-    "dedup_sorted_neighborhood",
-    "multimodal_audio_peaks",
-    "multimodal_audio_window",
-    "multimodal_decode",
-    "multimodal_frames",
-    "multimodal_resize",
-    "multimodal_scene_cut",
-    "multimodal_silence_segments",
-    "scan_binaryfile",
-    "text_fingerprint",
-    "text_lang_id",
-    "events_hourly_profile",
-    "events_interval_merge",
-    "events_survival_table",
-    "fn_uuid_deterministic",
-    "graph_degree_assortativity",
-    "graph_label_propagation",
-    "join_multiway_star",
-    "join_record_linkage",
-    "join_temporal_foreign_key",
-    "quality_drift_tv",
-    "sample_contrastive_pairs",
-    "scan_compaction_plan",
-    "scan_merge_on_read",
+    "agg_winsorized_stats",
+    "events_anomaly_mad",
+    "events_concurrency_sweep",
+    "events_ewma",
     "sort_range_boundaries",
-    "stream_interval_join_outer",
-    "text_cross_source_overlap",
-    "text_hashing_trick_features",
-    "text_pmi_bigrams",
-    "text_rake_keywords",
-    "tpch_q11",
-    "tpch_q16",
-    "tpch_q2",
-    "tpch_q20",
-    "udtf_polymorphic",
-    "win_conditional_streak_reset",
     "win_median_sliding",
-    "win_running_distinct",
-    "win_running_sum",
-    "agg_count_distinct",
-    "agg_stats",
-    "dedup_ngram_jaccard",
+    "dedup_embed_cosine",
+    "embed_covariance_gram",
+    "embed_dim_stats",
     "embed_knn_graph",
-    "events_rfm_segments",
-    "filter_boolean",
-    "filter_comparison",
-    "filter_in_between_like",
-    "filter_null",
-    "graph_triangle_count",
+    "embed_whitening_stats",
+    "sample_contrastive_pairs",
+    "sim_search_lsh",
+    "join_anti",
+    "join_asof",
+    "join_cross",
+    "join_full",
+    "join_inner_equi",
+    "join_left",
+    "join_right",
+    "join_self_edges",
+    "join_semi",
+    "join_skew_salted",
+    "limit_topk",
+    "profile_table",
+    "project_computed",
+    "project_nested_path",
+    "project_select",
+    "sample_curriculum",
+    "scan_json_props",
+    "scan_parquet",
+    "scan_parquet_pruned",
+    "set_union_all",
+    "set_union_distinct",
+    "sort_multikey",
+    "topk_per_group",
+    "win_first_last",
+    "agg_approx_distinct",
+    "agg_collect",
+    "dedup_cluster_cc",
+    "dedup_containment",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "dedup_ngram_capped",
+    "dedup_simhash",
+    "fn_array",
+    "fn_cond",
+    "fn_date",
+    "fn_json",
+    "fn_map",
 ]
 
 
