@@ -2054,38 +2054,53 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientations (both directions of each undirected edge, the standard
     symmetrization: S1 ≡ Σda = Σdb and S2 ≡ Σda² = Σdb², so four exact
     integer moments suffice). The agg_ols_two_factor recipe again:
-    moments are associative int64 sums over the edge list (deg ≤ a few
-    hundred, products bounded far under 2⁶³ even at 1000× fixture
-    scale), and the correlation assembles in IEEE doubles with
-    IDENTICAL association in both engines. Shape: degree aggregate,
-    two degree lookups joined onto the edge list on its own keys, one
-    map-side-combined global moment aggregate. Edges reuse the
-    persisted _copurchase_edges cache."""
+    moments are associative int64 sums, and the correlation assembles
+    in IEEE doubles with IDENTICAL association in both engines.
+
+    r14 shape (guide §2.3/§2.4 — the previous form shuffled the full
+    2.4M-row directed edge list TWICE, once per degree lookup, through
+    sort-merge joins): every moment but S3 is a pure function of the
+    degree multiset — each node u is the SOURCE of exactly d(u)
+    directed edges, so over directed edges Σ1 = Σ_u d(u),
+    Σda = Σ_u d(u)², Σda² = Σ_u d(u)³ — and S3 = Σ_{(u,v)} d(u)·d(v)
+    factors through the per-node neighbor-degree sum
+    sv(v) = Σ_{u∈N(v)} d(u) as Σ_v d(v)·sv(v). The edge list is
+    therefore never exchanged: deg is ONE map-side-combined aggregate
+    over the cached edges (the exchange carries ~|V| partial rows, not
+    |E|), the d-lookup joins a |V|-row frame onto und (AQE broadcasts
+    it at runtime; a 100 TB graph degrades to a shuffled join of
+    (node, d) pairs — 16 bytes/row — never the payload), and the sv
+    aggregate is again map-side combined down to |V| rows before its
+    exchange. Moment products stay far under 2⁶³: deg ≤ a few hundred
+    here, and d³·|V| clears int64 up to |V| ≈ 10⁹ at deg 10³. Edges
+    reuse the persisted _copurchase_edges cache."""
     e = _copurchase_edges(spark, sf_dir)
     und = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    # The graph_kcore_peel partitioning discipline: pin ONE explicit
-    # cluster-width hash partitioning and let every join/groupBy reuse
-    # it, instead of paying config-wide (400-task under the vanilla
-    # driver session) exchanges on a 2.4M-row edge list three times.
-    p = spark.sparkContext.defaultParallelism
-    und_u = und.repartition(p, "u")
-    deg = und_u.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    # materialize the |V|-row degree table once (executor-local blocks;
+    # three consumers below would otherwise re-aggregate the edge list
+    # three times — exchange reuse does not span the broadcast boundary)
+    deg = truncate_lineage(
+        und.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    # mm/s1/s2 from the degree multiset alone — no edge join at all
+    m0 = deg.agg(
+        F.sum("d").cast("bigint").alias("mm"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("s1"),
+        F.sum(F.col("d") * F.col("d") * F.col("d")).cast("bigint").alias("s2"),
+    )
     du = deg.select(F.col("u").alias("ju"), F.col("d").alias("da"))
-    dv = deg.select(F.col("u").alias("jv"), F.col("d").alias("db"))
-    ed = (
-        und_u.join(du, und_u.u == F.col("ju"))
-        .repartition(p, "v")
-        .join(dv.repartition(p, "jv"), F.col("v") == F.col("jv"))
-        .select("da", "db")
+    sv = (
+        und.join(du, und.u == F.col("ju"))
+        .groupBy("v")
+        .agg(F.sum("da").cast("bigint").alias("sv"))
     )
-    m = ed.agg(
-        F.count(F.lit(1)).cast("bigint").alias("mm"),
-        F.sum("da").cast("bigint").alias("s1"),
-        F.sum(F.col("da") * F.col("da")).cast("bigint").alias("s2"),
-        F.sum(F.col("da") * F.col("db")).cast("bigint").alias("s3"),
+    s3f = (
+        sv.join(deg, sv.v == deg.u)
+        .agg(F.sum(F.col("sv") * F.col("d")).cast("bigint").alias("s3"))
     )
+    m = m0.join(F.broadcast(s3f))
     dmm = F.col("mm").cast("double")
     d1 = F.col("s1").cast("double")
     d2 = F.col("s2").cast("double")
