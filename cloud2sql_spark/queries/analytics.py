@@ -1693,48 +1693,75 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     |x - med| > 5.1891 * MAD, evaluated as the EXACT integer
     cross-multiplication dev * 10000 > mad * 51891 — no doubles anywhere
     in the operator. Medians are exact lower medians ((n+1) div 2 of the
-    (value, event_id) order, the agg_weighted_percentile rule). Shape:
-    two window passes on the same event_type partitioning (rank for the
-    median, rank for the MAD) with tiny per-type aggregates broadcast
-    back between them — a fixed number of keyed shuffles regardless of
-    scale, never a per-row subquery."""
+    (value, event_id) order, the agg_weighted_percentile rule).
+
+    r14 shape (guide §2.3 + the r12 low-cardinality-window-partition
+    audit): the previous form ran BOTH rank windows over the raw fact
+    table PARTITION BY event_type — a handful of tasks sorting
+    everything at any cluster size, three full-table sort exchanges in
+    the plan (the r1 subtree recomputed under dev). Now value mass is
+    hash-aggregated per (event_type, cents) FIRST — map-side combined,
+    the exchange carries ≤ |cents domain| rows per type (events.value
+    is 2-decimal money, so the domain is bounded; the
+    agg_weighted_percentile premise) — and each median comes from a
+    cumulative-count window over the compacted rows: with nonnegative
+    counts, the first value whose cumulative count reaches
+    (n+1) div 2 IS the rank-(n+1 div 2) row's value (the event_id
+    tie-break only ordered equal-cents rows, which carry the same
+    output value). The deviation pass re-aggregates by (type, |x-med|)
+    and repeats the selection; anomalies are counted as Σ cnt over
+    qualifying deviation rows. Value-identical, and the fact table is
+    scanned twice but never window-sorted."""
     ev = load_table(spark, sf_dir, "events")
     # NULL measurements drop before ranking on both engines (r14
     # NULL-probe class: cross-engine NULLS FIRST/LAST rank divergence)
     c = ev.filter(F.col("value").isNotNull()).select(
-        "event_id",
         "event_type",
         F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
     )
+    vc = c.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     wt = Window.partitionBy("event_type")
-    w1 = wt.orderBy("cents", "event_id")
-    r1 = c.select(
-        "*",
-        F.row_number().over(w1).alias("rn"),
-        F.count(F.lit(1)).over(wt).alias("n"),
+    cum1 = (
+        wt.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    med = r1.groupBy("event_type").agg(
-        F.max(
-            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents"))
-        )
-        .cast("bigint")
-        .alias("med_cents"),
-        F.max("n").cast("bigint").alias("n"),
-    )
-    dev = c.join(F.broadcast(med), "event_type").select(
-        "event_id",
+    r1 = vc.select(
         "event_type",
         "cents",
+        F.sum("cnt").over(cum1).alias("cum"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+    med = (
+        r1.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("event_type")
+        .agg(
+            F.min("cents").cast("bigint").alias("med_cents"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+    )
+    dev = vc.join(F.broadcast(med), "event_type").select(
+        "event_type",
         F.abs(F.col("cents") - F.col("med_cents")).alias("d"),
+        "cnt",
         "med_cents",
         "n",
     )
-    w2 = wt.orderBy("d", "event_id")
-    r2 = dev.select("*", F.row_number().over(w2).alias("rn"))
-    mad = r2.groupBy("event_type").agg(
-        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("d")))
-        .cast("bigint")
-        .alias("mad_cents")
+    dc = dev.groupBy("event_type", "d").agg(
+        F.sum("cnt").alias("dcnt"), F.max("n").alias("n")
+    )
+    cum2 = (
+        wt.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r2 = dc.select(
+        "event_type", "d", F.sum("dcnt").over(cum2).alias("cum"), "n"
+    )
+    mad = (
+        r2.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("d").cast("bigint").alias("mad_cents"))
     )
     return (
         dev.join(F.broadcast(mad), "event_type")
@@ -1745,7 +1772,8 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mad_cents").cast("bigint").alias("mad_cents"),
             F.sum(
                 F.when(
-                    F.col("d") * 10000 > F.col("mad_cents") * 51891, 1
+                    F.col("d") * 10000 > F.col("mad_cents") * 51891,
+                    F.col("cnt"),
                 ).otherwise(0)
             )
             .cast("bigint")
