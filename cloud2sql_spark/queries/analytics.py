@@ -820,7 +820,15 @@ register_session_cache(_PAGERANK_EDGE_CACHE)
 def _pagerank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src, dst, d): both directions of the distinct part–supplier edge
     list, annotated with the source's degree; persisted per
-    (session, sf_dir) with bounded eviction."""
+    (session, sf_dir) with bounded eviction.
+
+    Node ids are LONGS (part pk → 2·pk, supplier sk → 2·sk+1 — the two
+    key spaces interleave injectively), not the output's 'p{pk}'/'s{sk}'
+    strings: every iteration shuffles and hash-joins on this column, and
+    an 8-byte long halves the key bytes of a ~7-char string and hashes/
+    compares without allocation (guide §2.3 — narrower shuffle types).
+    graph_pagerank renders the contract strings once, after the last
+    iteration."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _PAGERANK_EDGE_CACHE:
         # LRU-on-access: re-insert so a hot entry is never the eviction
@@ -834,8 +842,8 @@ def _pagerank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     e0 = li.select("l_partkey", "l_suppkey").distinct()
     fwd = e0.select(
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        (F.col("l_partkey") * 2).cast("long").alias("src"),
+        (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
     )
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
@@ -885,7 +893,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-annotated edge list) + one keyed aggregate on dst — the
     standard scalable formulation; no driver-side state at any |V|. Three
     static iterations keep lineage shallow (no checkpoint needed); the
-    iterative-convergence variant would localCheckpoint per superstep."""
+    iterative-convergence variant would localCheckpoint per superstep.
+    Iterations run on LONG node ids (see _pagerank_edges); the 'p{pk}' /
+    's{sk}' output strings render once in the final projection — ranks
+    are identical because the id mapping is injective, so the graph (and
+    every integer contribution sum) is unchanged."""
     edges_d = _pagerank_edges(spark, sf_dir)
     # Initial ranks read from the SAME cache (groupBy src over edges_d)
     # rather than from deg directly — deg's plan would re-run the whole
@@ -904,7 +916,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("node"),
             (F.lit(150000000).cast("long") + F.expr("(85 * c) div 100")).alias("r"),
         )
-    return ranks.select("node", F.col("r").alias("rank_nano"))
+    return ranks.select(
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("p")).otherwise(F.lit("s")),
+            F.expr("node div 2").cast("string"),
+        ).alias("node"),
+        F.col("r").alias("rank_nano"),
+    )
 
 
 @register(
