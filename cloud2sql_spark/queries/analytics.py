@@ -701,16 +701,21 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join, the same per-superstep shuffle Pregel does at cluster
     scale. An empty frontier short-circuits the remaining rounds."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 1)
+    # LONG node ids (part pk -> 2*pk, supplier sk -> 2*sk+1; the
+    # _pagerank_edges discipline): the output is the per-hop COUNT
+    # histogram, so node identity never leaves the operator and every
+    # per-superstep join/distinct/anti-join keys on an 8-byte long
+    # instead of a 'p{pk}'/'s{sk}' string (guide §2.3).
     half = li.select(
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("p"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        (F.col("l_partkey") * 2).cast("long").alias("p"),
+        (F.col("l_suppkey") * 2 + 1).cast("long").alias("s"),
     ).distinct()
     edges = half.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionByName(
         half.select(F.col("s").alias("src"), F.col("p").alias("dst"))
     )
     edges = edges.transform(truncate_lineage)
     seed = li.agg(
-        F.concat(F.lit("s"), F.min("l_suppkey").cast("string")).alias("node")
+        (F.min("l_suppkey") * 2 + 1).cast("long").alias("node")
     ).withColumn("hop", F.lit(0))
     visited = seed.transform(truncate_lineage)
     frontier = visited
