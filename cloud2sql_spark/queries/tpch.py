@@ -37,7 +37,7 @@ key tie-break, so LIMIT selects a deterministic set in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cloud2sql_spark.catalog import load_table
@@ -987,16 +987,22 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 suppliers-who-kept-orders-waiting, decorrelated: the
     original's EXISTS (another supplier in the order) and NOT EXISTS
-    (another LATE supplier) collapse into ONE per-order aggregate —
-    n_supp >= 2 and n_late = 1 identify orders where exactly the
-    candidate supplier was late. That replaces two correlated lineitem
-    self-joins with a groupBy(orderkey) + one re-join: two shuffles on
-    the order key total, the scalable Pregel-style decorrelation. Lite
-    stand-ins: late = shipped >80 days after order date (no
-    commit/receipt dates); nation is reported instead of filtered
-    (generic NATION_N names carry no geography). Top-20 orders by
-    (numwait desc, s_name) — s_name is unique, so the cut is
-    deterministic."""
+    (another LATE supplier) collapse into per-order counts — n_supp >= 2
+    and n_late = 1 identify orders where exactly the candidate supplier
+    was late. r14 shape (guide §2.3/§2.4): aggregate lineitem to one row
+    per (orderkey, suppkey) carrying any_late = max(late) — a map-side-
+    combined hash aggregate, no Expand (the previous two count_distincts
+    expanded every row 3×) — then take n_supp/n_late as COUNT/SUM window
+    aggregates over the compacted pair frame partitioned by orderkey
+    (per-pair rows make the distinct counts plain counts, and the window
+    rides the same exchange the old per_order groupBy + re-join paid
+    twice). waiting = pairs with any_late & n_supp>=2 & n_late==1 —
+    identical to the old late-row filter + distinct because a pair with
+    ≥1 late line IS a late-distinct supplier. Lite stand-ins: late =
+    shipped >80 days after order date (no commit/receipt dates); nation
+    is reported instead of filtered (generic NATION_N names carry no
+    geography). Top-20 orders by (numwait desc, s_name) — s_name is
+    unique, so the cut is deterministic."""
     f = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     )
@@ -1005,15 +1011,24 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate"
     )
     late = F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 80 DAY")
-    per_order = l.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+    pair = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late.cast("int")).alias("any_late")
     )
+    wo = Window.partitionBy("l_orderkey")
     waiting = (
-        l.join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1) & late)
+        pair.select(
+            "l_orderkey",
+            "l_suppkey",
+            "any_late",
+            F.count(F.lit(1)).over(wo).alias("n_supp"),
+            F.sum("any_late").over(wo).alias("n_late"),
+        )
+        .filter(
+            (F.col("any_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1)
+        )
         .select("l_orderkey", "l_suppkey")
-        .distinct()
     )
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
