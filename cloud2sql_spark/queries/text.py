@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cloud2sql_spark.catalog import load_table
-from cloud2sql_spark.queries.extensions import _ordered_collect
 from cloud2sql_spark.queries.rounding import (
     ratio_round_oracle,
     ratio_round_spark,
@@ -896,10 +895,21 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deg-only RAKE variant, kept integer so cross-engine hashes are
     exact (canonical deg/freq is a fraction sum). Same phrase text ⇒
     same corpus-level score, so the final aggregate dedups phrase
-    instances; top-20 orders by (score DESC, phrase). Shape: one window
-    pass, keyed aggregates, one word-score join (vocabulary-sized,
-    shuffled — NOT broadcast: a 100 TB corpus vocabulary outgrows a
-    broadcast table even if this fixture's doesn't)."""
+    instances; top-20 orders by (score DESC, phrase). Shape (r14, guide
+    §2.4): the phrase text and length attach to every word occurrence
+    through a SECOND window over (doc_id, phrase_id) — satisfied by the
+    doc_id partitioning the phrase-segmentation window already
+    established, so it costs one local re-sort and NO exchange — where
+    the previous form built a separate phrase aggregate and joined it
+    back (one more exchange, and the explode+window subtree recomputed
+    under both join sides). The occurrence frame is session-persisted
+    for its two consumers (word degrees and phrase scores; exchange
+    reuse does not span the two aggregate shapes). The word-score join
+    stays vocabulary-sized and shuffled — NOT broadcast: a 100 TB
+    corpus vocabulary outgrows a broadcast table even if this
+    fixture's doesn't."""
+    from cloud2sql_spark.queries.extensions import _track
+
     docs = load_table(spark, sf_dir, "documents")
     pos = (
         docs.select(
@@ -923,14 +933,20 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     pw = seg.filter(F.col("is_stop") == 0).select(
         "doc_id", "phrase_id", "i", "word"
     )
-    phrase = pw.groupBy("doc_id", "phrase_id").agg(
-        F.concat_ws(
-            " ",
-            _ordered_collect("i", "word"),
-        ).alias("phrase"),
-        F.count(F.lit(1)).cast("bigint").alias("plen"),
+    wp = (
+        Window.partitionBy("doc_id", "phrase_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    occ = pw.join(phrase, ["doc_id", "phrase_id"])
+    occ = _track(
+        pw.select(
+            "doc_id",
+            "phrase_id",
+            "word",
+            F.concat_ws(" ", F.collect_list("word").over(wp)).alias("phrase"),
+            F.count(F.lit(1)).over(wp).cast("bigint").alias("plen"),
+        ).persist()
+    )
     wscore = occ.groupBy("word").agg(F.sum("plen").cast("bigint").alias("deg"))
     pscore = (
         # MERGE hint pins the sort-merge strategy: the word-degree side
