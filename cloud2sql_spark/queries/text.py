@@ -51,19 +51,26 @@ _STOPWORDS = ["the", "a", "an", "of", "to", "in", "and", "or", "is", "on"]
 def text_tokenize_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokenize -> TF -> DF -> TF-IDF, top-3 terms per doc.
     IDF = ln((N+1)/(df+1)); ranked by rounded score (term tie-break) so
-    cross-engine libm noise cannot flip ranks."""
+    cross-engine libm noise cannot flip ranks. The TF frame is
+    session-persisted (r14): it feeds the DF aggregate AND the scoring
+    join, and without the persist the tokenize+explode+aggregate
+    subtree runs twice — exchange reuse does not cover the two
+    different downstream shapes."""
+    from cloud2sql_spark.queries.extensions import _track
+
     # repartition: the documents fixture is a single file split; spread the
     # tokenize/explode CPU across cores (no-op on a many-split lake table)
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    tf = (
+    tf = _track(
         # explode_outer: keeps InferFiltersFromGenerate from re-running
         # split() in a pushed-down pre-filter (see _exact_jaccard_pairs)
         docs.select("doc_id", F.explode_outer(F.split("text", " ")).alias("term"))
         .filter(F.col("term").isNotNull())
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .persist()
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
