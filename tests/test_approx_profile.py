@@ -34,13 +34,21 @@ def _rows(df):
     )
 
 
-def test_exact_plan_expands_and_approx_does_not(spark, sf_dir, monkeypatch):
+def test_exact_is_multi_pruned_scan_and_approx_is_single_scan(
+    spark, sf_dir, monkeypatch
+):
+    """Neither path Expands (r14: the exact path decomposes its six
+    count-distincts into per-column two-phase aggregates instead of the
+    7x-row Expand); the approx path remains the genuine single-scan
+    single-aggregate plan."""
     monkeypatch.delenv("SPARK_GRAFT_APPROX_PROFILE", raising=False)
     exact_plan = _physical(_QUERIES["profile_table"](spark, sf_dir))
-    assert "Expand" in exact_plan
+    assert "Expand" not in exact_plan
+    assert exact_plan.count("FileScan") == 7
     monkeypatch.setenv("SPARK_GRAFT_APPROX_PROFILE", "1")
     approx_plan = _physical(_QUERIES["profile_table"](spark, sf_dir))
     assert "Expand" not in approx_plan
+    assert approx_plan.count("FileScan") == 1
 
 
 def test_approx_stats_match_exact_within_rsd(spark, sf_dir, monkeypatch):

@@ -623,12 +623,24 @@ def test_curriculum_single_total_order(spark, sf_dir):
     assert "Join" not in plan, plan
 
 
-def test_profile_table_single_scan_no_join(spark, sf_dir):
-    """profile_table: every per-column statistic fuses into one aggregate
-    over one scan — a per-column loop would be N scans."""
+def test_profile_table_no_expand_pruned_distinct_scans(spark, sf_dir):
+    """profile_table (r14): counts/min/max fuse into one scan, but each
+    exact count-distinct runs as its own two-phase aggregate over a
+    single-column pruned scan — NO Expand (the fused form replicated
+    every row once per distinct column, 7x the scan volume), and the
+    seven 1-row results reassemble through broadcast joins only."""
+    from cloud2sql_spark.queries.quality import _PROFILE_COLS
+
     plan = _physical(_QUERIES["profile_table"](spark, sf_dir))
-    assert "Join" not in plan, plan
-    assert plan.count("FileScan") == 1, plan
+    assert "Expand" not in plan, plan
+    assert plan.count("FileScan") == 1 + len(_PROFILE_COLS), plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    # every distinct-scan is column-pruned to exactly its one column
+    read_schemas = [
+        seg.split(">", 1)[0] for seg in plan.split("ReadSchema: struct<")[1:]
+    ]
+    single_col = [s for s in read_schemas if s.count(":") == 1]
+    assert len(single_col) >= len(_PROFILE_COLS), plan
 
 
 def test_constraint_check_fk_is_anti_join(spark, sf_dir):
