@@ -1850,8 +1850,10 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     peel TRACE — (round, n_alive, n_edges) — which stays informative
     even when the core empties (the near-regular co-purchase graph is
     all-or-nothing: sf0.001 collapses to ∅, sf0.01 retains a 1857-node
-    core). Scale shape: each round is ONE pass — und ⋈ alive ⋈ alive →
-    induced-degree aggregate — lineage-truncated eagerly (see
+    core). Scale shape: each round is ONE pass — und ⋈ alive (on v) →
+    map-side-combined induced-degree aggregate, with the alive-u
+    restriction applied POST-aggregate (r14; valid by peel
+    monotonicity — see the loop comment) — lineage-truncated eagerly (see
     cloud2sql_spark.checkpointing for the local-vs-reliable trade) so round r's
     plan references a materialized alive set, never the 3^r-reference
     lineage that hung _min_label_propagate before its extraction. Each
@@ -1871,17 +1873,20 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     # One explicit hash partitioning at cluster width, REUSED every round:
-    # und pinned by u and by v once, alive/deg kept at the same (u, P)
-    # partitioning, and every groupBy/join below satisfies its
-    # distribution requirement from these — each superstep pays two
-    # P-wide exchanges (u->v and back) instead of two
-    # spark.sql.shuffle.partitions-wide ones (the vanilla-session 400-task
-    # stages that made the first cut 3x slower on tiny per-round frames).
+    # und pinned by v once, alive/deg kept at the u-keyed partitioning,
+    # and every groupBy/join below satisfies its distribution
+    # requirement from these instead of paying
+    # spark.sql.shuffle.partitions-wide exchanges (the vanilla-session
+    # 400-task stages that made the first cut 3x slower on tiny
+    # per-round frames).
     p = spark.sparkContext.defaultParallelism
-    und_u = und.repartition(p, "u").transform(truncate_lineage)
-    und_v = und_u.repartition(p, "v").transform(truncate_lineage)
+    # ONE materialized copy of the undirected edges, at the v-keyed
+    # partitioning every round's neighbor join consumes (the former
+    # second copy keyed by u fed only the per-round u-side join, which
+    # r14 moved above the aggregate — see the loop comment)
+    und_v = und.repartition(p, "v").transform(truncate_lineage)
     alive = (
-        und_u.select("u").repartition(p, "u").distinct()
+        und_v.select("u").repartition(p, "u").distinct()
         .transform(truncate_lineage)
     )
     n_alive = alive.count()
@@ -1889,27 +1894,43 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(_KCORE_ROUNDS + 1):
         au = alive.select(F.col("u").alias("au"))
         av = alive.select(F.col("u").alias("av"))
+        # r14 (guide §2.3 — aggregate before the shuffle): count alive
+        # NEIGHBORS per source first (one co-partitioned join on v, then
+        # a map-side-combined groupBy whose exchange carries ≤|V|
+        # partial rows), instead of also inner-joining the |E'|-row
+        # frame on u BEFORE aggregating (which exchanged the full edge
+        # frame by u every round). deg now carries rows for dead u too,
+        # but peeling is monotone — a node peeled at round j has
+        # cnt_i ≤ cnt_j < k for every later round i — so cnt >= k
+        # implies u ∈ alive_i and alive_{i+1} = deg[cnt >= k] exactly
+        # as before. Only the edge-count trace needs the alive-u
+        # restriction, applied as a POST-aggregate join on the compact
+        # deg frame inside the same scalar aggregate.
         deg = (
             und_v.join(av, und_v.v == F.col("av"))
-            .join(au.repartition(p, "au"), F.col("u") == F.col("au"))
-            .repartition(p, "u")
             .groupBy("u")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .transform(truncate_lineage)
         )
-        # n_alive of the NEXT round folds into the same aggregate as this
-        # round's edge count: a node of alive_i absent from deg has zero
-        # surviving neighbors (the joins are inner), so deg's cnt>=k rows
-        # ARE alive_{i+1} exactly.
-        n_edges, n_alive_next = deg.agg(
-            F.coalesce(
-                (F.sum("cnt") / 2).cast("bigint"), F.lit(0).cast("bigint")
-            ).alias("n_edges"),
-            F.coalesce(
-                F.sum((F.col("cnt") >= _KCORE_K).cast("bigint")),
-                F.lit(0).cast("bigint"),
-            ).alias("n_alive_next"),
-        ).first()
+        n_edges, n_alive_next = (
+            deg.join(au, deg.u == F.col("au"), "left")
+            .agg(
+                F.coalesce(
+                    (
+                        F.sum(
+                            F.when(F.col("au").isNotNull(), F.col("cnt"))
+                        )
+                        / 2
+                    ).cast("bigint"),
+                    F.lit(0).cast("bigint"),
+                ).alias("n_edges"),
+                F.coalesce(
+                    F.sum((F.col("cnt") >= _KCORE_K).cast("bigint")),
+                    F.lit(0).cast("bigint"),
+                ).alias("n_alive_next"),
+            )
+            .first()
+        )
         trace_rows.append((i, n_alive, n_edges))
         if n_alive_next == n_alive:
             # Peeling is monotone (alive_{i+1} ⊆ alive_i), so an unchanged
