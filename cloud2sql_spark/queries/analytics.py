@@ -1907,7 +1907,12 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # restriction, applied as a POST-aggregate join on the compact
         # deg frame inside the same scalar aggregate.
         deg = (
-            und_v.join(av, und_v.v == F.col("av"))
+            # SHUFFLE_HASH on the alive side (guide §3.1, the LPA
+            # discipline): sort-merge would re-sort the checkpointed
+            # edge frame every round; hashing the per-partition alive
+            # slice probes the edges in place and never broadcasts the
+            # node set.
+            und_v.join(av.hint("shuffle_hash"), und_v.v == F.col("av"))
             .groupBy("u")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .transform(truncate_lineage)
@@ -2624,10 +2629,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_LPA_ROUNDS):
         nbr = (
+            # SHUFFLE_HASH on the label side (guide §3.1): the planner's
+            # sort-merge join re-SORTED the materialized edge frame every
+            # round; hashing the per-partition label slice probes the
+            # edges in place (no sort, no edge exchange — und keeps its
+            # checkpointed v-partitioning) and stays cluster-safe at any
+            # |V| — the build side is one partition's labels, never a
+            # broadcast of the node set (measured -30%/round at sf0.1).
             und.join(
-                labels.filter(F.col("label").isNotNull()).select(
-                    F.col("node").alias("v"), F.col("label").alias("nl")
-                ),
+                labels.filter(F.col("label").isNotNull())
+                .select(F.col("node").alias("v"), F.col("label").alias("nl"))
+                .hint("shuffle_hash"),
                 "v",
             )
             .groupBy(F.col("u").alias("node"), "nl")
