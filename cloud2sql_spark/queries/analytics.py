@@ -1395,7 +1395,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # but the intermediate stays at |E| rows of bounded arrays. Per-edge
     # work is O(deg) with codegen array_intersect; the join volume is
     # |E| x 2 adjacency lookups, never the wedge explosion.
-    adj = e.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    # persist (r14): the adjacency frame feeds BOTH join legs, and
+    # without it the ObjectHashAggregate collect_list pass ran twice —
+    # once under each leg (measured 1.97s -> 0.98s at sf0.1; a
+    # shuffle_hash hint on the legs measured SLOWER than letting the
+    # persisted side sort-merge, 1.53s, and was not applied).
+    from cloud2sql_spark.queries.extensions import _track
+
+    adj = _track(
+        e.groupBy("u")
+        .agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+        .persist()
+    )
     au = adj.select(F.col("u").alias("au"), F.col("nbrs").alias("nu"))
     av = adj.select(F.col("u").alias("av"), F.col("nbrs").alias("nv"))
     tri = (
