@@ -646,43 +646,62 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference corpus has no newlines, so the published line-level
     rules map to word/bigram level. The verdict thresholds are integer
     comparisons (freq*5 > n_words), never float ratios, so the flag is
-    bit-identical across engines. Both frequency tables aggregate on
-    (doc_id, gram) — partial map-side combine collapses each doc's grams
-    before the doc_id shuffle, and per-doc cardinality bounds the state,
-    so the shape holds at corpus scale."""
+    bit-identical across engines.
+
+    Every statistic here is PER-DOC — no cross-doc aggregation exists —
+    so the whole operator is one Arrow-batched scan (r14): per-doc
+    Counter over words and over adjacent-word bigrams, emitting the four
+    counts directly. The previous form exploded both gram streams and
+    shuffled them on (doc_id, gram) twice plus a doc_id join — three
+    exchanges of token-volume data for an embarrassingly parallel
+    computation (measured 1.007 → 0.895s interleaved min at sf0.1; at
+    any scale the shuffle volume saved is ~|tokens|). Counts are exact
+    integers either way, so output is bit-identical (equivalence
+    asserted row-for-row at sf0.1 before the swap). A doc with no
+    nonempty tokens (empty or NULL text) emits no row, matching the
+    grouped form where it produced no (doc_id, token) rows; token
+    strings contain no spaces, so tuple-keyed bigram counting equals the
+    oracle's string-concat counting."""
     docs = load_table(spark, sf_dir, "documents")
-    w = docs.select(
-        "doc_id",
-        F.filter(F.split("text", " "), lambda t: t != "").alias("ws"),
+    par = spark.sparkContext.defaultParallelism * 2
+    base = docs.select("doc_id", "text").repartition(par)
+
+    def rep_stats(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nw, nd, twf, tbf = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):
+                    continue
+                ws = [t for t in text.split(" ") if t != ""]
+                if not ws:
+                    continue
+                wc = Counter(ws)
+                tb = max(Counter(zip(ws, ws[1:])).values()) if len(ws) >= 2 else 0
+                ids.append(doc_id)
+                nw.append(len(ws))
+                nd.append(len(wc))
+                twf.append(max(wc.values()))
+                tbf.append(tb)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_words": pd.Series(nw, dtype="int64"),
+                    "n_distinct": pd.Series(nd, dtype="int64"),
+                    "top_word_freq": pd.Series(twf, dtype="int64"),
+                    "top_bigram_freq": pd.Series(tbf, dtype="int64"),
+                }
+            )
+
+    stats = base.mapInPandas(
+        rep_stats,
+        "doc_id BIGINT, n_words BIGINT, n_distinct BIGINT,"
+        " top_word_freq BIGINT, top_bigram_freq BIGINT",
     )
-    tok = w.select("doc_id", F.explode("ws").alias("token"))
-    wc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
-    wstats = wc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_words"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.max("c").alias("top_word_freq"),
-    )
-    bg = w.filter(F.size("ws") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, size(ws) - 1),"
-                   " i -> concat(ws[i-1], ' ', ws[i]))")
-        ).alias("bigram"),
-    )
-    bstats = (
-        bg.groupBy("doc_id", "bigram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_bigram_freq"))
-    )
-    joined = wstats.join(bstats, "doc_id", "left").select(
-        "doc_id",
-        "n_words",
-        "n_distinct",
-        "top_word_freq",
-        F.coalesce("top_bigram_freq", F.lit(0)).alias("top_bigram_freq"),
-    )
-    return joined.withColumn(
+    return stats.withColumn(
         "is_repetitive",
         (F.col("top_word_freq") * 5 > F.col("n_words"))
         | (F.col("top_bigram_freq") * 8 > F.col("n_words")),
