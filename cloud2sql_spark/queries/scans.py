@@ -14,6 +14,7 @@ collect.py:103).
 
 from __future__ import annotations
 
+import datetime
 import os
 import shutil
 import time
@@ -787,7 +788,28 @@ def sink_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("ts").cast("date").alias("day"), "event_id", "user_id"
     )
     d.write.partitionBy("day").mode("overwrite").parquet(table_dir)
-    days = [r["day"] for r in d.select("day").distinct().orderBy("day").limit(3).collect()]
+    # The re-load day list comes from the just-written table's PARTITION
+    # DIRECTORIES — pure metadata (an os.listdir here; a catalog/object-
+    # store listing on a lake table) — instead of a second full scan +
+    # distinct shuffle + collect of the fact frame (r14, guide §5.2: the
+    # day set was already materialized by the write). Ordering mirrors
+    # the previous orderBy("day").limit(3) exactly, including its
+    # NULLS-FIRST placement of a NULL day (written as the Hive default
+    # partition; isin(None) matches no rows on either engine, so a NULL
+    # day occupying a slot corrects one fewer real day — identical to
+    # the scan-based form's behavior).
+    part_vals = [
+        x.split("=", 1)[1]
+        for x in os.listdir(table_dir)
+        if x.startswith("day=")
+    ]
+    days = [None] if "__HIVE_DEFAULT_PARTITION__" in part_vals else []
+    days += sorted(
+        datetime.date.fromisoformat(v)
+        for v in part_vals
+        if v != "__HIVE_DEFAULT_PARTITION__"
+    )
+    days = days[:3]
     corrected = d.filter(d.day.isin(days) & (F.col("user_id") % 2 == 0))
     (
         corrected.write.partitionBy("day")
