@@ -266,6 +266,22 @@ def _prefix_len(threshold: float) -> Column:
     )
 
 
+def _exact_jaccard_pairs_shared(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """Session-memoized exact-Jaccard truth pairs over the corpus
+    shingles — one build serves dedup_ngram_jaccard, the quality
+    report's truth side and the banding curve's S-curve input."""
+    flag = flag_enabled("SPARK_GRAFT_PREFIX_FILTER")
+    return _dedup_shared(
+        spark,
+        ("jaccard_pairs", sf_dir, threshold, flag),
+        lambda: _exact_jaccard_pairs(
+            _doc_shingles(spark, sf_dir, nonempty=True), threshold
+        ),
+    )
+
+
 def _exact_jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
     """Exact shingle-Jaccard pairs ≥ threshold.
 
@@ -411,6 +427,36 @@ def _ordered_collect(idx_col: str, val_col: str) -> Column:
 
 
 # ---------------------------------------------------------------- dedup
+
+# Session-scoped memos for the dedup family's shared intermediates, the
+# _SHINGLE_CACHE pattern one level up: the exact-Jaccard truth pair set
+# (consumed by dedup_ngram_jaccard, dedup_quality_report AND
+# dedup_minhash_banding_curve), the SimHash signature frame
+# (dedup_simhash + dedup_quality_report), and the df-capped candidate
+# metadata (_capped_sr_meta: dedup_ngram_capped, dedup_containment,
+# dedup_cluster_cc). Each was rebuilt — explode, df groupBy, posting
+# lists, Arrow signature pass and all — once PER CONSUMER per session
+# (measured: 3 full _capped_sr_meta builds and 3 truth builds in one
+# bench trial); a production pipeline derives each index once per
+# corpus. Cleared with the shingle cache (bench clears between trials,
+# so every trial still computes from the parquet inputs). Keys carry
+# the PREFIX_FILTER flag state so a flagged test run never serves a
+# frame built under the other plan shape.
+_DEDUP_SHARED_CACHE: dict = {}
+_EXTRA_SESSION_CACHES.append(_DEDUP_SHARED_CACHE)
+
+
+def _dedup_shared(spark: SparkSession, tag: tuple, build) -> DataFrame:
+    """Memoize ``build()``'s persisted frame under (applicationId, *tag)
+    with the LRU-on-access discipline of _LSH_BUCKET_CACHE."""
+    key = (spark.sparkContext.applicationId, *tag)
+    if key in _DEDUP_SHARED_CACHE:
+        _DEDUP_SHARED_CACHE[key] = _DEDUP_SHARED_CACHE.pop(key)
+        return _DEDUP_SHARED_CACHE[key]
+    evict_lru(_DEDUP_SHARED_CACHE, _SHINGLE_CACHE_MAX)
+    out = build().persist()
+    _DEDUP_SHARED_CACHE[key] = out
+    return out
 
 @register(
     "dedup_exact",
@@ -561,7 +607,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     with empty shingle sets produce no tokens, hence no pairs — output
     identical), so one cached shingle index serves every dedup op in a
     session, the way a production pipeline shares it."""
-    return _exact_jaccard_pairs(_doc_shingles(spark, sf_dir, nonempty=True), 0.5)
+    return _exact_jaccard_pairs_shared(spark, sf_dir, 0.5)
 
 
 _SIMHASH_PAIRS_SQL = f"""
@@ -591,6 +637,51 @@ _SIMHASH_PAIRS_SQL = f"""
 """
 
 
+def _simhash_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signature per doc (16 bytes/doc), session-memoized:
+    the banded candidate join reads it from both sides (no exchange
+    reuse across join branches), and dedup_quality_report re-derives the
+    identical frame for its candidate arm — one Arrow signature pass per
+    (session, sf_dir) serves all of them."""
+
+    def build() -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        shingled = _doc_shingles(spark, sf_dir, nonempty=True)
+
+        def simhash_sig(batches):
+            import hashlib
+
+            bit_src = np.arange(64) // 4  # hex-nibble index per bit
+            bit_shift = np.arange(64) % 4
+            for pdf in batches:
+                sigs = np.empty(len(pdf), dtype=np.int64)
+                for j, sgs in enumerate(pdf["sg"]):
+                    # md5 digest bytes 0..7 hold hex chars 0..15 (hi
+                    # nibble first) = the 64 signature bits the oracle
+                    # extracts
+                    raw = b"".join(
+                        hashlib.md5(g.encode("utf-8")).digest()[:8]
+                        for g in sgs
+                    )
+                    by = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 8)
+                    nibs = np.empty((by.shape[0], 16), dtype=np.uint8)
+                    nibs[:, 0::2] = by >> 4
+                    nibs[:, 1::2] = by & 15
+                    bits = (nibs[:, bit_src] >> bit_shift) & 1
+                    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+                    val = 0
+                    for i in np.nonzero(votes > 0)[0]:
+                        val |= 1 << int(i)
+                    sigs[j] = val - (1 << 64) if val >= 1 << 63 else val
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "s": sigs})
+
+        return shingled.mapInPandas(simhash_sig, "doc_id BIGINT, s BIGINT")
+
+    return _dedup_shared(spark, ("simhash_sig", sf_dir), build)
+
+
 @register("dedup_simhash", oracle=_SIMHASH_PAIRS_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature from md5-derived shingle
@@ -609,42 +700,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment), verified with bit_count(xor) on the packed BIGINT — never
     an O(n²) pair scan. The signature map is embarrassingly parallel.
     """
-    import numpy as np
-    import pandas as pd
-
-    shingled = _doc_shingles(spark, sf_dir, nonempty=True)
-
-    def simhash_sig(batches):
-        import hashlib
-
-        bit_src = np.arange(64) // 4  # hex-nibble index per bit
-        bit_shift = np.arange(64) % 4
-        for pdf in batches:
-            sigs = np.empty(len(pdf), dtype=np.int64)
-            for j, sgs in enumerate(pdf["sg"]):
-                # md5 digest bytes 0..7 hold hex chars 0..15 (hi nibble
-                # first) = the 64 signature bits the oracle extracts
-                raw = b"".join(
-                    hashlib.md5(g.encode("utf-8")).digest()[:8] for g in sgs
-                )
-                by = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 8)
-                nibs = np.empty((by.shape[0], 16), dtype=np.uint8)
-                nibs[:, 0::2] = by >> 4
-                nibs[:, 1::2] = by & 15
-                bits = (nibs[:, bit_src] >> bit_shift) & 1
-                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-                val = 0
-                for i in np.nonzero(votes > 0)[0]:
-                    val |= 1 << int(i)
-                sigs[j] = val - (1 << 64) if val >= 1 << 63 else val
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "s": sigs})
-
-    # persist: the banded candidate join reads this 16-byte/doc frame from
-    # both sides; without it the shingle+md5 map runs twice (no exchange
-    # reuse across join branches)
-    sig = _track(
-        shingled.mapInPandas(simhash_sig, "doc_id BIGINT, s BIGINT").persist()
-    )
+    sig = _simhash_sig_frame(spark, sf_dir)
 
     # Banded candidate generation (Manku/Das Sarma-style): cut the 64 bits
     # into 11 bands (ceil(64/11)=6-bit chunks). Any pair at hamming <= 10
@@ -1106,7 +1162,22 @@ def _capped_sr_meta(spark: SparkSession, sf_dir: str, df_cap: int = 10) -> DataF
     array anywhere, join volume Σ_rare df² <= df_cap · |rare tokens|.
     On THIS corpus (max df 7) the default is faster — the flagged form
     shuffles the token set twice — so the flag stays off by default;
-    equivalence is property-tested in tests/test_prefix_filter.py."""
+    equivalence is property-tested in tests/test_prefix_filter.py.
+
+    Session-memoized (_DEDUP_SHARED_CACHE): three operators consume this
+    exact frame per session (ngram_capped, containment, cluster_cc via
+    ngram_capped) and each used to pay the full index build."""
+    flag = flag_enabled("SPARK_GRAFT_PREFIX_FILTER")
+    return _dedup_shared(
+        spark,
+        ("sr_meta", sf_dir, df_cap, flag),
+        lambda: _capped_sr_meta_build(spark, sf_dir, df_cap),
+    )
+
+
+def _capped_sr_meta_build(
+    spark: SparkSession, sf_dir: str, df_cap: int
+) -> DataFrame:
     shingled = _doc_shingles(spark, sf_dir, nonempty=True)
     if flag_enabled("SPARK_GRAFT_PREFIX_FILTER"):
         tok, df_g = _tok_with_df(shingled)
@@ -1931,9 +2002,7 @@ def dedup_minhash_banding_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds through the exact integer ratio_round template
     (queries/rounding.py, converted round 12) so the round() boundary
     class is retired outright."""
-    truth = _exact_jaccard_pairs(
-        _doc_shingles(spark, sf_dir, nonempty=True), 0.5
-    )
+    truth = _exact_jaccard_pairs_shared(spark, sf_dir, 0.5)
     cfg = spark.createDataFrame(
         _BANDING_CONFIGS, "bands INT, rows_per_band INT"
     )
