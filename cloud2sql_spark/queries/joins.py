@@ -760,26 +760,47 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL bands
     match each other instead of vanishing, the semantics ETL needs when
     joining on optional attributes. Spark plans eqNullSafe as an ordinary
-    hash join (the key is wrapped in a null-coalescing struct), so this
-    stays a broadcast hash join — no nested loop, no NULL-row fallout to
-    reconcile afterwards. Aggregated per band to keep the contract
-    output small; the NULL row proves the semantic difference from a
-    plain equi-join, which would drop it."""
+    hash join (the key is wrapped in a null-coalescing struct) — no
+    nested loop, no NULL-row fallout to reconcile afterwards.
+
+    The aggregates are computed per SIDE before the join: the band key
+    has 5 values, so joining the raw tables materializes the full
+    per-band cartesian (|C_b|·|S_b| rows — ~3M at sf0.1, quadratic in
+    table size at any scale) only to count it. Every output is
+    derivable from per-side band aggregates — n_pairs = n_c·n_s (each
+    customer row meets every supplier row in its band), and a DISTINCT
+    count over the pairs equals the side's own DISTINCT count because
+    the join fans each key out verbatim — so the null-safe join runs
+    over two ≤6-row aggregates and the pair stream never exists. Inner
+    join semantics preserved: a band empty on either side drops in
+    both shapes. The NULL row still proves the null-safe semantics —
+    a plain equi-join would drop it."""
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
     band = lambda col: F.when(col % 5 == 0, F.lit(None)).otherwise(col % 5)
-    cb = cust.select("c_custkey", band(F.col("c_nationkey")).alias("band"))
-    sb = supp.select(
-        "s_suppkey", band(F.col("s_nationkey")).alias("band_s")
-    )
-    return (
-        cb.join(F.broadcast(sb), cb["band"].eqNullSafe(sb["band_s"]))
+    cagg = (
+        cust.select("c_custkey", band(F.col("c_nationkey")).alias("band"))
         .groupBy("band")
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
+            F.count(F.lit(1)).alias("n_c"),
             F.count_distinct("c_custkey").alias("n_cust"),
+        )
+    )
+    sagg = (
+        supp.select("s_suppkey", band(F.col("s_nationkey")).alias("band_s"))
+        .groupBy("band_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_s"),
             F.count_distinct("s_suppkey").alias("n_supp"),
         )
+    )
+    return cagg.join(
+        F.broadcast(sagg), cagg["band"].eqNullSafe(sagg["band_s"])
+    ).select(
+        "band",
+        (F.col("n_c") * F.col("n_s")).alias("n_pairs"),
+        "n_cust",
+        "n_supp",
     )
 
 

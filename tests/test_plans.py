@@ -285,6 +285,18 @@ def test_round4_small_side_broadcasts(key, spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_null_safe_join_aggregates_before_join(spark, sf_dir):
+    """The null-safe band join counts pairs from per-side aggregates
+    (n_pairs = n_c * n_s) instead of materializing the per-band
+    cartesian and count-distinct-ing it — the pair stream is |C_b|*|S_b|
+    rows (quadratic in table size) and its two count-distincts forced a
+    3x Expand. The optimized plan has NO Expand, and the join's stream
+    side is itself an aggregate (the fact scan never reaches the join)."""
+    plan = _physical(_QUERIES["join_null_safe"](spark, sf_dir))
+    assert "Expand" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_range_interval_single_window_shuffle(spark, sf_dir):
     """The trailing-hour RANGE frame is ONE Exchange + ONE Sort — if it
     ever becomes a time-inequality self-join the plan grows a second
