@@ -451,28 +451,32 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 large-volume customer: orders whose total quantity tops
     270 (the lite data's ~99.7th percentile), with their customers.
 
-    The qualifying-orderkey aggregate runs first and semi-joins back into
-    lineitem — at scale the qualifier output is tiny (0.3% of orders), so
-    AQE converts the semi-join to broadcast; the outer aggregate then
-    regroups only qualifying rows. o_totalprice DESC with o_orderkey
-    tie-break keeps LIMIT 100 deterministic.
+    The qualifying-order aggregate runs ONCE and carries its per-order
+    quantity sum forward: the textbook plan semi-joins the qualifier
+    back into lineitem and re-aggregates the same quantities, but the
+    outer group key contains o_orderkey, so each output row's sum_qty
+    IS the qualifier's own per-order sum — one lineitem pass instead of
+    two, and the 3-table join probes the tiny (0.3% of orders)
+    qualifier frame instead of the full fact table. Exactly equivalent
+    even under duplicate orders/customer keys: in both shapes each
+    order row contributes its full per-order quantity once per join
+    match, and the final groupBy folds matches identically.
+    o_totalprice DESC with o_orderkey tie-break keeps LIMIT 100
+    deterministic.
     """
     li = load_table(spark, sf_dir, "lineitem")
     qual = (
         li.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("qty"))
         .filter(F.col("qty") > 270)
-        .select("l_orderkey")
     )
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     return (
-        li.join(qual.withColumnRenamed("l_orderkey", "q_orderkey"),
-                li.l_orderkey == F.col("q_orderkey"), "left_semi")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        qual.join(orders, qual.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+        .agg(F.sum("qty").cast("double").alias("sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
