@@ -129,12 +129,23 @@ def cleanup_default_checkpoint_dirs() -> None:
             shutil.rmtree(d, ignore_errors=True)
 
 
-def truncate_lineage(df: DataFrame, reliable: bool | None = None) -> DataFrame:
-    """Eagerly materialize ``df`` and drop its lineage.
+def truncate_lineage(
+    df: DataFrame, reliable: bool | None = None, eager: bool = True
+) -> DataFrame:
+    """Materialize ``df`` and drop its lineage.
 
     ``reliable=None`` (default) reads ``SPARK_GRAFT_RELIABLE_CHECKPOINT``;
     ``reliable=True`` forces the cluster-safe ``checkpoint()`` path,
     ``reliable=False`` forces executor-local blocks.
+
+    ``eager=False`` defers materialization to the caller's NEXT action:
+    the checkpoint happens as a side effect of the first job that
+    computes every partition (a global aggregate, a count). An iterative
+    loop that already runs one full-coverage action per superstep can
+    fold the checkpoint job into it — one job per round instead of two
+    (guide §2.6's scheduling-overhead class; VERDICT r14 item 1). Callers
+    must guarantee the next action covers ALL partitions: a take()/limit
+    may compute a partition subset and leave the checkpoint pending.
     """
     if reliable is None:
         # flag_enabled, not a raw environ read: the scale-switch gate
@@ -143,5 +154,5 @@ def truncate_lineage(df: DataFrame, reliable: bool | None = None) -> DataFrame:
         reliable = flag_enabled("SPARK_GRAFT_RELIABLE_CHECKPOINT")
     if reliable:
         _ensure_checkpoint_dir(df)
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

@@ -691,9 +691,10 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (the oracle recursive CTE carries the same hop < 6 bound, and
     its UNION-recursion dedups on (node, hop) so bipartite parity re-visits
     stay bounded by nodes x hops, never path-enumeration). Each superstep
-    ends in an eager lineage truncation (truncate_lineage — executor-local
-    blocks by default, reliable checkpoint() to a durable dir on a cluster
-    via SPARK_GRAFT_RELIABLE_CHECKPOINT=1): plain persist leaves the logical
+    ends in a LAZY lineage truncation forced by the frontier count
+    (truncate_lineage — executor-local blocks by default, reliable
+    checkpoint() to a durable dir on a cluster via
+    SPARK_GRAFT_RELIABLE_CHECKPOINT=1): plain persist leaves the logical
     plan growing by three shuffles per round (the optimizer replans the
     whole nested union every superstep — observed as 400 -> 600 -> 800
     task stages and an eventual driver OOM), while checkpointing truncates
@@ -720,17 +721,25 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited = seed.transform(truncate_lineage)
     frontier = visited
     for hop in range(1, 7):
+        # Three per-hop jobs folded into one (r15, guide §2.6): the
+        # frontier checkpoint is LAZY and forced by count() — which
+        # covers every partition, so the blocks are fully materialized —
+        # replacing the eager checkpoint + isEmpty() pair; and visited
+        # is a plain union of (<= 7) already-checkpointed frontiers, so
+        # its plan stays shallow without a third materialization pass.
+        # Interleaved A/B: faster on all 4 trials (best 1.645 -> 1.608s),
+        # rows identical.
         nxt = (
             frontier.join(edges, frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
             .withColumn("hop", F.lit(hop))
-            .transform(truncate_lineage)
+            .transform(lambda d: truncate_lineage(d, eager=False))
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
-        visited = visited.unionByName(nxt).transform(truncate_lineage)
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited.groupBy("hop").agg(F.count(F.lit(1)).alias("n_nodes"))
 
@@ -1868,12 +1877,13 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     cloud2sql_spark.checkpointing for the local-vs-reliable trade) so round r's
     plan references a materialized alive set, never the 3^r-reference
     lineage that hung _min_label_propagate before its extraction. Each
-    superstep runs exactly TWO actions: the degree checkpoint and one
-    two-column aggregate over it that yields the round's edge count AND
-    the next round's alive count in the same pass (VERDICT r08 item 3 —
-    the previous form spent a separate alive.count() per round plus two
-    deferred per-round aggregates at collect time; with the r09 fixture
-    peeling for 6 supersteps instead of 2 that fixed overhead tripled).
+    superstep runs exactly ONE action (r15): the degree checkpoint is
+    LAZY and the two-column trace aggregate — a global aggregate, so it
+    computes every partition — materializes it as a side effect while
+    yielding the round's edge count AND the next round's alive count in
+    the same pass (VERDICT r08 item 3 halved the earlier per-round
+    action count; VERDICT r14 item 1 halved it again by folding the
+    checkpoint job into the trace job).
     The collected values are two bounded scalars per round — trace
     METADATA, the same class as the count() it replaces — and the trace
     itself is returned as a literal frame, so no 9-way union-of-
@@ -1896,9 +1906,11 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second copy keyed by u fed only the per-round u-side join, which
     # r14 moved above the aggregate — see the loop comment)
     und_v = und.repartition(p, "v").transform(truncate_lineage)
+    # lazy checkpoint (r15): the count() below materializes it — one job
+    # instead of a checkpoint job followed by a count job
     alive = (
         und_v.select("u").repartition(p, "u").distinct()
-        .transform(truncate_lineage)
+        .transform(lambda d: truncate_lineage(d, eager=False))
     )
     n_alive = alive.count()
     trace_rows: list[tuple[int, int, int]] = []
@@ -1926,7 +1938,14 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             und_v.join(av.hint("shuffle_hash"), und_v.v == F.col("av"))
             .groupBy("u")
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .transform(truncate_lineage)
+            # lazy checkpoint (r15, guide §2.6 scheduling overhead): the
+            # trace aggregate's first() below is a GLOBAL aggregate, so
+            # it computes every deg partition and materializes the
+            # checkpoint as a side effect — each superstep now runs ONE
+            # job where the eager form ran two (checkpoint, then trace).
+            # Interleaved A/B best-of-4: 7.06 -> 4.40s at sf0.1, trace
+            # rows identical.
+            .transform(lambda d: truncate_lineage(d, eager=False))
         )
         n_edges, n_alive_next = (
             deg.join(au, deg.u == F.col("au"), "left")
@@ -2638,7 +2657,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(p, "node")
         .transform(truncate_lineage)
     )
-    for _ in range(_LPA_ROUNDS):
+    for _r in range(_LPA_ROUNDS):
         nbr = (
             # SHUFFLE_HASH on the label side (guide §3.1): the planner's
             # sort-merge join re-SORTED the materialized edge frame every
@@ -2675,9 +2694,21 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.coalesce(F.col("win_nl"), F.col("label")))
                 .alias("label"),
             )
-            .repartition(p, "node")
-            .transform(truncate_lineage)
         )
+        # Checkpoint between rounds only (r15): the LAST round's labels
+        # feed nothing but the final histogram, so materializing them
+        # was a full extra pass — the histogram aggregate now consumes
+        # the one-round-deep plan directly (its leaves are the round-2
+        # checkpoint and the und blocks; lineage stays bounded). A
+        # zero-checkpoint variant (all 3 rounds lazy) was measured
+        # SLOWER (best 4.36s vs 3.23s, worst 11.1s — the optimizer
+        # replans the nested 3-round join tree per action) and was not
+        # taken. Interleaved A/B best-of-4: 6.00 -> 3.23s, rows
+        # identical.
+        if _r < _LPA_ROUNDS - 1:
+            labels = labels.repartition(p, "node").transform(
+                truncate_lineage
+            )
     return labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
