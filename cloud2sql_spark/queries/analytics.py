@@ -860,8 +860,15 @@ def _pagerank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
     )
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    out = edges.join(deg, "src").persist()
+    # Degree annotation as a window count over the src partitioning
+    # (r15, guide §2.4 — share one exchange): the former groupBy +
+    # re-join exchanged the edge list twice (once into the aggregate,
+    # once into the join) and sorted both join legs; the window needs
+    # exactly ONE exchange by src, and its output keeps that
+    # partitioning for the iteration joins. Interleaved A/B best-of-4
+    # (build + 3 iterations): 2.21 -> 1.79s, ranks identical.
+    w = Window.partitionBy("src")
+    out = edges.withColumn("d", F.count(F.lit(1)).over(w)).persist()
     _PAGERANK_EDGE_CACHE[key] = out
     return out
 
@@ -1258,30 +1265,42 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _TRIANGLE_EDGE_CACHE[key]
     evict_lru(_TRIANGLE_EDGE_CACHE, 4)
     # Explicit cluster-width partitioning end to end: the orderkey hash
-    # satisfies both the (orderkey, partkey) distinct and the self-join
-    # (subset-of-clustering-keys rule), so the whole build runs at
-    # defaultParallelism instead of spark.sql.shuffle.partitions — the
-    # vanilla driver session's 200/400-task stages on a ~1M-row edge
-    # list were pure scheduling overhead for every graph_* key.
+    # satisfies the per-order grouping below (subset-of-clustering-keys
+    # rule), so the whole build runs at defaultParallelism instead of
+    # spark.sql.shuffle.partitions — the vanilla driver session's
+    # 200/400-task stages on a ~1M-row edge list were pure scheduling
+    # overhead for every graph_* key.
     p = spark.sparkContext.defaultParallelism
     pl = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .repartition(p, "l_orderkey")
-        .distinct()
     )
-    a, b = pl.alias("a"), pl.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .repartition(p, "u", "v")
-        .distinct()
-        .persist()
+    # Pair generation in-array instead of the former co-partitioned
+    # self-join (r15): collect_set per order reuses the orderkey
+    # partitioning (one grouped pass replaces the distinct AND both
+    # sorted join legs), and the i<j pairs of the ascending array are
+    # exactly the a.pk < b.pk join output. Per-order work stays bounded
+    # by C(lines-per-order, 2) — the same combinatorial fan-out the
+    # join materialized, now emitted map-side with no sort. Interleaved
+    # A/B best-of-4: 1.95 -> 1.39s at sf0.1, edge rows identical.
+    grp = pl.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("pks")
     )
+    pairs = grp.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "pks",
+                    lambda x, i: F.transform(
+                        F.slice("pks", i + 2, F.size("pks")),
+                        lambda y: F.struct(x.alias("u"), y.alias("v")),
+                    ),
+                )
+            )
+        ).alias("uv")
+    ).select("uv.u", "uv.v")
+    e = pairs.repartition(p, "u", "v").distinct().persist()
     _TRIANGLE_EDGE_CACHE[key] = e
     return e
 
@@ -1905,9 +1924,15 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitioning every round's neighbor join consumes (the former
     # second copy keyed by u fed only the per-round u-side join, which
     # r14 moved above the aggregate — see the loop comment)
-    und_v = und.repartition(p, "v").transform(truncate_lineage)
-    # lazy checkpoint (r15): the count() below materializes it — one job
-    # instead of a checkpoint job followed by a count job
+    # Both start-up checkpoints are LAZY and materialized together by
+    # the single count() below: the alive build reads every und_v
+    # partition (the repartition-by-u exchange), so the one job persists
+    # both block sets — three start-up jobs collapsed to one (r15;
+    # interleaved A/B 4.39 -> 3.53s on top of the lazy per-round
+    # checkpoint, trace identical).
+    und_v = und.repartition(p, "v").transform(
+        lambda d: truncate_lineage(d, eager=False)
+    )
     alive = (
         und_v.select("u").repartition(p, "u").distinct()
         .transform(lambda d: truncate_lineage(d, eager=False))
