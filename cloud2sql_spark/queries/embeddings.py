@@ -270,17 +270,40 @@ def embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("c"),
         F.col("nrm").alias("cn"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cluster")
-    a1 = (
-        n.crossJoin(F.broadcast(seeds))
-        .withColumn(
+
+    def argmax(scored: DataFrame) -> DataFrame:
+        """(vec_id, cluster, cos) of each vector's best cluster.
+
+        max(struct(cos, -cluster)) picks the (cos DESC, cluster ASC)
+        winner — the exact row the oracle's row_number selects — as a
+        partial-aggregable HASH aggregate (r15, guide §2.4): the former
+        per-assignment row_number window forced an Exchange + Sort by
+        vec_id over the 8x-fanned frame, where the aggregate reduces
+        each vector's 8 broadcast-join rows map-side and shuffles one
+        partial row per vector. Doubles order identically in struct
+        comparison and window sort (NaN greatest), so ties and edge
+        values pick the same row. Interleaved A/B best-of-4:
+        1.62 -> 1.27s, rows identical."""
+        return (
+            scored.groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(F.col("cos"), (-F.col("cluster")).alias("neg"))
+                ).alias("top")
+            )
+            .select(
+                "vec_id",
+                (-F.col("top.neg")).alias("cluster"),
+                F.col("top.cos").alias("cos"),
+            )
+        )
+
+    a1 = argmax(
+        n.crossJoin(F.broadcast(seeds)).withColumn(
             "cos",
             _int_dot("v", "c").cast("double") / (F.col("nrm") * F.col("cn")),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cluster")
-    )
+    ).select("vec_id", "cluster")
     # centroid update: per-(cluster, dim) integer sums, rebuilt into arrays
     flat = a1.join(q, "vec_id").select(
         "cluster", F.posexplode("v").alias("dim", "val")
@@ -299,14 +322,11 @@ def embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    a2 = (
-        n.crossJoin(F.broadcast(cents))
-        .withColumn(
+    a2 = argmax(
+        n.crossJoin(F.broadcast(cents)).withColumn(
             "cos",
             _int_dot("v", "c").cast("double") / (F.col("nrm") * F.col("cn")),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
     )
     return a2.select(
         "vec_id",
@@ -512,9 +532,25 @@ def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid", "vec_id")
         .agg(F.sum("ld").alias("adc_dist"))
     )
-    w = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
+    # Two-level top-5 (r15, the r12 low-cardinality-window-partition
+    # class): a single window PARTITION BY qid has |queries|=3
+    # partitions, so three tasks would sort the whole 3x|corpus| score
+    # frame at ANY scale. Level 1 takes the per-(qid, hash-bucket)
+    # top-5 on 64 buckets (each task sorts ~1/64th), level 2 sorts only
+    # the <= 64*5 survivors per query. Value-identical: the global
+    # (adc_dist, vec_id) top-5 all survive their own bucket's top-5,
+    # and both levels use the same deterministic total order. Local
+    # parity (best-of-4: 1.16 -> 1.23s, within the noise band; rows
+    # identical) — taken for the scale shape, the agg_weighted_
+    # percentile r12 precedent.
+    b = F.pmod(F.xxhash64("vec_id"), F.lit(64)).alias("b")
+    wl = Window.partitionBy("qid", "b").orderBy("adc_dist", "vec_id")
+    wg = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
     return (
-        adc.withColumn("rn", F.row_number().over(w))
+        adc.select("qid", "vec_id", "adc_dist", b)
+        .withColumn("rl", F.row_number().over(wl))
+        .filter(F.col("rl") <= 5)
+        .withColumn("rn", F.row_number().over(wg))
         .filter(F.col("rn") <= 5)
         .select("qid", "vec_id", "adc_dist")
     )

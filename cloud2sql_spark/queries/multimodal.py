@@ -517,17 +517,43 @@ def dedup_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb = 60
         shifts = np.arange(nb, dtype=np.int64)
         for pdf in batches:
-            ids, sigs = [], []
-            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
-                n = arr.size
-                bounds = (np.arange(nb + 1) * n) // nb
-                sums = np.add.reduceat(arr, bounds[:-1])
-                lens = np.diff(bounds)
-                bits = (sums * n) > (int(arr.sum()) * lens)
-                sigs.append(int((bits.astype(np.int64) << shifts).sum()))
-                ids.append(doc_id)
-            yield pd.DataFrame({"doc_id": ids, "sig": pd.array(sigs, dtype="int64")})
+            m = len(pdf)
+            if not m:
+                continue
+            # Whole-batch vectorization (r15, guide §4.2 — the Arrow
+            # binary column is one contiguous buffer + offsets, so block
+            # sums for EVERY doc come from a single reduceat over the
+            # concatenated bytes): the former per-doc Python loop ran
+            # |docs| small numpy calls per batch. Per-doc bounds are
+            # strictly increasing (octet_length >= 60 upstream), and
+            # doc d's last block ends at doc d+1's first bound == d's
+            # end offset, so the flattened reduceat segments tile the
+            # buffer exactly. A/B best-of-4: 1.37 -> 1.28s; pairs
+            # identical.
+            lens = np.fromiter(
+                (len(b) for b in pdf["payload"]), dtype=np.int64, count=m
+            )
+            buf = np.frombuffer(
+                b"".join(pdf["payload"]), dtype=np.uint8
+            ).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            i = np.arange(nb, dtype=np.int64)
+            bounds = (
+                starts[:, None] + (i[None, :] * lens[:, None]) // nb
+            ).ravel()
+            sums = np.add.reduceat(buf, bounds).reshape(m, nb)
+            tots = sums.sum(axis=1)
+            blens = np.diff(
+                np.concatenate(
+                    [bounds.reshape(m, nb), (starts + lens)[:, None]], axis=1
+                ),
+                axis=1,
+            )
+            bits = (sums * lens[:, None]) > (tots[:, None] * blens)
+            sigs = (bits.astype(np.int64) << shifts[None, :]).sum(axis=1)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "sig": pd.array(sigs, dtype="int64")}
+            )
 
     sig = mm.mapInPandas(phash, "doc_id BIGINT, sig BIGINT").persist()
     bands = sig.select(
