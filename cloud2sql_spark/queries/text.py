@@ -933,7 +933,13 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse does not span the two aggregate shapes). The word-score join
     stays vocabulary-sized and shuffled — NOT broadcast: a 100 TB
     corpus vocabulary outgrows a broadcast table even if this
-    fixture's doesn't."""
+    fixture's doesn't. r15 examined-and-declined: a narrow-join variant
+    (occurrence rows carry no phrase text through the word exchange;
+    phrase built once per instance by a co-partitioned aggregate and
+    re-attached to instance scores by a (doc_id, phrase_id) join)
+    measured 1.25 -> 1.38s interleaved best-of-4 — the extra instance
+    aggregate + re-attach join outweigh the narrower exchange at this
+    corpus, where phrases are short; the r14 window shape stands."""
     from cloud2sql_spark.queries.extensions import _track
 
     docs = load_table(spark, sf_dir, "documents")
